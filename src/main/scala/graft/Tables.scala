@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet table loaders for the driver-generated TPC-H-ish star schema
+  * (TESTDATA.md). One parquet file per table under `dir`.
+  *
+  * Scale notes (100 TB): `spark.read.parquet` is the DataSourceV2
+  * vectorized reader — filter pushdown, column pruning and partition
+  * pruning all apply as long as callers keep plans declarative (no
+  * `.rdd`, no early `.cache()` of unpruned scans). At cluster scale the
+  * same call reads a partitioned directory tree; nothing here assumes a
+  * single file.
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
+  /** events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects. Read nanos as long and floor-convert to
+    * microsecond TimestampType with integer arithmetic (`DIV` — double
+    * division would lose precision above 2^53). DuckDB applies the same
+    * ns→us truncation when it reads the file, so oracles agree. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+}
+
+/** A named query + its DuckDB oracle SQL. Modules contribute these and
+  * `SparkEntry` unions them — the driver hash-compares each query's
+  * parquet dump against the oracle run by DuckDB on the same tables.
+  */
+trait QueryModule {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+  /** DuckDB-dialect SQL over bare table names (driver registers views).
+    * Omit a key for non-SQL-expressible ops → weaker rows-only check. */
+  def oracles: Map[String, String]
+}

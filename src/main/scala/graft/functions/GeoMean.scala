@@ -1,0 +1,23 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Geometric mean as a typed `Aggregator[IN, BUF, OUT]` (SURVEY §2B
+  * q_agg_custom). Buffer = (Σ ln x, n): algebraic, so Spark runs it with
+  * map-side partial aggregation and a cheap merge — the property that
+  * makes a custom aggregate viable at 100 TB. Values ≤ 0 are skipped
+  * (ln undefined), mirroring `avg(ln(x))` null-skipping in SQL.
+  */
+object GeoMean extends Aggregator[(String, Double), (Double, Long), Double] {
+  def zero: (Double, Long) = (0.0, 0L)
+  def reduce(b: (Double, Long), a: (String, Double)): (Double, Long) =
+    if (a._2 > 0.0) (b._1 + math.log(a._2), b._2 + 1L) else b
+  def merge(x: (Double, Long), y: (Double, Long)): (Double, Long) =
+    (x._1 + y._1, x._2 + y._2)
+  def finish(b: (Double, Long)): Double =
+    if (b._2 == 0L) Double.NaN else math.exp(b._1 / b._2)
+  def bufferEncoder: Encoder[(Double, Long)] =
+    Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+  def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+}
