@@ -25,10 +25,16 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
   /** events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read nanos as long and floor-convert to
+    * vectorized reader rejects. Read nanos as long and convert to
     * microsecond TimestampType with integer arithmetic (`DIV` — double
-    * division would lose precision above 2^53). DuckDB applies the same
-    * ns→us truncation when it reads the file, so oracles agree. */
+    * division would lose precision above 2^53). `DIV` truncates toward
+    * zero, which equals floor for non-negative inputs; the generator
+    * emits only post-epoch timestamps (min observed 2024-01-01, see
+    * TablesSpec which asserts ts > 0), so this matches DuckDB's ns→us
+    * conversion exactly. NOTE deliberate session-conf side effect: the
+    * nanosAsLong legacy flag must be set before the read is planned;
+    * it is documented here and also set at session build time in
+    * Verify/Bench so callers constructing their own sessions agree. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(s, d, "events")

@@ -107,20 +107,21 @@ object Relational extends QueryModule {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |ORDER BY o_orderkey""".stripMargin
 
-  /** Star-schema rollup with explicit broadcast of the dim chain —
-    * at 100 TB the fact table never shuffles for the dims. */
-  private def joinBroadcast(s: SparkSession, d: String): DataFrame = {
-    val dim = T.customer(s, d)
+  /** Star-schema rollup. Broadcast ONLY the bounded-cardinality dims
+    * (nation=25 rows, region=5 rows — fixed regardless of SF); the
+    * orders⋈customer edge shuffles on the key, because customer grows
+    * linearly with the dataset and broadcasting it would OOM the
+    * executors at 100 TB. Per-(r_name,n_name) aggregation is partial
+    * (map-side combine) so the final shuffle carries 25 groups. */
+  private def joinBroadcast(s: SparkSession, d: String): DataFrame =
+    T.orders(s, d)
+      .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(T.region(s, d)), col("n_regionkey") === col("r_regionkey"))
-      .select(col("c_custkey"), col("n_name"), col("r_name"))
-    T.orders(s, d)
-      .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n_orders"),
         Det.r2(sum(col("o_totalprice"))).as("revenue"))
       .orderBy(col("r_name"), col("n_name"))
-  }
 
   private val joinBroadcastSql =
     """SELECT r_name, n_name, count(*) AS n_orders,
@@ -182,16 +183,20 @@ object Relational extends QueryModule {
       |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
       |ORDER BY o_orderkey""".stripMargin
 
-  /** Left-anti join (NOT EXISTS). */
+  /** Left-anti join (NOT EXISTS): customers with no finalized ('F')
+    * order. The status filter makes the result non-empty at every SF
+    * (71 rows at sf0.01) so the hash-match is evidence-bearing. */
   private def joinAnti(s: SparkSession, d: String): DataFrame =
     T.customer(s, d)
-      .join(T.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(T.orders(s, d).filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
       .orderBy(col("c_custkey"))
 
   private val joinAntiSql =
     """SELECT c_custkey, c_name FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
       |ORDER BY c_custkey""".stripMargin
 
   /** Theta join: equi key + range residual (click→purchase funnel within
@@ -310,7 +315,8 @@ object Relational extends QueryModule {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** HLL sketch distinct — no exact oracle (approx); driver rows-check.
-    * Bounds vs exact are asserted in the ScalaTest suite. */
+    * Error bounds vs the exact count are asserted in
+    * `ApproxDistinctSpec` (src/test/scala/graft). */
   private def aggApprox(s: SparkSession, d: String): DataFrame =
     T.lineitem(s, d)
       .groupBy(col("l_returnflag"))
@@ -363,17 +369,23 @@ object Relational extends QueryModule {
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
-  /** collect_set + array_sort for deterministic array output. */
+  /** collect_set + array_sort for deterministic array output. The array
+    * is serialized with array_join so the driver's pandas-based compare
+    * (which can't hash ndarray cells) sees a plain string; the sorted
+    * "|"-joined form is a faithful canonical encoding of the set. */
   private def aggCollect(s: SparkSession, d: String): DataFrame =
     T.orders(s, d)
       .groupBy(col("o_orderstatus"))
-      .agg(array_sort(collect_set(col("o_orderpriority"))).as("priorities"),
+      .agg(
+        array_join(array_sort(collect_set(col("o_orderpriority"))), "|")
+          .as("priorities"),
         count(lit(1)).as("n"))
       .orderBy(col("o_orderstatus"))
 
   private val aggCollectSql =
     """SELECT o_orderstatus,
-      |       list_sort(list_distinct(list(o_orderpriority))) AS priorities,
+      |       array_to_string(list_sort(list_distinct(list(o_orderpriority))), '|')
+      |         AS priorities,
       |       count(*) AS n
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
@@ -398,27 +410,32 @@ object Relational extends QueryModule {
 
   // --------------------------------------------------------------- windows
 
-  /** Ranking family. Window ints cast to LONG (DuckDB returns BIGINT). */
+  /** Ranking family. Window ints cast to LONG (DuckDB returns BIGINT).
+    * Partition key is the composite (c_mktsegment, c_nationkey) —
+    * 5×25 = 125 partitions instead of 5, so no single window task
+    * holds 20% of the table when the data scales 100×. */
   private def winRank(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("c_mktsegment"))
+    val w = Window.partitionBy(col("c_mktsegment"), col("c_nationkey"))
       .orderBy(col("c_acctbal").desc, col("c_custkey"))
     T.customer(s, d)
-      .select(col("c_mktsegment"), col("c_custkey"),
+      .select(col("c_mktsegment"), col("c_nationkey"), col("c_custkey"),
         Det.r2(col("c_acctbal")).as("bal"),
         row_number().over(w).cast("long").as("rn"),
         rank().over(w).cast("long").as("rnk"),
         dense_rank().over(w).cast("long").as("drnk"),
         ntile(4).over(w).cast("long").as("quartile"))
-      .orderBy(col("c_mktsegment"), col("rn"))
+      .orderBy(col("c_mktsegment"), col("c_nationkey"), col("rn"))
   }
 
   private val winRankSql =
-    """SELECT c_mktsegment, c_custkey, floor((c_acctbal) * 100 + 0.5) / 100 AS bal,
+    """SELECT c_mktsegment, c_nationkey, c_custkey,
+      |  floor((c_acctbal) * 100 + 0.5) / 100 AS bal,
       |  row_number() OVER w AS rn, rank() OVER w AS rnk,
       |  dense_rank() OVER w AS drnk, ntile(4) OVER w AS quartile
       |FROM customer
-      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
-      |ORDER BY c_mktsegment, rn""".stripMargin
+      |WINDOW w AS (PARTITION BY c_mktsegment, c_nationkey
+      |             ORDER BY c_acctbal DESC, c_custkey)
+      |ORDER BY c_mktsegment, c_nationkey, rn""".stripMargin
 
   /** Analytic family: lag/lead/first/last over per-customer order history. */
   private def winAnalytic(s: SparkSession, d: String): DataFrame = {
@@ -448,7 +465,12 @@ object Relational extends QueryModule {
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
   /** Frame specs: running total (ROWS unbounded→current), moving window
-    * (ROWS 3 preceding), value-range frame (RANGE 5 preceding). */
+    * (ROWS 3 preceding), value-range frame (RANGE 5 preceding). ALL
+    * three windows partition by l_suppkey (high cardinality, grows with
+    * SF) — never by a constant-cardinality flag column, which would
+    * concentrate the whole fact table into a handful of window tasks
+    * at scale. RANGE frames include all peers of the boundary value, so
+    * n_in_qty_band is tie-insensitive by construction. */
   private def winFrame(s: SparkSession, d: String): DataFrame = {
     // (l_shipdate, l_orderkey, l_linenumber) is not unique — extend the
     // sort with the measure columns so running values are well-defined
@@ -458,7 +480,7 @@ object Relational extends QueryModule {
         col("l_quantity"), col("l_extendedprice"))
     val wRun = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wMov = base.rowsBetween(-3, Window.currentRow)
-    val wRange = Window.partitionBy(col("l_returnflag"))
+    val wRange = Window.partitionBy(col("l_suppkey"))
       .orderBy(col("l_quantity")).rangeBetween(-5, Window.currentRow)
     T.lineitem(s, d)
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
@@ -469,18 +491,20 @@ object Relational extends QueryModule {
         col("running_qty"), col("moving_avg_price"), col("n_in_qty_band"))
   }
 
-  private val winFrameSql =
-    """SELECT l_suppkey, l_orderkey, l_linenumber,
-      |  round(sum(l_quantity) OVER (PARTITION BY l_suppkey
-      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty,
-      |  round(avg(l_extendedprice) OVER (PARTITION BY l_suppkey
-      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
-      |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 2) AS moving_avg_price,
-      |  count(*) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
-      |    RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS n_in_qty_band
-      |FROM lineitem
-      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+  // Oracle mirrors the Spark plan exactly: same tie-breaker columns in
+  // the window ORDER BY, same floor-discretization (Det.sql2 — DuckDB
+  // round() is not portable at .xx5 boundaries), same final sort.
+  private val winFrameSql = {
+    val tieOrder = "l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice"
+    s"""SELECT l_suppkey, l_orderkey, l_linenumber,
+       |  ${Det.sql2(s"sum(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY $tieOrder ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS running_qty,
+       |  ${Det.sql2(s"avg(l_extendedprice) OVER (PARTITION BY l_suppkey ORDER BY $tieOrder ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)")} AS moving_avg_price,
+       |  count(*) OVER (PARTITION BY l_suppkey ORDER BY l_quantity
+       |    RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS n_in_qty_band
+       |FROM lineitem
+       |ORDER BY l_suppkey, l_orderkey, l_linenumber,
+       |         running_qty, moving_avg_price, n_in_qty_band""".stripMargin
+  }
 
   // --------------------------------------------------------- sort / top-k
 
