@@ -1,0 +1,271 @@
+package graft.ops
+
+import graft.{QueryModule, Tables => T}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** LLM-training-data pipeline operators (SURVEY.md §2B north star) over
+  * the `documents` / `embeddings` tables: exact + fuzzy deduplication,
+  * similarity search, text analysis, multimodal column plumbing.
+  *
+  * Scale design (the whole point of these at 100 TB):
+  *  - Exact dedup is a hash-groupBy — one shuffle on a 32-byte key,
+  *    map-side partial counts.
+  *  - Fuzzy dedup is banded MinHash-LSH: per-doc signatures (map-only),
+  *    explode to (band, key) buckets, self-join INSIDE buckets. The
+  *    candidate set is |bucket|² per bucket, never |corpus|² — the
+  *    all-pairs O(n²) join only exists in the DuckDB oracle, which is
+  *    ground truth at test scale.
+  *  - Sim-search broadcasts the (small) query set and scans the corpus
+  *    once — brute-force cosine is the exact baseline; the plan keeps
+  *    the corpus un-shuffled (the top-k window partitions by query id,
+  *    k·|queries| rows post-filter). The 100-TB variant would bucket
+  *    by an IVF/LSH cell id first; same downstream shape.
+  *  - Text stats explode to (lang, word) and aggregate — classic
+  *    map-side-combine word count.
+  */
+object Llm extends QueryModule {
+
+  private def words(c: Column): Column = split(c, " ")
+
+  /** Distinct word-3-shingles of a text column (min 10 tokens in data;
+    * guarded anyway — sequence(1, n) with n<1 would count DOWN). */
+  private def shingles3(text: Column): Column = {
+    val w = words(text)
+    val n = size(w)
+    when(n >= 3,
+      array_distinct(transform(sequence(lit(1), n - 2), i =>
+        concat_ws(" ", element_at(w, i), element_at(w, i + 1),
+          element_at(w, i + 2)))))
+      .otherwise(array(text))
+  }
+
+  // ----------------------------------------------------- q_llm_dedup_exact
+
+  /** Exact (normalized-key) dedup: documents keyed by sha2-256 of their
+    * first-8-word prefix; keeper = min doc_id per group. 476 groups /
+    * ~22 multi-member at sf0.01, so the grouping is exercised for real.
+    * At 100 TB: single shuffle on the digest, partial-aggregated. */
+  private def dedupExact(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(col("doc_id"),
+        sha2(concat_ws(" ", slice(words(col("text")), 1, 8)), 256).as("h"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keeper"),
+        count(lit(1)).as("n_copies"),
+        array_join(array_sort(collect_set(col("doc_id"))), ",").as("members"))
+      .select(col("keeper"), col("n_copies"), col("members"), col("h"))
+      .orderBy(col("keeper"))
+
+  private val dedupExactSql =
+    """SELECT min(doc_id) AS keeper, count(*) AS n_copies,
+      |       array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS members,
+      |       h
+      |FROM (SELECT doc_id,
+      |        sha256(array_to_string(string_split(text, ' ')[1:8], ' ')) AS h
+      |      FROM documents)
+      |GROUP BY h ORDER BY keeper""".stripMargin
+
+  // ----------------------------------------------------- q_llm_dedup_fuzzy
+
+  /** Fuzzy dedup via banded MinHash-LSH + exact verification.
+    *
+    * Pipeline: 3-shingle sets → 12 minhashes (xxhash64 seeded by slot)
+    * → 6 bands × r=2 → explode to (band, k1, k2) bucket keys →
+    * self-join within buckets (da < db) → distinct candidate pairs →
+    * exact Jaccard on the shingle sets → keep ≥ 0.5.
+    *
+    * Recall: planted near-dups sit at J ≈ 0.99 (background < 0.1), so
+    * P(miss) = (1-J²)⁶ ≈ 1e-11 — the LSH candidates provably cover
+    * every qualifying pair and the output equals the oracle's all-pairs
+    * formulation. The oracle IS all-pairs O(n²): fine as ground truth
+    * at 500 docs, which is exactly what LSH avoids at scale. */
+  private def dedupFuzzy(s: SparkSession, d: String): DataFrame = {
+    val base = T.documents(s, d)
+      .select(col("doc_id"), shingles3(col("text")).as("g"))
+    val nBands = 6
+    val sigs = (0 until 2 * nBands).foldLeft(base) { (df, k) =>
+      df.withColumn(s"mh$k",
+        array_min(transform(col("g"), sh => xxhash64(lit(k), sh))))
+    }
+    val bands = sigs.select(col("doc_id"),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band"),
+          col(s"mh${2 * b}").as("k1"),
+          col(s"mh${2 * b + 1}").as("k2"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.k1"), col("bk.k2"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.k1") === col("y.k1") && col("x.k2") === col("y.k2") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+    val inter = size(array_intersect(col("ga"), col("gb"))).cast("double")
+    cand
+      .join(base.select(col("doc_id").as("da"), col("g").as("ga")), "da")
+      .join(base.select(col("doc_id").as("db"), col("g").as("gb")), "db")
+      .select(col("da"), col("db"),
+        Det.r4(inter / (size(col("ga")) + size(col("gb")) - inter))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("da"), col("db"))
+  }
+
+  private val dedupFuzzySql =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+      |SELECT a.doc_id AS da, b.doc_id AS db,
+      |       floor((len(list_intersect(a.g, b.g))::DOUBLE /
+      |              (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))))
+      |             * 10000 + 0.5) / 10000 AS jaccard
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE floor((len(list_intersect(a.g, b.g))::DOUBLE /
+      |             (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))))
+      |            * 10000 + 0.5) / 10000 >= 0.5
+      |ORDER BY da, db""".stripMargin
+
+  // ------------------------------------------------------ q_llm_sim_search
+
+  /** Cosine top-k: query vectors (vec_id < 5) against the corpus
+    * (vec_id ≥ 5). Dot products via zip_with + aggregate in DOUBLE
+    * (both engines fold sequentially → bit-compatible); ranking uses
+    * the 1e-6-discretized cosine with vec_id tie-break so row order
+    * can't flip on a last-ulp disagreement. */
+  private def simSearch(s: SparkSession, d: String): DataFrame = {
+    val emb = T.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    val c = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("match_id"), col("e").as("ce"))
+    val cos = dot(col("qe"), col("ce")) /
+      (sqrt(dot(col("qe"), col("qe"))) * sqrt(dot(col("ce"), col("ce"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_key").desc, col("match_id"))
+    broadcast(q).crossJoin(c)
+      .select(col("query_id"), col("match_id"), Det.r6(cos).as("cos_key"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("match_id"),
+        Det.r4(col("cos_key")).as("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val simSearchSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |s AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+      |         floor((list_dot_product(q.e, c.e) /
+      |                (sqrt(list_dot_product(q.e, q.e)) *
+      |                 sqrt(list_dot_product(c.e, c.e)))) * 1000000 + 0.5)
+      |           / 1000000 AS cos_key
+      |  FROM e q, e c WHERE q.vec_id < 5 AND c.vec_id >= 5),
+      |r AS (
+      |  SELECT query_id, match_id, cos_key,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY cos_key DESC, match_id) AS rank
+      |  FROM s)
+      |SELECT query_id, rank, match_id,
+      |       floor(cos_key * 10000 + 0.5) / 10000 AS cos_sim
+      |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  // ------------------------------------------------------ q_llm_text_stats
+
+  /** Token analysis: explode → (lang, word) counts → top-10 words per
+    * language. Map-side combine keeps the shuffle at vocabulary
+    * cardinality, not token cardinality. */
+  private def textStats(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n").desc, col("word"))
+    T.documents(s, d)
+      .select(col("lang"), explode(words(col("text"))).as("word"))
+      .groupBy(col("lang"), col("word"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 10)
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  private val textStatsSql =
+    """WITH tok AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
+      |cnt AS (
+      |  SELECT lang, word, count(*) AS n FROM tok GROUP BY lang, word),
+      |r AS (
+      |  SELECT lang, word, n,
+      |         row_number() OVER (PARTITION BY lang
+      |                            ORDER BY n DESC, word) AS rn
+      |  FROM cnt)
+      |SELECT lang, word, n, rn FROM r WHERE rn <= 10
+      |ORDER BY lang, rn""".stripMargin
+
+  // ------------------------------------------------------ q_llm_multimodal
+
+  /** Multimodal column plumbing: the text payload re-encoded as a
+    * BinaryType column (the pattern for image/audio bytes), digested
+    * (md5), measured, and wrapped in a typed metadata struct that is
+    * then flattened for output. The decode/feature-extract step for
+    * real media is a mapInPandas/Pandas-UDF boundary in production;
+    * here the Spark-side plumbing — binary column, struct schema,
+    * per-row derivation — is the tested surface. Quality is a
+    * length × type-token-ratio heuristic, all portable arithmetic. */
+  private def multimodal(s: SparkSession, d: String): DataFrame = {
+    val w = words(col("text"))
+    val nTok = size(w).cast("double")
+    val nDis = size(array_distinct(w)).cast("double")
+    T.documents(s, d)
+      .select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        struct(
+          col("lang"),
+          col("n_chars"),
+          size(words(col("text"))).cast("long").as("n_tokens"),
+          Det.r4(least(lit(1.0), nTok / 300) *
+            (lit(0.5) + lit(0.5) * nDis / nTok)).as("quality"))
+          .as("meta"))
+      .select(col("doc_id"),
+        length(col("payload")).cast("long").as("byte_len"),
+        md5(col("payload")).as("digest"),
+        col("meta.lang").as("lang"),
+        col("meta.n_chars").as("n_chars"),
+        col("meta.n_tokens").as("n_tokens"),
+        col("meta.quality").as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val multimodalSql =
+    """SELECT doc_id,
+      |  octet_length(encode(text)) AS byte_len,
+      |  md5(text) AS digest,
+      |  lang, n_chars,
+      |  len(string_split(text, ' ')) AS n_tokens,
+      |  floor((least(1.0, len(string_split(text, ' ')) / 300.0) *
+      |         (0.5 + 0.5 * len(list_distinct(string_split(text, ' ')))::DOUBLE /
+      |                      len(string_split(text, ' ')))) * 10000 + 0.5) / 10000
+      |    AS quality
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_dedup_exact" -> (dedupExact _),
+    "q_llm_dedup_fuzzy" -> (dedupFuzzy _),
+    "q_llm_sim_search" -> (simSearch _),
+    "q_llm_text_stats" -> (textStats _),
+    "q_llm_multimodal" -> (multimodal _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_llm_dedup_exact" -> dedupExactSql,
+    "q_llm_dedup_fuzzy" -> dedupFuzzySql,
+    "q_llm_sim_search" -> simSearchSql,
+    "q_llm_text_stats" -> textStatsSql,
+    "q_llm_multimodal" -> multimodalSql,
+  )
+}
