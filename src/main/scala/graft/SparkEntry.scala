@@ -15,6 +15,7 @@ object SparkEntry {
     graft.ops.Relational,
     graft.ops.Functions,
     graft.ops.Llm,
+    graft.sources.NormalizeQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,147 @@
+package graft.sources
+
+import graft.QueryModule
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The cuttlefish pipeline as a scored query: raw JSON scans (explicit
+  * schemas) → per-adapter normalize → dispatch union → error channel,
+  * flattened to scalars for the oracle compare. The DuckDB oracle
+  * re-derives every transformation (epoch/tz math, offset parsing,
+  * markdown envelope, defaults, masking) from the same fixture files —
+  * a full semantic check of the normalize core, not just a scan. */
+object NormalizeQueries extends QueryModule {
+
+  val fixturesDir: String =
+    sys.env.getOrElse("SPARK_GRAFT_FIXTURES", "/root/repo/fixtures")
+
+  private def scanJson(s: SparkSession, d: String): DataFrame = {
+    val all = Normalize.dispatch(
+      Normalize.readMeetup(s, s"$fixturesDir/raw_meetup.jsonl"),
+      Normalize.readFacebook(s, s"$fixturesDir/raw_facebook.jsonl"),
+      Normalize.readEventbrite(s, s"$fixturesDir/raw_eventbrite.jsonl"),
+      Normalize.readChapters(s, s"$fixturesDir/chapters.jsonl"))
+    all.select(
+      col("event_id"), col("chapter"), col("url"), col("time"),
+      col("utcOffset"), col("title"), col("description"),
+      col("venue.name").as("venue_name"),
+      col("venue.address1").as("venue_address1"),
+      col("venue.address2").as("venue_address2"),
+      col("venue.country").as("venue_country"),
+      col("venue.city").as("venue_city"),
+      col("venue.postalCode").as("venue_postal"),
+      col("venue.lon").as("venue_lon"),
+      col("venue.lat").as("venue_lat"),
+      size(col("photos")).cast("long").as("n_photos"),
+      col("error"))
+      .orderBy(col("chapter"), asc_nulls_first("event_id"), col("error"))
+  }
+
+  private val mdSql: String = {
+    // DuckDB rendering of Normalize.renderMarkdown: escape, *em*,
+    // double-newline paragraphs, div wrap.
+    val esc = "replace(replace(replace(description, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+    val em = s"regexp_replace($esc, '\\*([^*]+)\\*', '<em>\\1</em>', 'g')"
+    "'<div class=\"event-api-content\">' || array_to_string(" +
+      s"list_transform(string_split($em, chr(10) || chr(10)), " +
+      "p -> '<p>' || p || '</p>'), '') || '</div>'"
+  }
+
+  private val scanJsonSql = {
+    val fx = fixturesDir
+    val fbTs = "try_strptime(start_time, '%Y-%m-%dT%H:%M:%S%z')"
+    val ebLocal = "try_strptime(start.\"local\", '%Y-%m-%dT%H:%M:%S')"
+    val ebUtcE = s"epoch(timezone(start.timezone, $ebLocal))::BIGINT"
+    s"""WITH m_raw AS (SELECT * FROM read_json('$fx/raw_meetup.jsonl', format='newline_delimited')),
+       |f_raw AS (SELECT * FROM read_json('$fx/raw_facebook.jsonl', format='newline_delimited')),
+       |e_raw AS (SELECT * FROM read_json('$fx/raw_eventbrite.jsonl', format='newline_delimited')),
+       |c_raw AS (SELECT * FROM read_json('$fx/chapters.jsonl', format='newline_delimited')),
+       |m AS (SELECT
+       |  id AS event_id, chapter, link AS url, time, utc_offset AS utcOffset,
+       |  name AS title, description,
+       |  venue.name AS venue_name, venue.address_1 AS venue_address1,
+       |  venue.address_2 AS venue_address2, venue.country AS venue_country,
+       |  venue.city AS venue_city, venue.zip AS venue_postal,
+       |  venue.lon AS venue_lon, venue.lat AS venue_lat,
+       |  coalesce(len(photo_album.photo_sample), 0)::BIGINT AS n_photos,
+       |  CASE WHEN id IS NULL THEN 'ERROR: missing id for event ''' || name ||
+       |       ''' in chapter ' || chapter END AS error
+       |  FROM m_raw),
+       |f AS (SELECT
+       |  id AS event_id, chapter, 'https://facebook.com/' || id AS url,
+       |  epoch($fbTs)::BIGINT * 1000 AS time,
+       |  CASE WHEN regexp_matches(start_time, '[+-][0-9]{4}$$') THEN
+       |    (CASE WHEN regexp_extract(start_time, '([+-])[0-9]{4}$$', 1) = '-'
+       |          THEN -1 ELSE 1 END) *
+       |    (regexp_extract(start_time, '[+-]([0-9]{2})[0-9]{2}$$', 1)::BIGINT * 3600 +
+       |     regexp_extract(start_time, '[+-][0-9]{2}([0-9]{2})$$', 1)::BIGINT * 60) * 1000
+       |  END AS utcOffset,
+       |  name AS title,
+       |  $mdSql AS description,
+       |  place.name AS venue_name, place.location.street AS venue_address1,
+       |  NULL::VARCHAR AS venue_address2, place.location.country AS venue_country,
+       |  place.location.city AS venue_city, place.location.zip AS venue_postal,
+       |  place.location.longitude AS venue_lon, place.location.latitude AS venue_lat,
+       |  NULL::BIGINT AS n_photos,
+       |  CASE WHEN id IS NULL THEN 'ERROR: missing id for event ''' || name ||
+       |       ''' in chapter ' || chapter
+       |       WHEN $fbTs IS NULL THEN 'ERROR: unparseable start_time ''' ||
+       |       start_time || ''' for event ' || id || ' in chapter ' || chapter
+       |  END AS error
+       |  FROM f_raw),
+       |e AS (SELECT
+       |  ($ebUtcE * 1000)::VARCHAR AS event_id, chapter, url,
+       |  $ebUtcE * 1000 AS time,
+       |  (epoch($ebLocal)::BIGINT - $ebUtcE) * 1000 AS utcOffset,
+       |  name.text AS title, description.html AS description,
+       |  venue.name AS venue_name, venue.address.address_1 AS venue_address1,
+       |  venue.address.address_2 AS venue_address2,
+       |  venue.address.country AS venue_country, venue.address.city AS venue_city,
+       |  venue.address.postal_code AS venue_postal,
+       |  venue.longitude::DOUBLE AS venue_lon, venue.latitude::DOUBLE AS venue_lat,
+       |  NULL::BIGINT AS n_photos,
+       |  CASE WHEN $ebLocal IS NULL THEN 'ERROR: unparseable start.local for event '
+       |       || id || ' in chapter ' || chapter END AS error
+       |  FROM e_raw),
+       |u AS (SELECT
+       |  NULL::VARCHAR AS event_id, chapter, NULL::VARCHAR AS url,
+       |  NULL::BIGINT AS time, NULL::BIGINT AS utcOffset, NULL::VARCHAR AS title,
+       |  NULL::VARCHAR AS description, NULL::VARCHAR AS venue_name,
+       |  NULL::VARCHAR AS venue_address1, NULL::VARCHAR AS venue_address2,
+       |  NULL::VARCHAR AS venue_country, NULL::VARCHAR AS venue_city,
+       |  NULL::VARCHAR AS venue_postal, NULL::DOUBLE AS venue_lon,
+       |  NULL::DOUBLE AS venue_lat, NULL::BIGINT AS n_photos,
+       |  'ERROR: No adapter ' || adapter || ' found for chapter ' || chapter AS error
+       |  FROM c_raw WHERE adapter NOT IN ('meetup', 'facebook', 'eventbrite')),
+       |all_rows AS (
+       |  SELECT * FROM m UNION ALL SELECT * FROM f
+       |  UNION ALL SELECT * FROM e UNION ALL SELECT * FROM u)
+       |SELECT
+       |  CASE WHEN error IS NULL THEN event_id END AS event_id, chapter,
+       |  CASE WHEN error IS NULL THEN url END AS url,
+       |  CASE WHEN error IS NULL THEN time END AS time,
+       |  CASE WHEN error IS NULL THEN utcOffset END AS utcOffset,
+       |  CASE WHEN error IS NULL THEN title END AS title,
+       |  CASE WHEN error IS NULL THEN description END AS description,
+       |  CASE WHEN error IS NULL THEN venue_name END AS venue_name,
+       |  CASE WHEN error IS NULL THEN venue_address1 END AS venue_address1,
+       |  CASE WHEN error IS NULL THEN venue_address2 END AS venue_address2,
+       |  CASE WHEN error IS NULL THEN venue_country END AS venue_country,
+       |  CASE WHEN error IS NULL THEN venue_city END AS venue_city,
+       |  CASE WHEN error IS NULL THEN venue_postal END AS venue_postal,
+       |  CASE WHEN error IS NULL THEN venue_lon END AS venue_lon,
+       |  CASE WHEN error IS NULL THEN venue_lat END AS venue_lat,
+       |  CASE WHEN error IS NULL THEN n_photos END AS n_photos,
+       |  error
+       |FROM all_rows
+       |ORDER BY chapter, event_id ASC NULLS FIRST, error""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_json" -> (scanJson _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_scan_json" -> scanJsonSql,
+  )
+}
