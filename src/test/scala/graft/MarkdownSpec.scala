@@ -1,0 +1,52 @@
+package graft
+
+import graft.sources.Normalize.renderMarkdown
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Unit + property tests for the one custom scalar (A23,
+  * facebook.rkt:30-32), in the spirit of the reference's quickcheck
+  * properties over hash.rkt (hash.rkt:110-140). Raw ScalaCheck (no
+  * scalatestplus bridge in the offline cache). */
+class MarkdownSpec extends AnyFunSuite {
+
+  private def holds(p: Prop): Unit =
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+      .passed)
+
+  test("wraps in the reference's envelope") {
+    assert(renderMarkdown("hi") ==
+      "<div class=\"event-api-content\"><p>hi</p></div>")
+  }
+
+  test("emphasis and paragraphs") {
+    assert(renderMarkdown("a *b* c\n\nd") ==
+      "<div class=\"event-api-content\"><p>a <em>b</em> c</p><p>d</p></div>")
+  }
+
+  test("escapes HTML before rendering") {
+    assert(renderMarkdown("<script>&") ==
+      "<div class=\"event-api-content\"><p>&lt;script&gt;&amp;</p></div>")
+  }
+
+  test("null passes through (reference 'null handling)") {
+    assert(renderMarkdown(null) == null)
+  }
+
+  test("property: total on arbitrary strings, always enveloped") {
+    holds(Prop.forAll { (s: String) =>
+      val out = renderMarkdown(s)
+      out.startsWith("<div class=\"event-api-content\">") && out.endsWith("</div>")
+    })
+  }
+
+  test("property: no unescaped angle brackets survive from the input") {
+    holds(Prop.forAll(Gen.asciiPrintableStr) { s =>
+      val inner = renderMarkdown(s)
+        .stripPrefix("<div class=\"event-api-content\">").stripSuffix("</div>")
+      val stripped = inner.replace("<p>", "").replace("</p>", "")
+        .replace("<em>", "").replace("</em>", "")
+      !stripped.contains('<')
+    })
+  }
+}

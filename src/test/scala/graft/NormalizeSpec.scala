@@ -1,0 +1,106 @@
+package graft
+
+import graft.sources.{Normalize, NormalizeQueries}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Golden-fixture pipeline test, the Spark rendering of the
+  * reference's eventbrite shape test (`eventbrite.rkt:123-146`: read
+  * captured raw JSON → convert-json → assert cardinality + exact
+  * row shape), extended to all three adapters, the error channel and
+  * the keyed JSON sink (api-runner.rkt:39-52). */
+class NormalizeSpec extends AnyFunSuite {
+  private lazy val s = SparkTestBase.spark
+  private val fx = NormalizeQueries.fixturesDir
+
+  private lazy val all = Normalize.dispatch(
+    Normalize.readMeetup(s, s"$fx/raw_meetup.jsonl"),
+    Normalize.readFacebook(s, s"$fx/raw_facebook.jsonl"),
+    Normalize.readEventbrite(s, s"$fx/raw_eventbrite.jsonl"),
+    Normalize.readChapters(s, s"$fx/chapters.jsonl")).cache()
+
+  test("canonical schema is exact (shape assertion, eventbrite.rkt:136-146)") {
+    assert(all.schema == Normalize.canonicalSchema)
+  }
+
+  test("cardinality: every fixture row lands exactly once") {
+    // 5 meetup + 4 facebook + 5 eventbrite + 1 unknown-adapter chapter
+    assert(all.count() == 15)
+  }
+
+  test("error channel: per-row errors, ok/err split partitions the set") {
+    val (ok, err) = Normalize.split(all)
+    assert(ok.count() == 10)
+    assert(err.count() == 5)
+    val msgs = err.orderBy("error").collect().map(_.getString(1)).toSeq
+    assert(msgs.exists(_.contains("No adapter gopher found for chapter atlantis")))
+    assert(msgs.exists(_.contains("missing id for event 'Ghost Event' in chapter london")))
+    assert(msgs.exists(_.contains("unparseable start_time 'whenever'")))
+    assert(msgs.exists(_.contains("unparseable start.local for event 38448288871")))
+  }
+
+  test("meetup normalize: renames, defaults, photos transform (meetup.rkt:39-59)") {
+    val r = all.filter(col("event_id") === "219961100").collect()(0)
+    assert(r.getAs[String]("url") ==
+      "http://www.meetup.com/papers-we-love/events/219961100/")
+    assert(r.getAs[Long]("time") == 1423456789000L)
+    assert(r.getAs[Long]("utcOffset") == -18000000L)
+    val venue = r.getAs[org.apache.spark.sql.Row]("venue")
+    assert(venue.getAs[String]("postalCode") == "10001") // zip → postalCode
+    val photos = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("photos")
+    assert(photos.size == 2)
+    assert(photos.head.getAs[String]("url") == "https://photos.example/1.jpg")
+    assert(photos.head.isNullAt(1) && photos.head.isNullAt(2)) // width/height null
+
+    // venue/photo_album absent → null venue fields, EMPTY photos (not null)
+    val bare = all.filter(col("event_id") === "219961101").collect()(0)
+    assert(bare.getAs[org.apache.spark.sql.Row]("venue").isNullAt(0))
+    assert(bare.getAs[scala.collection.Seq[_]]("photos").isEmpty)
+  }
+
+  test("facebook normalize: URL synthesis, signed offset, markdown (facebook.rkt:35-55)") {
+    val r = all.filter(col("event_id") === "1535170340032623").collect()(0)
+    assert(r.getAs[String]("url") == "https://facebook.com/1535170340032623")
+    // 2017-03-22T19:00:00-0400 = 23:00 UTC
+    assert(r.getAs[Long]("time") == 1490223600000L)
+    assert(r.getAs[Long]("utcOffset") == -4L * 3600 * 1000) // signed, unlike ref
+    assert(r.getAs[String]("description") ==
+      "<div class=\"event-api-content\"><p>Talks about <em>papers</em> we love.</p>" +
+        "<p>Come join us!</p></div>")
+    assert(r.isNullAt(r.fieldIndex("photos"))) // photos 'null for fb
+  }
+
+  test("eventbrite normalize: DST-aware tz offset, millis key (eventbrite.rkt:51-85)") {
+    // Rome summer (CEST, +2h): local 19:00 → 17:00 UTC
+    val summer = all.filter(col("chapter") === "rome" &&
+      col("title") === "PWL Rome: Summer Edition").collect()(0)
+    assert(summer.getAs[Long]("utcOffset") == 2L * 3600 * 1000)
+    assert(summer.getAs[String]("event_id") == summer.getAs[Long]("time").toString)
+    // Rome winter (CET, +1h)
+    val winter = all.filter(col("title") === "PWL Rome: Winter Edition").collect()(0)
+    assert(winter.getAs[Long]("utcOffset") == 1L * 3600 * 1000)
+    // Miami (EST, -5h in December)
+    val miami = all.filter(col("title") === "PWL Miami: December").collect()(0)
+    assert(miami.getAs[Long]("utcOffset") == -5L * 3600 * 1000)
+    // lon/lat strings → doubles
+    assert(summer.getAs[org.apache.spark.sql.Row]("venue")
+      .getAs[Double]("lon") == 12.4964)
+  }
+
+  test("keyed JSON sink: one directory per chapter (api-runner.rkt:39-52)") {
+    val out = Files.createTempDirectory("graft-sink").toString
+    val (ok, _) = Normalize.split(all)
+    Normalize.writeKeyedJson(ok, out)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs == Set("chapter=newyork", "chapter=london", "chapter=berlin",
+      "chapter=rome", "chapter=miami"))
+    // each chapter dir holds exactly one json part file (repartition by key)
+    dirs.foreach { ch =>
+      val parts = new java.io.File(s"$out/$ch").listFiles()
+        .filter(_.getName.endsWith(".json"))
+      assert(parts.length == 1, s"$ch should have exactly one part file")
+    }
+  }
+}
