@@ -1,5 +1,21 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR.
+  *
+  * Measurement hygiene (round-1 lessons):
+  *  - A full untimed warm-up pass first — JVM/JIT, codegen cache,
+  *    file-listing and parquet-footer caches all warm before timing.
+  *  - Materialization is `queryExecution.toRdd.foreach(_ => ())`:
+  *    every operator in the plan executes (a bare .count() lets
+  *    Catalyst prune unreferenced projections — under-measurement).
+  *  - Failures are SURFACED in an "errors" map, never folded into a
+  *    fake timing.
+  *  - The JSON line goes to stdout AND /root/repo/bench_out.json so
+  *    log prefixes (sbt's [info]) can't break the driver's parse.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,19 +23,38 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    def run(name: String): Either[String, Unit] =
+      try Right(SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.toRdd.foreach(_ => ()))
+      catch { case e: Throwable =>
+        Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
+
+    names.foreach(run) // warm-up pass, untimed
+
+    val timed = names.map { n =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val r = run(n)
+      (n, (System.nanoTime() - t0) / 1e9, r)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val errors = timed.collect { case (n, _, Left(e)) => n -> e }
+    val qs = timed.map { case (n, sec, _) => s""""$n":$sec""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (n, e) =>
+      s""""$n":"${e.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", " ")}"""" }.mkString("{", ",", "}")
+    val total = timed.map(_._2).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""errors":$errJson,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get("/root/repo/bench_out.json"), line)
+    println(line)
     spark.stop()
   }
 }
