@@ -16,6 +16,7 @@ object SparkEntry {
     graft.ops.Functions,
     graft.ops.Llm,
     graft.sources.NormalizeQueries,
+    graft.streaming.Streams,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

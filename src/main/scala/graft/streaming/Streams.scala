@@ -1,0 +1,256 @@
+package graft.streaming
+
+import graft.QueryModule
+import graft.ops.Det
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.types.StructType
+import java.time.Instant
+import java.sql.Timestamp
+
+/** Structured Streaming slice (SURVEY.md §2B s_*): tumbling / sliding /
+  * session windows, stateful dedup, and watermark late-data semantics.
+  * The reference is a batch one-shot with a DONE sentinel
+  * (api-runner.rkt:65-77) — streaming is north-star scope.
+  *
+  * Each query RUNS a real streaming query (file source over the events
+  * parquet, or a hand-planted MemoryStream for the late-data case) to
+  * completion inside the query function and returns the sink table as
+  * a batch DataFrame, so the driver's parquet-dump contract holds. All
+  * five have full DuckDB oracles: window aggregations are
+  * SQL-expressible (date_trunc grids, slide unnest, lag-based
+  * sessionization), so these get hash-match checks, not rows-only.
+  *
+  * Determinism: the events table is ONE parquet file → one microbatch
+  * → update-mode sinks emit each final group exactly once. Oracles
+  * truncate DuckDB's nanosecond timestamps to Spark's microseconds
+  * (make_timestamp(epoch_us(ts))) so both engines see identical
+  * event times.
+  *
+  * Scale notes: watermarks bound all state; window aggs are partial
+  * (map-side) before the keyed state shuffle; session windows merge
+  * per user key — state is O(open sessions), not O(events). The
+  * memory sink is test/driver harness plumbing only — production
+  * sinks would be kafka/parquet/delta appends.
+  */
+object Streams extends QueryModule {
+
+  /** events schema as the streaming reader needs it (nanos→long per
+    * Tables.events; streaming file sources require an explicit schema). */
+  private val eventsRawSchema = StructType.fromDDL(
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
+      "value DOUBLE, props STRING")
+
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the streaming file source wants a directory; glob-filter down to
+    // the events table
+    s.readStream.schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Run a streaming frame to completion into a memory sink; return
+    * the sink contents as a batch frame. Unique sink name per run so
+    * warm-up + timed bench passes don't collide. */
+  private def runToBatch(s: SparkSession, df: DataFrame, mode: String): DataFrame = {
+    val qn = "s_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = df.writeStream.format("memory").queryName(qn)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(qn)
+  }
+
+  private val wfmt = "yyyy-MM-dd HH:mm:ss"
+  // DuckDB-side µs truncation of the ns event time (matches Spark's
+  // DIV-floor conversion; post-epoch data so truncation == floor).
+  private val tsu = "make_timestamp(epoch_us(ts))"
+
+  // ---------------------------------------------------------------- s_tumble
+
+  /** Tumbling 1-hour windows per event_type with a 10-minute watermark. */
+  private def sTumble(s: SparkSession, d: String): DataFrame = {
+    val agg = eventsStream(s, d)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Det.r2(sum(col("value"))).as("total"))
+    runToBatch(s, agg, "update")
+      .select(date_format(col("window.start"), wfmt).as("wstart"),
+        col("event_type"), col("n"), col("total"))
+      .orderBy(col("wstart"), col("event_type"))
+  }
+
+  private val sTumbleSql =
+    s"""SELECT strftime(date_trunc('hour', $tsu), '%Y-%m-%d %H:%M:%S') AS wstart,
+       |       event_type, count(*) AS n,
+       |       ${Det.sql2("sum(value)")} AS total
+       |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin
+
+  // ----------------------------------------------------------------- s_slide
+
+  /** Sliding 1-hour windows every 15 minutes: each event lands in 4
+    * overlapping windows (epoch-aligned slide grid). */
+  private def sSlide(s: SparkSession, d: String): DataFrame = {
+    val agg = eventsStream(s, d)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"), Det.r2(sum(col("value"))).as("total"))
+    runToBatch(s, agg, "update")
+      .select(date_format(col("window.start"), wfmt).as("wstart"),
+        col("n"), col("total"))
+      .orderBy(col("wstart"))
+  }
+
+  private val sSlideSql =
+    s"""WITH expanded AS (
+       |  SELECT time_bucket(INTERVAL 15 MINUTE, $tsu)
+       |           - (k * INTERVAL 15 MINUTE) AS ws, value
+       |  FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS k))
+       |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS wstart, count(*) AS n,
+       |       ${Det.sql2("sum(value)")} AS total
+       |FROM expanded GROUP BY ws ORDER BY wstart""".stripMargin
+
+  // --------------------------------------------------------------- s_session
+
+  /** Per-user session windows with a 30-minute inactivity gap. State
+    * is one open session per active user, merged on arrival — the
+    * canonical mapGroupsWithState use case expressed declaratively.
+    * Session windows only support APPEND mode: a session is emitted
+    * once it can no longer grow, i.e. its end ≤ the final watermark
+    * (max event time − 10 min, applied by the closing no-data batch).
+    * The oracle carries the same HAVING bound. */
+  private def sSession(s: SparkSession, d: String): DataFrame = {
+    val agg = eventsStream(s, d)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), Det.r2(sum(col("value"))).as("total"))
+    runToBatch(s, agg, "append")
+      .select(col("user_id"),
+        date_format(col("session_window.start"), wfmt).as("session_start"),
+        date_format(col("session_window.end"), wfmt).as("session_end"),
+        col("n"), col("total"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  // Sessionization in SQL: a session break is a gap ≥ 30min from the
+  // previous event of the same user; session id = running sum of
+  // breaks; session end = last event + gap (Spark's session_window.end,
+  // half-open). Only sessions closed w.r.t. the final watermark are
+  // emitted by the append-mode stream — hence the HAVING.
+  private val sSessionSql =
+    s"""WITH o AS (
+       |  SELECT user_id, $tsu AS t,
+       |         CASE WHEN lag($tsu) OVER (PARTITION BY user_id ORDER BY $tsu)
+       |                   IS NULL
+       |               OR $tsu - lag($tsu) OVER (PARTITION BY user_id ORDER BY $tsu)
+       |                   >= INTERVAL 30 MINUTE
+       |              THEN 1 ELSE 0 END AS brk,
+       |         value
+       |  FROM events),
+       |sess AS (
+       |  SELECT user_id, t, value,
+       |         sum(brk) OVER (PARTITION BY user_id ORDER BY t
+       |                        ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM o)
+       |SELECT user_id,
+       |       strftime(min(t), '%Y-%m-%d %H:%M:%S') AS session_start,
+       |       strftime(max(t) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+       |         AS session_end,
+       |       count(*) AS n, ${Det.sql2("sum(value)")} AS total
+       |FROM sess GROUP BY user_id, sid
+       |HAVING max(t) + INTERVAL 30 MINUTE <=
+       |       (SELECT max($tsu) - INTERVAL 10 MINUTE FROM events)
+       |ORDER BY user_id, session_start""".stripMargin
+
+  // --------------------------------------------------------- s_stateful_dedup
+
+  /** Streaming dedup on (user_id, event_type) within the watermark,
+    * then a batch summary of the deduped stream (distinct users per
+    * type). The summary is representative-independent, so the output
+    * is deterministic no matter which duplicate arrived first. */
+  private def sDedup(s: SparkSession, d: String): DataFrame = {
+    val deduped = eventsStream(s, d)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+    runToBatch(s, deduped, "append")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_distinct_users"))
+      .orderBy(col("event_type"))
+  }
+
+  private val sDedupSql =
+    """SELECT event_type, count(DISTINCT user_id) AS n_distinct_users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------------------ s_late
+
+  /** Watermark late-data semantics on a hand-planted two-batch stream:
+    * batch 1 advances the watermark to 10:30; batch 2 then delivers
+    * one row behind the watermark (dropped — its window's state is
+    * gone) and two on-time rows (accepted). 15-minute tumbling
+    * windows; final counts prove the drop. The oracle is the expected
+    * final state as literal VALUES. */
+  private def sLate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    def t(iso: String): Timestamp =
+      Timestamp.from(Instant.parse(iso))
+    val mem = MemoryStream[(Timestamp, String)]
+    val agg = mem.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "15 minutes"), col("k"))
+      .agg(count(lit(1)).as("n"))
+    val qn = "s_late_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = agg.writeStream.format("memory").queryName(qn)
+      .outputMode("update").start()
+    // batch 1: max ts 10:40 → watermark after commit = 10:30
+    mem.addData(
+      (t("2024-01-01T10:00:00Z"), "A"), (t("2024-01-01T10:05:00Z"), "A"),
+      (t("2024-01-01T10:10:00Z"), "B"), (t("2024-01-01T10:40:00Z"), "A"))
+    q.processAllAvailable()
+    // batch 2: 10:05 is LATE (window [10:00,10:15) closed at wm 10:30)
+    // → dropped; 10:35/10:44 land in live window [10:30,10:45).
+    mem.addData(
+      (t("2024-01-01T10:05:00Z"), "A"),
+      (t("2024-01-01T10:35:00Z"), "B"), (t("2024-01-01T10:44:00Z"), "A"))
+    q.processAllAvailable()
+    q.stop()
+    // update mode re-emits a group when it changes; keep the final
+    // (max, counts are monotone) value per group.
+    s.table(qn)
+      .select(date_format(col("window.start"), wfmt).as("wstart"),
+        col("k"), col("n"))
+      .groupBy(col("wstart"), col("k"))
+      .agg(max(col("n")).as("n"))
+      .orderBy(col("wstart"), col("k"))
+  }
+
+  private val sLateSql =
+    """SELECT * FROM (VALUES
+      |  ('2024-01-01 10:00:00', 'A', 2::BIGINT),
+      |  ('2024-01-01 10:00:00', 'B', 1::BIGINT),
+      |  ('2024-01-01 10:30:00', 'A', 2::BIGINT),
+      |  ('2024-01-01 10:30:00', 'B', 1::BIGINT))
+      |  AS t(wstart, k, n)
+      |ORDER BY wstart, k""".stripMargin
+
+  // -------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_tumble" -> (sTumble _),
+    "s_slide" -> (sSlide _),
+    "s_session" -> (sSession _),
+    "s_stateful_dedup" -> (sDedup _),
+    "s_late" -> (sLate _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s_tumble" -> sTumbleSql,
+    "s_slide" -> sSlideSql,
+    "s_session" -> sSessionSql,
+    "s_stateful_dedup" -> sDedupSql,
+    "s_late" -> sLateSql,
+  )
+}
