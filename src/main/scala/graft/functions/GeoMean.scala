@@ -8,11 +8,15 @@ import org.apache.spark.sql.expressions.Aggregator
   * map-side partial aggregation and a cheap merge — the property that
   * makes a custom aggregate viable at 100 TB. Values ≤ 0 are skipped
   * (ln undefined), mirroring `avg(ln(x))` null-skipping in SQL.
+  * Registered with `udaf(...)` so it participates in the UNTYPED
+  * groupBy path: the surrounding plan keeps whole-stage codegen (the
+  * typed groupByKey alternative forces object serialization around
+  * the aggregate).
   */
-object GeoMean extends Aggregator[(String, Double), (Double, Long), Double] {
+object GeoMean extends Aggregator[Double, (Double, Long), Double] {
   def zero: (Double, Long) = (0.0, 0L)
-  def reduce(b: (Double, Long), a: (String, Double)): (Double, Long) =
-    if (a._2 > 0.0) (b._1 + math.log(a._2), b._2 + 1L) else b
+  def reduce(b: (Double, Long), a: Double): (Double, Long) =
+    if (a > 0.0) (b._1 + math.log(a), b._2 + 1L) else b
   def merge(x: (Double, Long), y: (Double, Long)): (Double, Long) =
     (x._1 + y._1, x._2 + y._2)
   def finish(b: (Double, Long)): Double =

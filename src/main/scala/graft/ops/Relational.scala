@@ -389,18 +389,15 @@ object Relational extends QueryModule {
       |       count(*) AS n
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
-  /** Custom typed aggregation: geometric mean via Aggregator[IN,BUF,OUT]
-    * (log-sum buffer → partial-merge friendly; SURVEY §2B q_agg_custom). */
+  /** Custom aggregation: geometric mean via Aggregator[IN,BUF,OUT],
+    * registered untyped with udaf() so the groupBy stays on the codegen
+    * hash-aggregate path (log-sum buffer → partial-merge friendly;
+    * SURVEY §2B q_agg_custom). */
   private def aggCustom(s: SparkSession, d: String): DataFrame = {
-    val geo = graft.functions.GeoMean.toColumn
-    import s.implicits._
+    val geo = udaf(graft.functions.GeoMean)
     T.lineitem(s, d)
-      .select(col("l_returnflag"), col("l_quantity"))
-      .as[(String, Double)]
-      .groupByKey(_._1)
-      .agg(geo.name("geomean_qty"))
-      .toDF("l_returnflag", "geomean_qty")
-      .select(col("l_returnflag"), Det.r4(col("geomean_qty")).as("geomean_qty"))
+      .groupBy(col("l_returnflag"))
+      .agg(Det.r4(geo(col("l_quantity"))).as("geomean_qty"))
       .orderBy(col("l_returnflag"))
   }
 

@@ -52,14 +52,28 @@ object Streams extends QueryModule {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
+  /** The shuffle-partition count is frozen into a streaming query's
+    * state-store layout at start; 32 state stores for kilobytes of
+    * state is pure per-batch overhead, so streaming queries start
+    * under a smaller setting (batch queries are unaffected — the conf
+    * is restored immediately after start). At real scale this knob is
+    * sized to state volume, not defaulted. */
+  private def withStreamPartitions[T](s: SparkSession)(f: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Run a streaming frame to completion into a memory sink; return
     * the sink contents as a batch frame. Unique sink name per run so
     * warm-up + timed bench passes don't collide. */
   private def runToBatch(s: SparkSession, df: DataFrame, mode: String): DataFrame = {
     val qn = "s_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = df.writeStream.format("memory").queryName(qn)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStreamPartitions(s) {
+      val q = df.writeStream.format("memory").queryName(qn)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     s.table(qn)
   }
 
@@ -203,20 +217,22 @@ object Streams extends QueryModule {
       .groupBy(window(col("ts"), "15 minutes"), col("k"))
       .agg(count(lit(1)).as("n"))
     val qn = "s_late_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = agg.writeStream.format("memory").queryName(qn)
-      .outputMode("update").start()
-    // batch 1: max ts 10:40 → watermark after commit = 10:30
-    mem.addData(
-      (t("2024-01-01T10:00:00Z"), "A"), (t("2024-01-01T10:05:00Z"), "A"),
-      (t("2024-01-01T10:10:00Z"), "B"), (t("2024-01-01T10:40:00Z"), "A"))
-    q.processAllAvailable()
-    // batch 2: 10:05 is LATE (window [10:00,10:15) closed at wm 10:30)
-    // → dropped; 10:35/10:44 land in live window [10:30,10:45).
-    mem.addData(
-      (t("2024-01-01T10:05:00Z"), "A"),
-      (t("2024-01-01T10:35:00Z"), "B"), (t("2024-01-01T10:44:00Z"), "A"))
-    q.processAllAvailable()
-    q.stop()
+    withStreamPartitions(s) {
+      val q = agg.writeStream.format("memory").queryName(qn)
+        .outputMode("update").start()
+      // batch 1: max ts 10:40 → watermark after commit = 10:30
+      mem.addData(
+        (t("2024-01-01T10:00:00Z"), "A"), (t("2024-01-01T10:05:00Z"), "A"),
+        (t("2024-01-01T10:10:00Z"), "B"), (t("2024-01-01T10:40:00Z"), "A"))
+      q.processAllAvailable()
+      // batch 2: 10:05 is LATE (window [10:00,10:15) closed at wm 10:30)
+      // → dropped; 10:35/10:44 land in live window [10:30,10:45).
+      mem.addData(
+        (t("2024-01-01T10:05:00Z"), "A"),
+        (t("2024-01-01T10:35:00Z"), "B"), (t("2024-01-01T10:44:00Z"), "A"))
+      q.processAllAvailable()
+      q.stop()
+    }
     // update mode re-emits a group when it changes; keep the final
     // (max, counts are monotone) value per group.
     s.table(qn)
