@@ -15,6 +15,7 @@ object SparkEntry {
     graft.ops.Relational,
     graft.ops.Functions,
     graft.ops.Llm,
+    graft.ops.LlmExt,
     graft.sources.NormalizeQueries,
     graft.streaming.Streams,
   )

@@ -144,22 +144,25 @@ object Llm extends QueryModule {
   // ------------------------------------------------------ q_llm_sim_search
 
   /** Cosine top-k: query vectors (vec_id < 5) against the corpus
-    * (vec_id ≥ 5). Dot products via zip_with + aggregate in DOUBLE
-    * (both engines fold sequentially → bit-compatible); ranking uses
-    * the 1e-6-discretized cosine with vec_id tie-break so row order
-    * can't flip on a last-ulp disagreement. */
+    * (vec_id ≥ 5). Dot products via the native codegen `graft_dot`
+    * expression (functions/DotProduct.scala — a fused primitive loop;
+    * the zip_with+aggregate formulation runs interpreted); per-vector
+    * norms are computed ONCE before the join instead of per pair.
+    * Ranking uses the 1e-6-discretized cosine with vec_id tie-break
+    * so row order can't flip on a last-ulp disagreement. */
   private def simSearch(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val emb = T.embeddings(s, d)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("e"))
-    def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+      .withColumn("nrm", sqrt(expr("graft_dot(e, e)")))
     val q = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qn"))
     val c = emb.filter(col("vec_id") >= 5)
-      .select(col("vec_id").as("match_id"), col("e").as("ce"))
-    val cos = dot(col("qe"), col("ce")) /
-      (sqrt(dot(col("qe"), col("qe"))) * sqrt(dot(col("ce"), col("ce"))))
+      .select(col("vec_id").as("match_id"), col("e").as("ce"),
+        col("nrm").as("cn"))
+    val cos = expr("graft_dot(qe, ce)") / (col("qn") * col("cn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_key").desc, col("match_id"))
     broadcast(q).crossJoin(c)

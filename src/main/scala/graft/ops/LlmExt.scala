@@ -1,0 +1,346 @@
+package graft.ops
+
+import graft.{QueryModule, Tables => T}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Extended LLM-training-data operators (driver brief: dedup family
+  * beyond MinHash, ANN scale path, text analysis, multimodal decode):
+  * SimHash near-dup, embedding-cosine near-dup scoped to cells,
+  * IVF-style bucketed ANN, language-ID heuristic, winnowing document
+  * fingerprints, and a typed mapPartitions media-decode boundary.
+  *
+  * Cross-engine portability rule for anything hash-dependent: the only
+  * hash both engines compute identically is md5, so word/gram hashes
+  * are the first 15 hex digits of md5 parsed as a 60-bit integer —
+  * pure integer arithmetic after that, bit-identical in Spark and
+  * DuckDB.
+  */
+object LlmExt extends QueryModule {
+
+  /** Portable 60-bit hash: md5 hex prefix → BIGINT. Spark side. */
+  private def h60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+  /** The identical DuckDB rendering. */
+  private def h60Sql(e: String): String =
+    s"('0x' || substring(md5($e), 1, 15))::BIGINT"
+
+  // ---------------------------------------------------- q_llm_dedup_simhash
+
+  private val SimBits = 64
+
+  /** SimHash near-dup detection with EXACT banding recall: 64-bit
+    * fingerprints (sign of per-bit sums of ±1 word-hash contributions,
+    * term-frequency weighted), split into 4×16-bit bands. A pair at
+    * Hamming distance ≤ 3 differs in ≤ 3 bands, so by pigeonhole at
+    * least one band matches → the band self-join provably yields every
+    * qualifying pair (no probabilistic recall argument needed, unlike
+    * MinHash banding). Verification = bit_count(xor) ≤ 3.
+    * Scale shape: one explode + one map-side-combined groupBy for the
+    * fingerprints; candidates from byte-bucket joins, never n². */
+  private def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val wh = h60(col("word"))
+    val sums = (0 until SimBits).map(k =>
+      sum(when(shiftright(wh, k).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"s$k"))
+    val fp = (0 until SimBits).map(k =>
+      when(col(s"s$k") >= 0, lit(1L << k)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val fps = T.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("doc_id"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), fp.as("fp"))
+    val bands = fps.select(col("doc_id"), col("fp"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("b"),
+          shiftright(col("fp"), 16 * b).bitwiseAND(lit(65535L)).as("k"))): _*))
+        .as("bk"))
+      .select(col("doc_id"), col("fp"), col("bk.b"), col("bk.k"))
+    bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.k") === col("y.k") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("da"), col("db"))
+  }
+
+  private val dedupSimhashSql = {
+    val sums = (0 until SimBits).map(k =>
+      s"sum(CASE WHEN (wh >> $k) & 1 = 1 THEN 1 ELSE -1 END) AS s$k")
+      .mkString(",\n      ")
+    val fp = (0 until SimBits).map(k =>
+      s"CASE WHEN s$k >= 0 THEN ${1L << k} ELSE 0 END").mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, ${h60Sql("unnest(string_split(text, ' '))")} AS wh
+       |  FROM documents),
+       |sums AS (
+       |  SELECT doc_id,
+       |      $sums
+       |  FROM tok GROUP BY doc_id),
+       |fps AS (SELECT doc_id, $fp AS fp FROM sums)
+       |SELECT a.doc_id AS da, b.doc_id AS db,
+       |       bit_count(xor(a.fp, b.fp))::BIGINT AS hamming
+       |FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+       |ORDER BY da, db""".stripMargin
+  }
+
+  // ------------------------------------------------------ q_llm_dedup_embed
+
+  /** Embedding-cosine near-dup scoped to a cluster id (the `label`
+    * column stands in for an IVF cell assignment): candidate pairs
+    * come only from the same cell — the shuffle co-partitions both
+    * sides on the cell key, so at 100 TB the n² blowup is bounded per
+    * cell, the standard embedding-dedup shape (exact within cell). */
+  private def dedupEmbed(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = T.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+      .withColumn("nrm", sqrt(expr("graft_dot(e, e)")))
+    val cos = expr("graft_dot(a.e, b.e)") / (col("a.nrm") * col("b.nrm"))
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.label").as("cell"), col("a.vec_id").as("va"),
+        col("b.vec_id").as("vb"), Det.r4(cos).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.35)
+      .orderBy(col("cell"), col("va"), col("vb"))
+  }
+
+  private val dedupEmbedSql =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+      |SELECT a.label AS cell, a.vec_id AS va, b.vec_id AS vb,
+      |       floor((list_dot_product(a.v, b.v) /
+      |              (sqrt(list_dot_product(a.v, a.v)) *
+      |               sqrt(list_dot_product(b.v, b.v)))) * 10000 + 0.5) / 10000
+      |         AS cos_sim
+      |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE floor((list_dot_product(a.v, b.v) /
+      |             (sqrt(list_dot_product(a.v, a.v)) *
+      |              sqrt(list_dot_product(b.v, b.v)))) * 10000 + 0.5) / 10000
+      |      >= 0.35
+      |ORDER BY cell, va, vb""".stripMargin
+
+  // -------------------------------------------------------- q_llm_sim_ann
+
+  /** IVF-style approximate nearest neighbour: vectors are assigned to
+    * one of 32 deterministic cells (2·argmax|v[1..16]| + sign of that
+    * component — a trained k-means codebook in production, a fixed
+    * grid here so the oracle can replicate it), queries probe their
+    * own cell (nprobe=1) and rank exactly within it. The oracle
+    * implements the SAME algorithm — the hash-match checks
+    * implementation equivalence; recall vs the exact top-k is
+    * measured separately in AnnSpec. Scale: the corpus shuffles once
+    * on cell id; a probe touches |corpus|/cells vectors. */
+  private def simAnn(s: SparkSession, d: String): DataFrame = {
+    val head = slice(col("e"), 1, 16)
+    val absH = transform(head, abs(_))
+    val amax = array_position(absH, array_max(absH))
+    val cell = (amax * 2 +
+      when(element_at(head, amax.cast("int")) >= 0, 1).otherwise(0))
+      .cast("long")
+    graft.functions.GraftFunctions.register(s)
+    val e = T.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+      .withColumn("cell", cell)
+      .withColumn("nrm", sqrt(expr("graft_dot(e, e)")))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("cell").as("qcell"), col("nrm").as("qn"))
+    val c = e.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("match_id"), col("e").as("ce"), col("cell"),
+        col("nrm").as("cn"))
+    val cos = expr("graft_dot(qe, ce)") / (col("qn") * col("cn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_key").desc, col("match_id"))
+    broadcast(q).join(c, col("qcell") === col("cell"))
+      .select(col("query_id"), col("match_id"), col("cell"),
+        Det.r6(cos).as("cos_key"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("match_id"), col("cell"),
+        Det.r4(col("cos_key")).as("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val simAnnSql =
+    """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |cells AS (
+      |  SELECT vec_id, v,
+      |         (list_position(list_transform(v[1:16], x -> abs(x)),
+      |                        list_max(list_transform(v[1:16], x -> abs(x))))
+      |          * 2 +
+      |          CASE WHEN v[list_position(list_transform(v[1:16], x -> abs(x)),
+      |                       list_max(list_transform(v[1:16], x -> abs(x))))]
+      |                    >= 0 THEN 1 ELSE 0 END)::BIGINT AS cell
+      |  FROM e0),
+      |s AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS match_id, c.cell,
+      |         floor((list_dot_product(q.v, c.v) /
+      |                (sqrt(list_dot_product(q.v, q.v)) *
+      |                 sqrt(list_dot_product(c.v, c.v)))) * 1000000 + 0.5)
+      |           / 1000000 AS cos_key
+      |  FROM cells q JOIN cells c ON q.cell = c.cell
+      |  WHERE q.vec_id < 5 AND c.vec_id >= 5),
+      |r AS (
+      |  SELECT query_id, match_id, cell, cos_key,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY cos_key DESC, match_id) AS rank
+      |  FROM s)
+      |SELECT query_id, rank, match_id, cell,
+      |       floor(cos_key * 10000 + 0.5) / 10000 AS cos_sim
+      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  // --------------------------------------------------------- q_llm_lang_id
+
+  /** Marker-word language-ID heuristic with a fixed priority ladder
+    * (de → fr → es → zh → en → und), reported as a confusion matrix
+    * against the labelled lang column. On this synthetic corpus the
+    * vocabulary is shared across languages, so the heuristic mostly
+    * resolves to 'en' — the matrix makes that honest rather than
+    * hiding it behind an accuracy scalar. */
+  private def langId(s: SparkSession, d: String): DataFrame = {
+    val words = split(col("text"), " ")
+    def has(ws: String*): Column =
+      ws.map(w => array_contains(words, w)).reduce(_ || _)
+    val predicted =
+      when(has("der", "die", "das", "und"), "de")
+        .when(has("le", "les", "une"), "fr")
+        .when(has("el", "los", "una"), "es")
+        .when(has("的", "是"), "zh")
+        .when(has("the", "a", "of"), "en")
+        .otherwise("und")
+    T.documents(s, d)
+      .select(col("lang"), predicted.as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  private val langIdSql =
+    """WITH p AS (
+      |  SELECT lang,
+      |    CASE
+      |      WHEN list_contains(w, 'der') OR list_contains(w, 'die')
+      |        OR list_contains(w, 'das') OR list_contains(w, 'und') THEN 'de'
+      |      WHEN list_contains(w, 'le') OR list_contains(w, 'les')
+      |        OR list_contains(w, 'une') THEN 'fr'
+      |      WHEN list_contains(w, 'el') OR list_contains(w, 'los')
+      |        OR list_contains(w, 'una') THEN 'es'
+      |      WHEN list_contains(w, '的') OR list_contains(w, '是') THEN 'zh'
+      |      WHEN list_contains(w, 'the') OR list_contains(w, 'a')
+      |        OR list_contains(w, 'of') THEN 'en'
+      |      ELSE 'und' END AS predicted
+      |  FROM (SELECT lang, string_split(text, ' ') AS w FROM documents))
+      |SELECT lang, predicted, count(*) AS n FROM p
+      |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+
+  // ----------------------------------------------------- q_llm_fingerprint
+
+  /** Winnowing document fingerprints (the MOSS scheme over token
+    * 3-grams): hash every word-3-gram in positional order, slide a
+    * 4-gram window, keep each window's minimum, dedupe — a compact,
+    * position-robust signature for plagiarism / near-dup detection.
+    * Token grams instead of char grams keep the hash count at
+    * O(tokens), ~5× fewer md5 evaluations on this corpus. All
+    * arithmetic is the portable md5-based 60-bit hash, so the oracle
+    * reproduces the exact fingerprint set. Pure map-side at scale. */
+  private def fingerprint(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .filter(col("n_chars") >= 20)
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("g", expr(
+        "transform(sequence(1, size(w) - 2), " +
+          "i -> cast(conv(substring(md5(cast(concat_ws(' ', w[i-1], w[i], w[i+1]) AS BINARY)), 1, 15), 16, 10) AS BIGINT))"))
+      .withColumn("fps", array_sort(array_distinct(expr(
+        "transform(sequence(1, size(g) - 3), j -> array_min(slice(g, j, 4)))"))))
+      .select(col("doc_id"),
+        size(col("fps")).cast("long").as("n_fp"),
+        element_at(col("fps"), 1).as("fp_min"),
+        element_at(col("fps"), -1).as("fp_max"),
+        array_join(slice(col("fps"), 1, 3), ",").as("fp_head"))
+      .orderBy(col("doc_id"))
+
+  private val fingerprintSql =
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |         list_transform(range(1, len(w) - 1),
+       |           i -> ${h60Sql("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")}) AS gh
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+       |        FROM documents WHERE n_chars >= 20)),
+       |w AS (
+       |  SELECT doc_id,
+       |         list_sort(list_distinct(list_transform(range(1, len(gh) - 2),
+       |           j -> list_min(gh[j:j+3])))) AS fps
+       |  FROM g)
+       |SELECT doc_id, len(fps)::BIGINT AS n_fp,
+       |       fps[1] AS fp_min, fps[-1] AS fp_max,
+       |       array_to_string(fps[1:3], ',') AS fp_head
+       |FROM w ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------- q_llm_decode
+
+  /** Multimodal decode boundary: the text payload re-encoded as bytes
+    * stands in for image/audio blobs; a typed mapPartitions runs the
+    * per-partition "decoder". The decode itself is a clearly-marked
+    * DETERMINISTIC STUB (media codecs aren't in this container) — the
+    * tested surface is the real plumbing: binary column in, typed
+    * Dataset boundary, per-partition batching, metadata schema out.
+    * In production the lambda body becomes the codec call (batched,
+    * e.g. via Arrow); everything around it is unchanged. */
+  private def decode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    T.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        // ---- STUB decoder: deterministic fake measurements ----
+        val n = bytes.length
+        val fmt = (n % 3) match {
+          case 0 => "png"; case 1 => "jpg"; case _ => "wav"
+        }
+        (id, fmt, 64 + n % 640, 64 + (n * 7) % 480, n.toLong)
+        // ---- end stub ----
+      })
+      .toDF("doc_id", "fmt", "width", "height", "n_bytes")
+      .select(col("doc_id"), col("fmt"), col("width").cast("long"),
+        col("height").cast("long"), col("n_bytes"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val decodeSql =
+    """SELECT doc_id,
+      |  CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'png'
+      |       WHEN 1 THEN 'jpg' ELSE 'wav' END AS fmt,
+      |  (64 + octet_length(encode(text)) % 640)::BIGINT AS width,
+      |  (64 + (octet_length(encode(text)) * 7) % 480)::BIGINT AS height,
+      |  octet_length(encode(text))::BIGINT AS n_bytes
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_dedup_simhash" -> (dedupSimhash _),
+    "q_llm_dedup_embed" -> (dedupEmbed _),
+    "q_llm_sim_ann" -> (simAnn _),
+    "q_llm_lang_id" -> (langId _),
+    "q_llm_fingerprint" -> (fingerprint _),
+    "q_llm_decode" -> (decode _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_llm_dedup_simhash" -> dedupSimhashSql,
+    "q_llm_dedup_embed" -> dedupEmbedSql,
+    "q_llm_sim_ann" -> simAnnSql,
+    "q_llm_lang_id" -> langIdSql,
+    "q_llm_fingerprint" -> fingerprintSql,
+    "q_llm_decode" -> decodeSql,
+  )
+}
