@@ -1,0 +1,50 @@
+package graft
+
+import graft.sources.{Normalize, NormalizeQueries}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DataSourceV2 REST connector (A3–A6): partition-per-chapter scan,
+  * offline fixture transport, token-bucket throttle, and end-to-end
+  * compose with the normalize pipeline. */
+class RestSourceSpec extends AnyFunSuite {
+  private lazy val s = SparkTestBase.spark
+  private val fx = NormalizeQueries.fixturesDir
+
+  private lazy val raw = s.read.format("graft.sources.rest.RestSource")
+    .option("chaptersFile", s"$fx/chapters.jsonl")
+    .option("fixturesDir", fx)
+    .option("ratePerSecond", "1000")
+    .load()
+    .cache()
+
+  test("one partition per chapter; payload rows carry their chapter") {
+    assert(raw.rdd.getNumPartitions == 6) // 6 chapters incl. unknown adapter
+    val byChapter = raw.groupBy("chapter").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ghost meetup row (no id) still belongs to london's payload
+    assert(byChapter == Map("newyork" -> 2L, "london" -> 3L, "berlin" -> 4L,
+      "rome" -> 2L, "miami" -> 3L)) // atlantis: unknown adapter → no fixture
+  }
+
+  test("composes with the normalize pipeline end to end") {
+    // the DSv2 scan replaces the file reads: parse a source's payload
+    // rows with its explicit schema, then normalize as usual
+    val meetup = s.read.schema(Normalize.meetupRawSchema)
+      .json(raw.filter(col("adapter") === "meetup")
+        .select("payload").as[String](org.apache.spark.sql.Encoders.STRING))
+    val ok = Normalize.normalizeMeetup(meetup).filter(col("error").isNull)
+    assert(ok.count() == 4) // 5 meetup payload rows, 1 ghost error
+  }
+
+  test("token bucket throttles fetch rate") {
+    val t0 = System.nanoTime()
+    s.read.format("graft.sources.rest.RestSource")
+      .option("chaptersFile", s"$fx/chapters.jsonl")
+      .option("fixturesDir", fx)
+      .option("ratePerSecond", "4") // 6 chapters at 4/s ≥ ~0.5s floor
+      .load().count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec >= 0.4, f"expected throttled scan, took $sec%.2fs")
+  }
+}
