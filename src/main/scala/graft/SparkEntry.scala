@@ -20,18 +20,30 @@ object SparkEntry {
     graft.streaming.Streams,
   )
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Cuttlefish-semantics shape: scan + JSON extraction (A14) + dimension
-    * broadcast join + hash aggregation + deterministic order. */
+  /** Flagship: the reference's own pipeline end to end — raw API JSON
+    * (three adapter shapes) → per-source normalize → dispatch union →
+    * error split — summarized per chapter, joined with an events-table
+    * aggregate so the flagship touches both the cuttlefish core and
+    * the relational surface. Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
+    import graft.sources.{Normalize, NormalizeQueries}
+    val fx = NormalizeQueries.fixturesDir
+    val all = Normalize.dispatch(
+      Normalize.readMeetup(spark, s"$fx/raw_meetup.jsonl"),
+      Normalize.readFacebook(spark, s"$fx/raw_facebook.jsonl"),
+      Normalize.readEventbrite(spark, s"$fx/raw_eventbrite.jsonl"),
+      Normalize.readChapters(spark, s"$fx/chapters.jsonl"))
     val d = "/root/testdata/sf0.001"
     val ev = Tables.events(spark, d)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
-    ev.groupBy(col("event_type"))
+      .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("total_value"),
         round(avg(col("k")), 2).as("avg_k"))
-      .orderBy(col("event_type"))
+    all.groupBy(col("chapter"))
+      .agg(count(when(col("error").isNull, 1)).as("ok_events"),
+        count(col("error")).as("errors"))
+      .crossJoin(broadcast(ev.agg(sum(col("n_events")).as("events_sf0001"))))
+      .orderBy(col("chapter"))
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
