@@ -29,6 +29,21 @@ object Llm extends QueryModule {
 
   private def words(c: Column): Column = split(c, " ")
 
+  /** documents scan with forced parallelism: the test table is ONE
+    * parquet file → one input partition, which would serialize every
+    * heavy per-row derivation (shingling, hashing) onto a single task
+    * (measured: the whole fuzzy-dedup signature build ran on 1 task).
+    * A cheap hash repartition of the raw text spreads the compute —
+    * with an EXPLICIT partition count, because a bare repartition(col)
+    * is AQE-coalescible and a few MB of text collapses right back to
+    * one partition, re-serializing the downstream projections. On a
+    * real multi-file 100 TB table the scan is already parallel and
+    * this is one extra small exchange. */
+  private[ops] def docs(s: SparkSession, d: String): DataFrame = {
+    val n = s.sparkContext.defaultParallelism
+    T.documents(s, d).repartition(n, col("doc_id"))
+  }
+
   /** Distinct word-3-shingles of a text column (min 10 tokens in data;
     * guarded anyway — sequence(1, n) with n<1 would count DOWN). */
   private def shingles3(text: Column): Column = {
@@ -48,7 +63,7 @@ object Llm extends QueryModule {
     * ~22 multi-member at sf0.01, so the grouping is exercised for real.
     * At 100 TB: single shuffle on the digest, partial-aggregated. */
   private def dedupExact(s: SparkSession, d: String): DataFrame =
-    T.documents(s, d)
+    docs(s, d)
       .select(col("doc_id"),
         sha2(concat_ws(" ", slice(words(col("text")), 1, 8)), 256).as("h"))
       .groupBy(col("h"))
@@ -84,7 +99,7 @@ object Llm extends QueryModule {
     * The oracle IS all-pairs O(n²): fine as ground truth at test
     * scale, which is exactly what LSH avoids at 100 TB. */
   private def dedupFuzzy(s: SparkSession, d: String): DataFrame = {
-    val base = T.documents(s, d)
+    val base = docs(s, d)
       .select(col("doc_id"), shingles3(col("text")).as("g"))
     val nBands = 4
     // Explode → hash each shingle ONCE (xxhash64 of the string), then
@@ -93,7 +108,7 @@ object Llm extends QueryModule {
     // array_min(transform(g, ...)) formulation gets projection-collapsed
     // by Catalyst into 12 copies of the shingle construction (measured
     // 9.3s → 2.4s at sf0.1). One shuffle of (doc_id, 12 longs).
-    val sigs = T.documents(s, d)
+    val sigs = docs(s, d)
       .select(col("doc_id"), explode(shingles3(col("text"))).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("h"))
       .groupBy(col("doc_id"))
@@ -108,12 +123,21 @@ object Llm extends QueryModule {
           col(s"mh${3 * b + 2}").as("k3"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.k1"), col("bk.k2"),
         col("bk.k3"))
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") &&
-        col("x.k1") === col("y.k1") && col("x.k2") === col("y.k2") &&
-        col("x.k3") === col("y.k3") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+    // Candidates via bucket-collect rather than a bands⨝bands self-join:
+    // a self-join materializes the whole signature pipeline TWICE (one
+    // copy per join side — no subplan sharing without caching), which
+    // doubled the dominant cost. groupBy bucket → sorted id list →
+    // in-array pair expansion computes signatures once; bucket sizes
+    // are tiny by the r=3 geometry, so collect_list is bounded.
+    val cand = bands
+      .groupBy(col("band"), col("k1"), col("k2"), col("k3"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> " +
+          "transform(slice(ids, i + 2, size(ids)), b -> struct(a, b))))"))
+        .as("p"))
+      .select(col("p.a").as("da"), col("p.b").as("db"))
       .distinct()
     val inter = size(array_intersect(col("ga"), col("gb"))).cast("double")
     cand
@@ -200,7 +224,7 @@ object Llm extends QueryModule {
   private def textStats(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("n").desc, col("word"))
-    T.documents(s, d)
+    docs(s, d)
       .select(col("lang"), explode(words(col("text"))).as("word"))
       .groupBy(col("lang"), col("word"))
       .agg(count(lit(1)).as("n"))
@@ -236,7 +260,7 @@ object Llm extends QueryModule {
     val w = words(col("text"))
     val nTok = size(w).cast("double")
     val nDis = size(array_distinct(w)).cast("double")
-    T.documents(s, d)
+    docs(s, d)
       .select(col("doc_id"),
         encode(col("text"), "UTF-8").as("payload"),
         struct(

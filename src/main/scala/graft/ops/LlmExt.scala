@@ -47,7 +47,7 @@ object LlmExt extends QueryModule {
     val fp = (0 until SimBits).map(k =>
       when(col(s"s$k") >= 0, lit(1L << k)).otherwise(lit(0L)))
       .reduce(_ + _)
-    val fps = T.documents(s, d)
+    val fps = Llm.docs(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .groupBy(col("doc_id"))
       .agg(sums.head, sums.tail: _*)
@@ -58,11 +58,20 @@ object LlmExt extends QueryModule {
           shiftright(col("fp"), 16 * b).bitwiseAND(lit(65535L)).as("k"))): _*))
         .as("bk"))
       .select(col("doc_id"), col("fp"), col("bk.b"), col("bk.k"))
-    bands.as("x").join(bands.as("y"),
-        col("x.b") === col("y.b") && col("x.k") === col("y.k") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
-        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).cast("long")
+    // bucket-collect instead of a self-join so the fingerprint pipeline
+    // is computed once (a self-join clones the whole subplan per side);
+    // carry (doc_id, fp) structs so verification needs no join back
+    bands
+      .groupBy(col("b"), col("k"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("fp"))))
+        .as("members"))
+      .filter(size(col("members")) > 1)
+      .select(explode(expr(
+        "flatten(transform(members, (x, i) -> " +
+          "transform(slice(members, i + 2, size(members)), y -> struct(x, y))))"))
+        .as("p"))
+      .select(col("p.x.doc_id").as("da"), col("p.y.doc_id").as("db"),
+        bit_count(col("p.x.fp").bitwiseXOR(col("p.y.fp"))).cast("long")
           .as("hamming"))
       .distinct()
       .filter(col("hamming") <= 3)
@@ -217,7 +226,7 @@ object LlmExt extends QueryModule {
         .when(has("的", "是"), "zh")
         .when(has("the", "a", "of"), "en")
         .otherwise("und")
-    T.documents(s, d)
+    Llm.docs(s, d)
       .select(col("lang"), predicted.as("predicted"))
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n"))
@@ -253,7 +262,7 @@ object LlmExt extends QueryModule {
     * arithmetic is the portable md5-based 60-bit hash, so the oracle
     * reproduces the exact fingerprint set. Pure map-side at scale. */
   private def fingerprint(s: SparkSession, d: String): DataFrame =
-    T.documents(s, d)
+    Llm.docs(s, d)
       .filter(col("n_chars") >= 20)
       .withColumn("w", split(col("text"), " "))
       .withColumn("g", expr(
@@ -297,7 +306,7 @@ object LlmExt extends QueryModule {
     * e.g. via Arrow); everything around it is unchanged. */
   private def decode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    T.documents(s, d)
+    Llm.docs(s, d)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
