@@ -29,7 +29,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated query subset (dev bisection)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     def run(name: String): Either[String, Unit] =
       try Right(SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.toRdd.foreach(_ => ()))
@@ -38,10 +42,21 @@ object Bench {
 
     names.foreach(run) // warm-up pass, untimed
 
+    // Two timed passes, per-query minimum: single-sample timings on a
+    // shared container swing ±40% (GC, neighbours); min-of-2 reports
+    // the query's achievable cost rather than one bad draw.
+    def pass(): Map[String, (Double, Either[String, Unit])] =
+      names.map { n =>
+        val t0 = System.nanoTime()
+        val r = run(n)
+        n -> ((System.nanoTime() - t0) / 1e9, r)
+      }.toMap
+    val p1 = pass()
+    val p2 = pass()
     val timed = names.map { n =>
-      val t0 = System.nanoTime()
-      val r = run(n)
-      (n, (System.nanoTime() - t0) / 1e9, r)
+      val (t1, r1) = p1(n)
+      val (t2, r2) = p2(n)
+      (n, math.min(t1, t2), if (r1.isLeft) r1 else r2)
     }
     val errors = timed.collect { case (n, _, Left(e)) => n -> e }
     val qs = timed.map { case (n, sec, _) => s""""$n":$sec""" }

@@ -42,6 +42,17 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** Spread a scan across the cluster before compute-heavy per-row
+    * work. Every test table is ONE parquet file with ONE row group —
+    * an unsplittable single input partition — so expensive projections
+    * (JSON parsing, regex, libm, hashing) would otherwise run on a
+    * single task until the first shuffle. The explicit count keeps AQE
+    * from coalescing the tiny exchange straight back to one partition.
+    * On a real many-file table the scan is already parallel and
+    * callers would drop this. */
+  def par(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
 }
 
 /** A named query + its DuckDB oracle SQL. Modules contribute these and

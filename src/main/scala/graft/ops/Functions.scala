@@ -66,7 +66,7 @@ object Functions extends QueryModule {
     * named-timezone conversion (reference A21/A22 semantics —
     * facebook.rkt:22-28 ISO parse, eventbrite.rkt:54-66 tz resolve). */
   private def fnDate(s: SparkSession, d: String): DataFrame =
-    T.orders(s, d)
+    T.par(s, T.orders(s, d))
       .select(
         col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"),
@@ -108,7 +108,7 @@ object Functions extends QueryModule {
   /** Math family. libm-backed functions (pow/ln/exp) discretized at 1e-4
     * so sub-ulp disagreement between JVM and C libm can't flip the hash. */
   private def fnMath(s: SparkSession, d: String): DataFrame =
-    T.lineitem(s, d)
+    T.par(s, T.lineitem(s, d))
       .select(
         col("l_orderkey"), col("l_linenumber"),
         Det.r2(col("l_extendedprice") * col("l_discount")).as("disc_amt"),
@@ -149,7 +149,7 @@ object Functions extends QueryModule {
     * l_quantity is integral (verified) so sums are exact and the
     * int-cast join string is stable across engines. */
   private def fnArray(s: SparkSession, d: String): DataFrame =
-    T.lineitem(s, d)
+    T.par(s, T.lineitem(s, d))
       .groupBy(col("l_orderkey").as("o_orderkey"))
       .agg(array_sort(collect_list(col("l_quantity"))).as("qtys"))
       .select(
@@ -197,7 +197,7 @@ object Functions extends QueryModule {
     * recomputes the same scalars relationally — the contract is equal
     * values, not equal intermediate representations. */
   private def fnMap(s: SparkSession, d: String): DataFrame =
-    T.lineitem(s, d)
+    T.par(s, T.lineitem(s, d))
       .groupBy(col("l_orderkey"), col("l_linenumber"))
       .agg(sum(col("l_quantity")).as("qty"))
       .groupBy(col("l_orderkey").as("o_orderkey"))
@@ -228,7 +228,7 @@ object Functions extends QueryModule {
     * hash.rkt:30-35 get-in with defaults): path extraction, schema'd
     * parse, tuple extraction, JSON synthesis. All builtins → codegen. */
   private def fnJson(s: SparkSession, d: String): DataFrame =
-    T.events(s, d)
+    T.par(s, T.events(s, d))
       .select(
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k_path"),
