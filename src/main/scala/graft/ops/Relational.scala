@@ -518,8 +518,15 @@ object Relational extends QueryModule {
     """SELECT o_orderkey, floor((o_totalprice) * 100 + 0.5) / 100 AS price, o_orderpriority
       |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin
 
-  /** Top-k per group via row_number — single shuffle on the group key. */
+  /** Top-k per group, written declaratively as row_number-then-filter.
+    * graft's TopKRewrite rule (plans/TopK.scala) recognizes the shape
+    * and plans it as PartialTopK → exchange → FinalTopK — bounded
+    * per-group heaps map-side, only survivors shuffled, no sort/window
+    * machinery — while this code stays the idiomatic formulation. The
+    * DuckDB oracle hash-match doubles as the operator's correctness
+    * proof. */
   private def topkPerGroup(s: SparkSession, d: String): DataFrame = {
+    graft.plans.TopK.install(s)
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     T.orders(s, d)

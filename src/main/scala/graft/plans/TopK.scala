@@ -1,0 +1,225 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Filter, UnaryNode, Window, WindowGroupLimit}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types.IntegerType
+
+/** Custom whole-operator: top-k per group with MAP-SIDE PARTIAL
+  * PRUNING — the (c) rung of the custom-operator ladder (logical node
+  * + optimizer Rule + SparkStrategy + physical SparkPlan).
+  *
+  * Why it exists: the declarative formulation
+  * {{{ df.withColumn("rn", row_number().over(W)).filter($"rn" <= k) }}}
+  * historically planned as Exchange → full Sort → Window → Filter.
+  * Spark ≥ 3.5 already mitigates the worst of that:
+  * `InferWindowGroupLimit` inserts a WindowGroupLimit pre-prune on
+  * both shuffle sides (credit where due — the builtin covers the
+  * "don't shuffle the whole table" half). What it does NOT remove is
+  * the post-shuffle full Sort + Window + Filter machinery over the
+  * surviving rows. This operator replaces that entire chain with
+  * bounded k-row heaps per group (O(n log k), no sort buffer, no
+  * window frame machinery): partial heaps map-side, shuffle of ≤
+  * k·|groups|·|partitions| rows, merge heaps, emit ranks. It is also
+  * the end-to-end demonstration of the whole-operator extension
+  * mechanism against a live builtin to compare with.
+  *
+  * Correctness contract: identical to the window formulation WHEN the
+  * ordering is total (the caller includes tie-break columns — the same
+  * requirement the row_number formulation already has for
+  * deterministic output).
+  *
+  * The [[TopKRewrite]] rule recognizes the analyzed Filter/Project/
+  * Window pattern, so USER CODE KEEPS THE DECLARATIVE FORM — the
+  * optimizer swaps in the physical operator, which is exactly how
+  * Spark wants operator work to land (declare the logical plan, let
+  * the planner pick the strategy). Registered per-session via
+  * [[TopK.install]] (spark.experimental — the public injection point;
+  * a packaged deployment would use SparkSessionExtensions).
+  */
+case class TopKPerGroup(
+    k: Int,
+    partitionExprs: Seq[Expression],
+    orderExprs: Seq[SortOrder],
+    rankAttr: AttributeReference,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  // rankAttr is minted by this node, not derived from the child
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
+  override protected def withNewChildInternal(c: LogicalPlan): TopKPerGroup =
+    copy(child = c)
+}
+
+/** Per-partition bounded heaps: emit each partition's top-k candidates
+  * per group. No required distribution — this is the map-side prune. */
+case class PartialTopKExec(
+    k: Int,
+    partitionExprs: Seq[Expression],
+    orderExprs: Seq[SortOrder],
+    child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] =
+    child.execute().mapPartitions { iter =>
+      TopK.prune(iter, k, partitionExprs, orderExprs, child.output)
+        .flatMap(_._2)
+    }
+
+  override protected def withNewChildInternal(c: SparkPlan): PartialTopKExec =
+    copy(child = c)
+}
+
+/** Merge pruned candidates (now co-located per group by the required
+  * clustered distribution) and emit the final top-k with ranks. */
+case class FinalTopKExec(
+    k: Int,
+    partitionExprs: Seq[Expression],
+    orderExprs: Seq[SortOrder],
+    rankAttr: AttributeReference,
+    child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
+  override def outputPartitioning: Partitioning = UnknownPartitioning(0)
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(partitionExprs) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] =
+    child.execute().mapPartitions { iter =>
+      val ordering = RowOrdering.create(orderExprs, child.output)
+      TopK.prune(iter, k, partitionExprs, orderExprs, child.output)
+        .flatMap { case (_, rows) =>
+          val joined = new JoinedRow
+          rows.sorted(ordering.asInstanceOf[Ordering[InternalRow]])
+            .iterator.zipWithIndex.map { case (r, i) =>
+              joined(r, InternalRow(i + 1)).copy()
+            }
+        }
+    }
+
+  override protected def withNewChildInternal(c: SparkPlan): FinalTopKExec =
+    copy(child = c)
+}
+
+object TopK {
+  /** Shared bounded-heap pruning: group rows by the partition key and
+    * keep only the k best under the sort order (max-heap holds the
+    * current k; a better row evicts the worst). O(n log k), no sort. */
+  private[plans] def prune(
+      iter: Iterator[InternalRow], k: Int,
+      partitionExprs: Seq[Expression], orderExprs: Seq[SortOrder],
+      input: Seq[Attribute]): Iterator[(UnsafeRow, Seq[InternalRow])] = {
+    val keyProj = UnsafeProjection.create(partitionExprs, input)
+    val ord = RowOrdering.create(orderExprs, input)
+      .asInstanceOf[Ordering[InternalRow]]
+    val heaps = scala.collection.mutable.HashMap
+      .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
+    iter.foreach { row =>
+      val key = keyProj(row)
+      heaps.get(key) match {
+        case None =>
+          val h = scala.collection.mutable.PriorityQueue.empty[InternalRow](ord)
+          h.enqueue(row.copy())
+          heaps.put(key.copy(), h)
+        case Some(h) =>
+          if (h.size < k) h.enqueue(row.copy())
+          else if (ord.compare(row, h.head) < 0) { h.dequeue(); h.enqueue(row.copy()) }
+      }
+    }
+    heaps.iterator.map { case (key, h) => key -> h.toSeq }
+  }
+
+  /** Strategy: plan the logical node as partial → (exchange inserted
+    * by EnsureRequirements) → final, mirroring partial aggregation. */
+  object TopKStrategy extends SparkStrategy {
+    override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+      case TopKPerGroup(k, part, order, rank, child) =>
+        FinalTopKExec(k, part, order, rank,
+          PartialTopKExec(k, part, order, planLater(child))) :: Nil
+      case _ => Nil
+    }
+  }
+
+  /** Optimizer rule: rewrite the declarative row_number-then-filter
+    * pattern into [[TopKPerGroup]]. Fires only on the exact safe shape:
+    * a Filter of `rn <= k` (or `< k`) over [an optional pure Project
+    * over] a Window whose ONLY window expression is a row_number with
+    * the standard frame. */
+  object TopKRewrite extends Rule[LogicalPlan] {
+    private object RowNumberWindow {
+      def unapply(p: LogicalPlan): Option[(AttributeReference, Seq[Expression],
+          Seq[SortOrder], LogicalPlan)] = p match {
+        case Window(Seq(a @ Alias(WindowExpression(RowNumber(),
+              WindowSpecDefinition(part, order,
+                SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))),
+              _)), _, _, child, _) =>
+          // Spark's own InferWindowGroupLimit may already have inserted
+          // its pre-prune below the Window; our operator subsumes it —
+          // strip it so rows aren't pruned twice.
+          val grandchild = child match {
+            case WindowGroupLimit(_, _, RowNumber(), _, c) => c
+            case other => other
+          }
+          Some((a.toAttribute.asInstanceOf[AttributeReference], part, order,
+            grandchild))
+        case _ => None
+      }
+    }
+
+    private def limitOf(cond: Expression, rn: AttributeReference): Option[Int] =
+      cond match {
+        case LessThanOrEqual(a: AttributeReference, Literal(v: Int, IntegerType))
+          if a.exprId == rn.exprId => Some(v)
+        case LessThan(a: AttributeReference, Literal(v: Int, IntegerType))
+          if a.exprId == rn.exprId => Some(v - 1)
+        case _ => None
+      }
+
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+      // Filter directly over the window
+      case f @ Filter(cond, RowNumberWindow(rn, part, order, child)) =>
+        limitOf(cond, rn) match {
+          case Some(k) if k > 0 => TopKPerGroup(k, part, order, rn, child)
+          case _ => f
+        }
+      // Filter over a pure projection of the window (the shape
+      // withColumn produces: Project re-aliases/casts the rank)
+      case f @ Filter(cond, proj @ Project(projList,
+          RowNumberWindow(rn, part, order, child)))
+        if projList.forall {
+          case _: AttributeReference => true
+          case Alias(c, _) => c.references.subsetOf(AttributeSet(child.output :+ rn))
+          case _ => false
+        } =>
+        // the filter may reference a projected alias of rn — resolve it
+        val rnAliases = projList.collect {
+          case a @ Alias(Cast(r: AttributeReference, _, _, _), _)
+            if r.exprId == rn.exprId => a.toAttribute
+          case a: AttributeReference if a.exprId == rn.exprId => a
+        }
+        val resolved = rnAliases.foldLeft(Option.empty[Int]) { (acc, attr) =>
+          acc.orElse(limitOf(cond,
+            attr.asInstanceOf[AttributeReference]))
+        }.orElse(limitOf(cond, rn))
+        resolved match {
+          case Some(k) if k > 0 =>
+            Project(projList, TopKPerGroup(k, part, order, rn, child))
+          case _ => f
+        }
+    }
+  }
+
+  /** Install the rule + strategy into a session (idempotent). */
+  def install(s: SparkSession): Unit = {
+    if (!s.experimental.extraStrategies.contains(TopKStrategy))
+      s.experimental.extraStrategies = s.experimental.extraStrategies :+ TopKStrategy
+    if (!s.experimental.extraOptimizations.contains(TopKRewrite))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ TopKRewrite
+  }
+}
