@@ -25,6 +25,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // 51 queries × several codegen units overflow the default
+      // 100-entry generated-class cache; without headroom the larger
+      // queries re-run Janino compilation on every pass and the bench
+      // measures the compiler, not the engine
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -40,23 +45,30 @@ object Bench {
       catch { case e: Throwable =>
         Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
 
-    names.foreach(run) // warm-up pass, untimed
-
-    // Two timed passes, per-query minimum: single-sample timings on a
-    // shared container swing ±40% (GC, neighbours); min-of-2 reports
-    // the query's achievable cost rather than one bad draw.
-    def pass(): Map[String, (Double, Either[String, Unit])] =
-      names.map { n =>
+    // Two passes per query, per-query minimum. Pass 1 doubles as the
+    // warm-up (JIT, codegen cache, file listings) — min-of-2 discards
+    // its cold-start inflation, and the ±40% single-sample noise a
+    // shared container adds (GC, neighbours). Batch queries run BOTH
+    // passes before any streaming query: stateful streaming runs leave
+    // residue (state-store providers, sink tables) that measurably
+    // taxes whatever executes after them, and interleaving would
+    // charge that tax to unrelated batch queries.
+    def pass(ns: Seq[String]): Map[String, (Double, Either[String, Unit])] =
+      ns.map { n =>
+        // drain garbage from prior queries so one query's timing isn't
+        // taxed with a GC cycle triggered by its predecessors' debris
+        // (the ContextCleaner also piggybacks on GC to release old
+        // broadcasts/shuffles)
+        System.gc()
         val t0 = System.nanoTime()
         val r = run(n)
         n -> ((System.nanoTime() - t0) / 1e9, r)
       }.toMap
-    val p1 = pass()
-    val p2 = pass()
+    val (batch, streaming) = names.partition(_.startsWith("q_"))
+    val passes = Seq(pass(batch), pass(batch), pass(streaming), pass(streaming))
     val timed = names.map { n =>
-      val (t1, r1) = p1(n)
-      val (t2, r2) = p2(n)
-      (n, math.min(t1, t2), if (r1.isLeft) r1 else r2)
+      val rs = passes.filter(_.contains(n)).map(_(n))
+      (n, rs.map(_._1).min, rs.map(_._2).find(_.isLeft).getOrElse(Right(())))
     }
     val errors = timed.collect { case (n, _, Left(e)) => n -> e }
     val qs = timed.map { case (n, sec, _) => s""""$n":$sec""" }

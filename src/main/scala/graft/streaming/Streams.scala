@@ -74,6 +74,10 @@ object Streams extends QueryModule {
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
+    // unload state-store providers + stop the maintenance task: each
+    // run otherwise leaves loaded providers behind in the executor JVM
+    // (measured: batch queries after a streaming pass ran 2-6× slower)
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     s.table(qn)
   }
 
@@ -233,6 +237,7 @@ object Streams extends QueryModule {
       q.processAllAvailable()
       q.stop()
     }
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     // update mode re-emits a group when it changes; keep the final
     // (max, counts are monotone) value per group.
     s.table(qn)
