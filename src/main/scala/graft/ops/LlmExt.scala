@@ -294,6 +294,46 @@ object LlmExt extends QueryModule {
        |       array_to_string(fps[1:3], ',') AS fp_head
        |FROM w ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------- q_llm_tokenize
+
+  /** Token counting two ways (driver brief: "whitespace + a BPE-ish
+    * regex"): whitespace tokens, regex pre-tokenization (letter runs /
+    * digit runs / punctuation runs — the GPT-2 pre-tokenizer shape),
+    * and a BPE token-count estimate via the ~4-chars-per-token rule
+    * (ceil(len/4) per pre-token — the standard budgeting heuristic
+    * when the merge table isn't available). Pure map-side. */
+  private def tokenize(s: SparkSession, d: String): DataFrame = {
+    val pre = regexp_extract_all(col("text"), lit("[a-z0-9]+|[^a-z0-9\\s]+"), lit(0))
+    Llm.docs(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_ws"),
+        size(pre).cast("long").as("n_pre"),
+        aggregate(pre, lit(0L),
+          (acc, t) => acc + ceil(length(t).cast("double") / 4.0).cast("long"))
+          .as("n_bpe_est"))
+      .withColumn("chars_per_tok",
+        Det.r4(col("n_chars") / col("n_bpe_est").cast("double")))
+      .drop("n_chars")
+      .orderBy(col("doc_id"))
+  }
+
+  // documents text is lowercase [a-z ]+, so n_chars is present in the
+  // table; recompute nothing the Spark side doesn't
+  private val tokenizeSql =
+    """WITH t AS (
+      |  SELECT doc_id, lang, n_chars,
+      |         len(string_split(text, ' '))::BIGINT AS n_ws,
+      |         regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]+') AS pre
+      |  FROM documents)
+      |SELECT doc_id, lang, n_ws,
+      |       len(pre)::BIGINT AS n_pre,
+      |       list_sum(list_transform(pre, x -> ceil(length(x) / 4.0)::BIGINT))
+      |         AS n_bpe_est,
+      |       floor((n_chars / list_sum(list_transform(pre,
+      |              x -> ceil(length(x) / 4.0)::BIGINT))::DOUBLE)
+      |             * 10000 + 0.5) / 10000 AS chars_per_tok
+      |FROM t ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------- q_llm_decode
 
   /** Multimodal decode boundary: the text payload re-encoded as bytes
@@ -341,6 +381,7 @@ object LlmExt extends QueryModule {
     "q_llm_sim_ann" -> (simAnn _),
     "q_llm_lang_id" -> (langId _),
     "q_llm_fingerprint" -> (fingerprint _),
+    "q_llm_tokenize" -> (tokenize _),
     "q_llm_decode" -> (decode _),
   )
 
@@ -350,6 +391,7 @@ object LlmExt extends QueryModule {
     "q_llm_sim_ann" -> simAnnSql,
     "q_llm_lang_id" -> langIdSql,
     "q_llm_fingerprint" -> fingerprintSql,
+    "q_llm_tokenize" -> tokenizeSql,
     "q_llm_decode" -> decodeSql,
   )
 }
