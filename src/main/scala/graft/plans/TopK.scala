@@ -171,11 +171,21 @@ object TopK {
       }
     }
 
+    // the literal may surface as INT or (after cast folding against a
+    // long-typed rank column) BIGINT
+    private object IntLimit {
+      def unapply(e: Expression): Option[Int] = e match {
+        case Literal(v: Int, IntegerType) => Some(v)
+        case Literal(v: Long, _) if v <= Int.MaxValue => Some(v.toInt)
+        case _ => None
+      }
+    }
+
     private def limitOf(cond: Expression, rn: AttributeReference): Option[Int] =
       cond match {
-        case LessThanOrEqual(a: AttributeReference, Literal(v: Int, IntegerType))
+        case LessThanOrEqual(a: AttributeReference, IntLimit(v))
           if a.exprId == rn.exprId => Some(v)
-        case LessThan(a: AttributeReference, Literal(v: Int, IntegerType))
+        case LessThan(a: AttributeReference, IntLimit(v))
           if a.exprId == rn.exprId => Some(v - 1)
         case _ => None
       }
