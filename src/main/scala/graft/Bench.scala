@@ -33,6 +33,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // planner extensions at session construction — both passes of every
+    // query run under identical planning rules
+    graft.plans.TopK.install(spark)
 
     // SPARK_GRAFT_BENCH_ONLY: comma-separated query subset (dev bisection)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -73,9 +76,19 @@ object Bench {
     val errors = timed.collect { case (n, _, Left(e)) => n -> e }
     val qs = timed.map { case (n, sec, _) => s""""$n":$sec""" }
       .mkString("{", ",", "}")
-    val errJson = errors.map { case (n, e) =>
-      s""""$n":"${e.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replace("\n", " ")}"""" }.mkString("{", ",", "}")
+    // full JSON string escape incl. ALL control chars — exception
+    // messages routinely carry tabs/CRs, which would corrupt the line
+    def esc(x: String): String = x.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val errJson = errors.map { case (n, e) => s""""$n":"${esc(e)}"""" }
+      .mkString("{", ",", "}")
     val total = timed.map(_._2).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +

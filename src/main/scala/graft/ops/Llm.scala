@@ -45,7 +45,10 @@ object Llm extends QueryModule {
   }
 
   /** Distinct word-3-shingles of a text column (min 10 tokens in data;
-    * guarded anyway — sequence(1, n) with n<1 would count DOWN). */
+    * guarded anyway — sequence(1, n) with n<1 would count DOWN). Docs
+    * with < 3 tokens yield an EMPTY set, matching the DuckDB oracle's
+    * range(1, len-1) (a non-empty fallback would let two short docs
+    * match each other on the Spark side only). */
   private def shingles3(text: Column): Column = {
     val w = words(text)
     val n = size(w)
@@ -53,7 +56,7 @@ object Llm extends QueryModule {
       array_distinct(transform(sequence(lit(1), n - 2), i =>
         concat_ws(" ", element_at(w, i), element_at(w, i + 1),
           element_at(w, i + 2)))))
-      .otherwise(array(text))
+      .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))
   }
 
   // ----------------------------------------------------- q_llm_dedup_exact

@@ -265,6 +265,10 @@ object LlmExt extends QueryModule {
     Llm.docs(s, d)
       .filter(col("n_chars") >= 20)
       .withColumn("w", split(col("text"), " "))
+      // need >= 4 grams (>= 6 tokens) for one full winnowing window —
+      // below that, sequence(1, n) with n < 1 would count DOWN and
+      // slice(g, 0, 4) throws; the oracle carries the same bound
+      .filter(size(col("w")) >= 6)
       .withColumn("g", expr(
         "transform(sequence(1, size(w) - 2), " +
           "i -> cast(conv(substring(md5(cast(concat_ws(' ', w[i-1], w[i], w[i+1]) AS BINARY)), 1, 15), 16, 10) AS BIGINT))"))
@@ -283,7 +287,8 @@ object LlmExt extends QueryModule {
        |         list_transform(range(1, len(w) - 1),
        |           i -> ${h60Sql("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")}) AS gh
        |  FROM (SELECT doc_id, string_split(text, ' ') AS w
-       |        FROM documents WHERE n_chars >= 20)),
+       |        FROM documents WHERE n_chars >= 20)
+       |  WHERE len(w) >= 6),
        |w AS (
        |  SELECT doc_id,
        |         list_sort(list_distinct(list_transform(range(1, len(gh) - 2),

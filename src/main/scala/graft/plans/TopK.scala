@@ -191,8 +191,11 @@ object TopK {
       }
 
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-      // Filter directly over the window
-      case f @ Filter(cond, RowNumberWindow(rn, part, order, child)) =>
+      // Filter directly over the window. Global top-k (empty
+      // partitionBy) is NOT rewritten: ClusteredDistribution rejects an
+      // empty clustering, and the builtin window path handles it fine.
+      case f @ Filter(cond, RowNumberWindow(rn, part, order, child))
+        if part.nonEmpty =>
         limitOf(cond, rn) match {
           case Some(k) if k > 0 => TopKPerGroup(k, part, order, rn, child)
           case _ => f
@@ -201,7 +204,7 @@ object TopK {
       // withColumn produces: Project re-aliases/casts the rank)
       case f @ Filter(cond, proj @ Project(projList,
           RowNumberWindow(rn, part, order, child)))
-        if projList.forall {
+        if part.nonEmpty && projList.forall {
           case _: AttributeReference => true
           case Alias(c, _) => c.references.subsetOf(AttributeSet(child.output :+ rn))
           case _ => false

@@ -110,18 +110,26 @@ private[rest] class RestReaderFactory extends PartitionReaderFactory {
   * partition on an executor shares the budget, like the reference's
   * per-worker throttle state (`meetup.rkt:9-10` boxes). */
 private[rest] object Throttle {
-  private var tokens = 0.0
-  private var rate = 0.0
-  private var last = System.nanoTime()
-  def acquire(ratePerSecond: Double): Unit = synchronized {
-    rate = ratePerSecond
-    while ({
-      val now = System.nanoTime()
-      tokens = math.min(rate, tokens + (now - last) / 1e9 * rate)
-      last = now
-      tokens < 1.0
-    }) Thread.sleep(math.max(1L, (1000 / rate).toLong))
-    tokens -= 1.0
+  // one bucket per rate so concurrent scans with different configured
+  // rates don't fight over shared state
+  private val buckets =
+    scala.collection.mutable.HashMap.empty[Long, (Double, Long)] // rate-> (tokens, lastNanos)
+
+  /** Try to take a token; returns 0 on success or the suggested sleep
+    * millis. Never sleeps inside the lock — other readers keep making
+    * progress while a throttled one waits. */
+  private def tryAcquire(rate: Double): Long = synchronized {
+    val key = java.lang.Double.doubleToLongBits(rate)
+    val now = System.nanoTime()
+    val (tokens0, last) = buckets.getOrElse(key, (rate, now))
+    val tokens = math.min(rate, tokens0 + (now - last) / 1e9 * rate)
+    if (tokens >= 1.0) { buckets(key) = (tokens - 1.0, now); 0L }
+    else { buckets(key) = (tokens, now); math.max(1L, (1000 / rate).toLong) }
+  }
+
+  def acquire(ratePerSecond: Double): Unit = {
+    var wait = tryAcquire(ratePerSecond)
+    while (wait > 0) { Thread.sleep(wait); wait = tryAcquire(ratePerSecond) }
   }
 }
 
@@ -134,9 +142,13 @@ private[rest] class RestReader(p: RestPartition)
   private lazy val lines: Iterator[String] = {
     Throttle.acquire(p.ratePerSecond) // one fetch per partition
     val path = java.nio.file.Paths.get(s"${p.fixturesDir}/raw_${p.adapter}.jsonl")
+    // whitespace-tolerant chapter match so reformatted/minified JSON
+    // doesn't silently yield empty partitions
+    val re = ("\"chapter\"\\s*:\\s*\"" +
+      java.util.regex.Pattern.quote(p.chapter) + "\"").r
     if (!java.nio.file.Files.exists(path)) Iterator.empty
     else java.nio.file.Files.readAllLines(path).asScala.iterator
-      .filter(_.contains(s""""chapter": "${p.chapter}""""))
+      .filter(line => re.findFirstIn(line).isDefined)
   }
 
   private var current: String = _

@@ -78,7 +78,14 @@ object Streams extends QueryModule {
     // run otherwise leaves loaded providers behind in the executor JVM
     // (measured: batch queries after a streaming pass ran 2-6× slower)
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-    s.table(qn)
+    // materialize the sink and drop its temp view so repeated runs
+    // don't accumulate sink tables in the session catalog
+    val result = s.table(qn)
+    val rows = result.collect().toSeq
+    val schema = result.schema
+    s.catalog.dropTempView(qn)
+    s.createDataFrame(
+      s.sparkContext.parallelize(rows, 1).toJavaRDD(), schema)
   }
 
   private val wfmt = "yyyy-MM-dd HH:mm:ss"
@@ -239,8 +246,13 @@ object Streams extends QueryModule {
     }
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     // update mode re-emits a group when it changes; keep the final
-    // (max, counts are monotone) value per group.
-    s.table(qn)
+    // (max, counts are monotone) value per group. Materialize + drop
+    // the sink view as in runToBatch.
+    val sink = s.table(qn)
+    val rows = sink.collect().toSeq
+    val schema = sink.schema
+    s.catalog.dropTempView(qn)
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1).toJavaRDD(), schema)
       .select(date_format(col("window.start"), wfmt).as("wstart"),
         col("k"), col("n"))
       .groupBy(col("wstart"), col("k"))

@@ -20,7 +20,9 @@ class NormalizePropertySpec extends AnyFunSuite {
   private def field(name: String, v: Option[String], quote: Boolean = true) =
     v.map(x => if (quote) s""""$name": "$x"""" else s""""$name": $x""")
 
-  private val meetupLine: Gen[String] = for {
+  // (line, idPresent) — id presence tracked from the generator, not
+  // re-derived by substring probing (a VALUE could be the string "id")
+  private val meetupLine: Gen[(String, Boolean)] = for {
     id <- opt(word)
     link <- opt(word)
     time <- opt(Gen.chooseNum(0L, 2000000000000L))
@@ -40,17 +42,19 @@ class NormalizePropertySpec extends AnyFunSuite {
       Some(s""""photo_album": {"photo_sample": [${
         (0 until nPhotos).map(i => s"""{"photo_link": "p$i"}""").mkString(", ")}]}""")
     else None
-    (Seq(field("chapter", Some("propch")), field("id", id),
+    val line = (Seq(field("chapter", Some("propch")), field("id", id),
       field("link", link),
       field("time", time.map(_.toString), quote = false),
       field("utc_offset", off.map(_.toString), quote = false),
       field("name", Some(name)), field("description", desc))
       .flatten ++ venue ++ photos).mkString("{", ", ", "}")
+    (line, id.isDefined)
   }
 
   test("property: meetup normalize is total and error iff id is null") {
-    val lines = Gen.listOfN(200, meetupLine).sample.getOrElse(Nil)
-    assert(lines.nonEmpty)
+    val gen = Gen.listOfN(200, meetupLine).sample.getOrElse(Nil)
+    assert(gen.nonEmpty)
+    val lines = gen.map(_._1)
     import s.implicits._
     val raw = s.read.schema(Normalize.meetupRawSchema)
       .json(s.createDataset(lines))
@@ -59,7 +63,7 @@ class NormalizePropertySpec extends AnyFunSuite {
     assert(out.count() == lines.length)
     assert(out.schema == Normalize.canonicalSchema)
     // error channel engaged exactly for null ids
-    val nullIds = lines.count(!_.contains("\"id\""))
+    val nullIds = gen.count(!_._2)
     assert(out.filter(col("error").isNotNull).count() == nullIds)
     // masked rows: error rows carry no payload
     assert(out.filter(col("error").isNotNull && col("url").isNotNull)

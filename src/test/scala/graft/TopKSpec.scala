@@ -61,7 +61,19 @@ class TopKSpec extends AnyFunSuite {
     val df = Tables.orders(s, d)
       .withColumn("r", rank().over(w).cast("long"))
       .filter(col("r") <= 2)
-    assert(!df.queryExecution.executedPlan.toString.contains("TopKExec"))
+    val str = df.queryExecution.executedPlan.toString
+    assert(!str.contains("PartialTopK") && !str.contains("FinalTopK"))
     assert(df.count() > 0)
+  }
+
+  test("global top-k (empty partitionBy) is left to the builtin path") {
+    TopK.install(s)
+    val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val df = Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+    val str = df.queryExecution.executedPlan.toString
+    assert(!str.contains("PartialTopK") && !str.contains("FinalTopK"))
+    assert(df.count() == 5) // and it still executes fine
   }
 }
