@@ -271,4 +271,17 @@ object Normalize {
   def writeKeyedJson(ok: DataFrame, outPath: String): Unit =
     ok.repartition(col("chapter"))
       .write.mode("overwrite").partitionBy("chapter").json(outPath)
+
+  /** A20 sink-edge map shape: the reference's per-chapter output is a
+    * single JSON object keyed by event id (`for/hasheq` at
+    * meetup.rkt:40-41, written at api-runner.rkt:39-52). Rows stay the
+    * engine-internal representation; this reshapes to the reference's
+    * observable envelope only at the boundary. */
+  def toReferenceShape(ok: DataFrame): DataFrame =
+    ok.groupBy(col("chapter"))
+      .agg(map_from_entries(collect_list(struct(
+        col("event_id"),
+        struct(col("url"), col("time"), col("utcOffset"), col("title"),
+          col("description"), col("venue"), col("photos")).as("event"))))
+        .as("events"))
 }

@@ -88,6 +88,24 @@ class NormalizeSpec extends AnyFunSuite {
       .getAs[Double]("lon") == 12.4964)
   }
 
+  test("sink-edge reference shape: one id→event map per chapter (meetup.rkt:40-41)") {
+    val (ok, _) = Normalize.split(all)
+    val shaped = Normalize.toReferenceShape(ok)
+    val ny = shaped.filter(col("chapter") === "newyork").collect()(0)
+    val events = ny.getAs[Map[String, org.apache.spark.sql.Row]]("events")
+    assert(events.keySet == Set("219961100", "219961101"))
+    assert(events("219961100").getAs[String]("url") ==
+      "http://www.meetup.com/papers-we-love/events/219961100/")
+    // serialized line matches the reference's envelope: {"id": {event}}
+    val out = Files.createTempDirectory("graft-refshape").toString
+    shaped.filter(col("chapter") === "newyork").select("events")
+      .coalesce(1).write.mode("overwrite").json(out)
+    val line = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".json")).map(f =>
+        new String(Files.readAllBytes(f.toPath))).mkString
+    assert(line.contains("\"219961100\":{\"url\":"))
+  }
+
   test("keyed JSON sink: one directory per chapter (api-runner.rkt:39-52)") {
     val out = Files.createTempDirectory("graft-sink").toString
     val (ok, _) = Normalize.split(all)
