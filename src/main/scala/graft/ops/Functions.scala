@@ -149,7 +149,7 @@ object Functions extends QueryModule {
     * l_quantity is integral (verified) so sums are exact and the
     * int-cast join string is stable across engines. */
   private def fnArray(s: SparkSession, d: String): DataFrame =
-    T.par(s, T.lineitem(s, d))
+    T.lineitem(s, d)
       .groupBy(col("l_orderkey").as("o_orderkey"))
       .agg(array_sort(collect_list(col("l_quantity"))).as("qtys"))
       .select(
@@ -197,7 +197,7 @@ object Functions extends QueryModule {
     * recomputes the same scalars relationally — the contract is equal
     * values, not equal intermediate representations. */
   private def fnMap(s: SparkSession, d: String): DataFrame =
-    T.par(s, T.lineitem(s, d))
+    T.lineitem(s, d)
       .groupBy(col("l_orderkey"), col("l_linenumber"))
       .agg(sum(col("l_quantity")).as("qty"))
       .groupBy(col("l_orderkey").as("o_orderkey"))
