@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Parquet table loaders for the driver-generated TPC-H-ish star schema
@@ -53,6 +53,11 @@ object Tables {
     * callers would drop this. */
   def par(s: SparkSession, df: DataFrame): DataFrame =
     df.repartition(s.sparkContext.defaultParallelism)
+
+  /** Keyed variant of [[par]] for callers that also want co-location
+    * by a column (e.g. documents by doc_id). */
+  def par(s: SparkSession, df: DataFrame, key: Column): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism, key)
 }
 
 /** A named query + its DuckDB oracle SQL. Modules contribute these and

@@ -39,10 +39,25 @@ object Llm extends QueryModule {
     * one partition, re-serializing the downstream projections. On a
     * real multi-file 100 TB table the scan is already parallel and
     * this is one extra small exchange. */
-  private[ops] def docs(s: SparkSession, d: String): DataFrame = {
-    val n = s.sparkContext.defaultParallelism
-    T.documents(s, d).repartition(n, col("doc_id"))
-  }
+  private[ops] def docs(s: SparkSession, d: String): DataFrame =
+    T.par(s, T.documents(s, d), col("doc_id"))
+
+  /** Bucketed candidate-pair generation shared by the LSH-family
+    * dedups: group by bucket key, collect sorted members, expand all
+    * unordered member pairs in-array. One pipeline computation — a
+    * bands⨝bands self-join would clone the whole signature subplan
+    * into both sides. Returns distinct (x, y) member pairs. */
+  private[ops] def bucketPairs(df: DataFrame, keys: Seq[Column],
+                               member: Column): DataFrame =
+    df.groupBy(keys: _*)
+      .agg(sort_array(collect_list(member)).as("members"))
+      .filter(size(col("members")) > 1)
+      .select(explode(expr(
+        "flatten(transform(members, (x, i) -> " +
+          "transform(slice(members, i + 2, size(members)), y -> struct(x, y))))"))
+        .as("p"))
+      .select(col("p.x"), col("p.y"))
+      .distinct()
 
   /** Distinct word-3-shingles of a text column (min 10 tokens in data;
     * guarded anyway — sequence(1, n) with n<1 would count DOWN). Docs
@@ -126,22 +141,11 @@ object Llm extends QueryModule {
           col(s"mh${3 * b + 2}").as("k3"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.k1"), col("bk.k2"),
         col("bk.k3"))
-    // Candidates via bucket-collect rather than a bands⨝bands self-join:
-    // a self-join materializes the whole signature pipeline TWICE (one
-    // copy per join side — no subplan sharing without caching), which
-    // doubled the dominant cost. groupBy bucket → sorted id list →
-    // in-array pair expansion computes signatures once; bucket sizes
-    // are tiny by the r=3 geometry, so collect_list is bounded.
-    val cand = bands
-      .groupBy(col("band"), col("k1"), col("k2"), col("k3"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        "flatten(transform(ids, (a, i) -> " +
-          "transform(slice(ids, i + 2, size(ids)), b -> struct(a, b))))"))
-        .as("p"))
-      .select(col("p.a").as("da"), col("p.b").as("db"))
-      .distinct()
+    // bucket sizes are tiny by the r=3 geometry, so the collect_list
+    // inside bucketPairs is bounded
+    val cand = bucketPairs(bands,
+        Seq(col("band"), col("k1"), col("k2"), col("k3")), col("doc_id"))
+      .select(col("x").as("da"), col("y").as("db"))
     val inter = size(array_intersect(col("ga"), col("gb"))).cast("double")
     cand
       .join(base.select(col("doc_id").as("da"), col("g").as("ga")), "da")

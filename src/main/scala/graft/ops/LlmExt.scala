@@ -58,22 +58,13 @@ object LlmExt extends QueryModule {
           shiftright(col("fp"), 16 * b).bitwiseAND(lit(65535L)).as("k"))): _*))
         .as("bk"))
       .select(col("doc_id"), col("fp"), col("bk.b"), col("bk.k"))
-    // bucket-collect instead of a self-join so the fingerprint pipeline
-    // is computed once (a self-join clones the whole subplan per side);
+    // shared bucket-collect pair expansion (Llm.bucketPairs); members
     // carry (doc_id, fp) structs so verification needs no join back
-    bands
-      .groupBy(col("b"), col("k"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("fp"))))
-        .as("members"))
-      .filter(size(col("members")) > 1)
-      .select(explode(expr(
-        "flatten(transform(members, (x, i) -> " +
-          "transform(slice(members, i + 2, size(members)), y -> struct(x, y))))"))
-        .as("p"))
-      .select(col("p.x.doc_id").as("da"), col("p.y.doc_id").as("db"),
-        bit_count(col("p.x.fp").bitwiseXOR(col("p.y.fp"))).cast("long")
+    Llm.bucketPairs(bands, Seq(col("b"), col("k")),
+        struct(col("doc_id"), col("fp")))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).cast("long")
           .as("hamming"))
-      .distinct()
       .filter(col("hamming") <= 3)
       .orderBy(col("da"), col("db"))
   }
@@ -360,7 +351,9 @@ object LlmExt extends QueryModule {
         val fmt = (n % 3) match {
           case 0 => "png"; case 1 => "jpg"; case _ => "wav"
         }
-        (id, fmt, 64 + n % 640, 64 + (n * 7) % 480, n.toLong)
+        // n.toLong: Int arithmetic would overflow (and diverge from
+        // the BIGINT oracle) for payloads past ~306 MB
+        (id, fmt, 64 + n % 640, (64 + (n.toLong * 7) % 480).toInt, n.toLong)
         // ---- end stub ----
       })
       .toDF("doc_id", "fmt", "width", "height", "n_bytes")

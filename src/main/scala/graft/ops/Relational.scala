@@ -315,8 +315,8 @@ object Relational extends QueryModule {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** HLL sketch distinct — no exact oracle (approx); driver rows-check.
-    * Error bounds vs the exact count are asserted in
-    * `ApproxDistinctSpec` (src/test/scala/graft). */
+    * Error bounds vs the exact count are asserted in `OperatorSpec`
+    * ("approx_count_distinct within 3×rsd of exact"). */
   private def aggApprox(s: SparkSession, d: String): DataFrame =
     T.lineitem(s, d)
       .groupBy(col("l_returnflag"))

@@ -92,12 +92,15 @@ case class FinalTopKExec(
   override protected def doExecute(): RDD[InternalRow] =
     child.execute().mapPartitions { iter =>
       val ordering = RowOrdering.create(orderExprs, child.output)
+      // parents (collect, exchanges, sorts) require UnsafeRow — the
+      // JoinedRow must be projected, not handed up raw
+      val toUnsafe = UnsafeProjection.create(output, output)
+      val joined = new JoinedRow
       TopK.prune(iter, k, partitionExprs, orderExprs, child.output)
         .flatMap { case (_, rows) =>
-          val joined = new JoinedRow
           rows.sorted(ordering.asInstanceOf[Ordering[InternalRow]])
             .iterator.zipWithIndex.map { case (r, i) =>
-              joined(r, InternalRow(i + 1)).copy()
+              toUnsafe(joined(r, InternalRow(i + 1))).copy()
             }
         }
     }
@@ -172,11 +175,13 @@ object TopK {
     }
 
     // the literal may surface as INT or (after cast folding against a
-    // long-typed rank column) BIGINT
+    // long-typed rank column) BIGINT. Only strictly positive in-range
+    // values qualify: a negative BIGINT must not truncate into a
+    // "valid" small k, and v-1 must not wrap at Int.MinValue.
     private object IntLimit {
       def unapply(e: Expression): Option[Int] = e match {
-        case Literal(v: Int, IntegerType) => Some(v)
-        case Literal(v: Long, _) if v <= Int.MaxValue => Some(v.toInt)
+        case Literal(v: Int, IntegerType) if v > 0 => Some(v)
+        case Literal(v: Long, _) if v > 0 && v <= Int.MaxValue => Some(v.toInt)
         case _ => None
       }
     }
@@ -186,7 +191,7 @@ object TopK {
         case LessThanOrEqual(a: AttributeReference, IntLimit(v))
           if a.exprId == rn.exprId => Some(v)
         case LessThan(a: AttributeReference, IntLimit(v))
-          if a.exprId == rn.exprId => Some(v - 1)
+          if a.exprId == rn.exprId && v > 1 => Some(v - 1)
         case _ => None
       }
 

@@ -226,7 +226,14 @@ object Normalize {
       lit(null).cast(photosDdl).as("photos"),
       when(local.isNull,
         concat(lit("ERROR: unparseable start.local for event "), col("id"),
-          lit(" in chapter "), col("chapter"))).as("error")))
+          lit(" in chapter "), col("chapter")))
+        // parseable local time but no timezone → the UTC conversion
+        // nulls out; without this a row with a null key/time would
+        // sail through the ok channel
+        .when(utcTs.isNull,
+          concat(lit("ERROR: missing start.timezone for event "), col("id"),
+            lit(" in chapter "), col("chapter")))
+        .as("error")))
   }
 
   /** api-runner.rkt:144-146 — unregistered adapters become error rows. */

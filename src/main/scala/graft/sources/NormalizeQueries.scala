@@ -34,7 +34,12 @@ object NormalizeQueries extends QueryModule {
       col("venue.lat").as("venue_lat"),
       size(col("photos")).cast("long").as("n_photos"),
       col("error"))
-      .orderBy(col("chapter"), asc_nulls_first("event_id"), col("error"))
+      // null ordering pinned on BOTH tie-break columns — Spark
+      // defaults NULLS FIRST, DuckDB NULLS LAST; leaving `error`
+      // implicit would flip row order whenever an ok row and an error
+      // row tie on (chapter, event_id)
+      .orderBy(col("chapter"), asc_nulls_first("event_id"),
+        asc_nulls_first("error"))
   }
 
   private val mdSql: String = {
@@ -101,7 +106,10 @@ object NormalizeQueries extends QueryModule {
        |  venue.longitude::DOUBLE AS venue_lon, venue.latitude::DOUBLE AS venue_lat,
        |  NULL::BIGINT AS n_photos,
        |  CASE WHEN $ebLocal IS NULL THEN 'ERROR: unparseable start.local for event '
-       |       || id || ' in chapter ' || chapter END AS error
+       |       || id || ' in chapter ' || chapter
+       |       WHEN start.timezone IS NULL THEN
+       |       'ERROR: missing start.timezone for event ' || id ||
+       |       ' in chapter ' || chapter END AS error
        |  FROM e_raw),
        |u AS (SELECT
        |  NULL::VARCHAR AS event_id, chapter, NULL::VARCHAR AS url,
@@ -134,7 +142,7 @@ object NormalizeQueries extends QueryModule {
        |  CASE WHEN error IS NULL THEN n_photos END AS n_photos,
        |  error
        |FROM all_rows
-       |ORDER BY chapter, event_id ASC NULLS FIRST, error""".stripMargin
+       |ORDER BY chapter, event_id ASC NULLS FIRST, error ASC NULLS FIRST""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -79,12 +79,14 @@ private[rest] class RestScanBuilder(props: Map[String, String])
       sys.error("graft-rest: option 'chaptersFile' is required"))
     val lines = java.nio.file.Files.readAllLines(
       java.nio.file.Paths.get(chaptersFile)).asScala
-    val ChapterRe = """"chapter"\s*:\s*"([^"]+)"""".r.unanchored
-    val AdapterRe = """"adapter"\s*:\s*"([^"]+)"""".r.unanchored
+    // real JSON parse (jackson ships with Spark) — a regex probe would
+    // false-match field VALUES containing the text "chapter": "..."
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     lines.filter(_.trim.nonEmpty).flatMap { line =>
-      (ChapterRe.findFirstMatchIn(line), AdapterRe.findFirstMatchIn(line)) match {
+      val node = mapper.readTree(line)
+      (Option(node.get("chapter")), Option(node.get("adapter"))) match {
         case (Some(c), Some(a)) =>
-          Some(RestPartition(c.group(1), a.group(1),
+          Some(RestPartition(c.asText, a.asText,
             props.getOrElse("fixturesdir", ""),
             props.getOrElse("ratepersecond", "100").toDouble))
         case _ => None
@@ -142,13 +144,16 @@ private[rest] class RestReader(p: RestPartition)
   private lazy val lines: Iterator[String] = {
     Throttle.acquire(p.ratePerSecond) // one fetch per partition
     val path = java.nio.file.Paths.get(s"${p.fixturesDir}/raw_${p.adapter}.jsonl")
-    // whitespace-tolerant chapter match so reformatted/minified JSON
-    // doesn't silently yield empty partitions
-    val re = ("\"chapter\"\\s*:\\s*\"" +
-      java.util.regex.Pattern.quote(p.chapter) + "\"").r
+    // real JSON parse per line — formatting-independent and immune to
+    // values that merely contain the text "chapter": "..."
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     if (!java.nio.file.Files.exists(path)) Iterator.empty
     else java.nio.file.Files.readAllLines(path).asScala.iterator
-      .filter(line => re.findFirstIn(line).isDefined)
+      .filter { line =>
+        line.trim.nonEmpty &&
+          Option(mapper.readTree(line).get("chapter"))
+            .exists(_.asText == p.chapter)
+      }
   }
 
   private var current: String = _

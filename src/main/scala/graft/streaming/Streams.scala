@@ -64,22 +64,25 @@ object Streams extends QueryModule {
     try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
-  /** Run a streaming frame to completion into a memory sink; return
-    * the sink contents as a batch frame. Unique sink name per run so
-    * warm-up + timed bench passes don't collide. */
-  private def runToBatch(s: SparkSession, df: DataFrame, mode: String): DataFrame = {
+  /** Run a streaming frame into a memory sink, driving it with `drive`
+    * (AvailableNow-to-completion for the file-source queries; manual
+    * multi-batch feeding for the late-data case), then clean up and
+    * return the sink contents as a batch frame.
+    * Cleanup contract: unload state-store providers + stop the
+    * maintenance task (each run otherwise leaves loaded providers
+    * behind — measured 2-6× slowdown of whatever executes next) and
+    * materialize + drop the sink temp view so runs don't accumulate
+    * tables in the session catalog. */
+  private def runStream(s: SparkSession, df: DataFrame, mode: String,
+      trigger: Option[Trigger],
+      drive: org.apache.spark.sql.streaming.StreamingQuery => Unit): DataFrame = {
     val qn = "s_" + java.util.UUID.randomUUID.toString.replace("-", "")
     withStreamPartitions(s) {
-      val q = df.writeStream.format("memory").queryName(qn)
-        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      var w = df.writeStream.format("memory").queryName(qn).outputMode(mode)
+      trigger.foreach(t => w = w.trigger(t))
+      drive(w.start())
     }
-    // unload state-store providers + stop the maintenance task: each
-    // run otherwise leaves loaded providers behind in the executor JVM
-    // (measured: batch queries after a streaming pass ran 2-6× slower)
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-    // materialize the sink and drop its temp view so repeated runs
-    // don't accumulate sink tables in the session catalog
     val result = s.table(qn)
     val rows = result.collect().toSeq
     val schema = result.schema
@@ -87,6 +90,11 @@ object Streams extends QueryModule {
     s.createDataFrame(
       s.sparkContext.parallelize(rows, 1).toJavaRDD(), schema)
   }
+
+  /** Run a streaming frame to completion (AvailableNow). Unique sink
+    * name per run so warm-up + timed bench passes don't collide. */
+  private def runToBatch(s: SparkSession, df: DataFrame, mode: String): DataFrame =
+    runStream(s, df, mode, Some(Trigger.AvailableNow()), _.awaitTermination())
 
   private val wfmt = "yyyy-MM-dd HH:mm:ss"
   // DuckDB-side µs truncation of the ns event time (matches Spark's
@@ -227,10 +235,7 @@ object Streams extends QueryModule {
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "15 minutes"), col("k"))
       .agg(count(lit(1)).as("n"))
-    val qn = "s_late_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    withStreamPartitions(s) {
-      val q = agg.writeStream.format("memory").queryName(qn)
-        .outputMode("update").start()
+    val sink = runStream(s, agg, "update", None, { q =>
       // batch 1: max ts 10:40 → watermark after commit = 10:30
       mem.addData(
         (t("2024-01-01T10:00:00Z"), "A"), (t("2024-01-01T10:05:00Z"), "A"),
@@ -243,16 +248,10 @@ object Streams extends QueryModule {
         (t("2024-01-01T10:35:00Z"), "B"), (t("2024-01-01T10:44:00Z"), "A"))
       q.processAllAvailable()
       q.stop()
-    }
-    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    })
     // update mode re-emits a group when it changes; keep the final
-    // (max, counts are monotone) value per group. Materialize + drop
-    // the sink view as in runToBatch.
-    val sink = s.table(qn)
-    val rows = sink.collect().toSeq
-    val schema = sink.schema
-    s.catalog.dropTempView(qn)
-    s.createDataFrame(s.sparkContext.parallelize(rows, 1).toJavaRDD(), schema)
+    // (max, counts are monotone) value per group.
+    sink
       .select(date_format(col("window.start"), wfmt).as("wstart"),
         col("k"), col("n"))
       .groupBy(col("wstart"), col("k"))

@@ -25,19 +25,20 @@ class NormalizeSpec extends AnyFunSuite {
   }
 
   test("cardinality: every fixture row lands exactly once") {
-    // 5 meetup + 4 facebook + 5 eventbrite + 1 unknown-adapter chapter
-    assert(all.count() == 15)
+    // 5 meetup + 4 facebook + 6 eventbrite + 1 unknown-adapter chapter
+    assert(all.count() == 16)
   }
 
   test("error channel: per-row errors, ok/err split partitions the set") {
     val (ok, err) = Normalize.split(all)
     assert(ok.count() == 10)
-    assert(err.count() == 5)
+    assert(err.count() == 6)
     val msgs = err.orderBy("error").collect().map(_.getString(1)).toSeq
     assert(msgs.exists(_.contains("No adapter gopher found for chapter atlantis")))
     assert(msgs.exists(_.contains("missing id for event 'Ghost Event' in chapter london")))
     assert(msgs.exists(_.contains("unparseable start_time 'whenever'")))
     assert(msgs.exists(_.contains("unparseable start.local for event 38448288871")))
+    assert(msgs.exists(_.contains("missing start.timezone for event 38448288872")))
   }
 
   test("meetup normalize: renames, defaults, photos transform (meetup.rkt:39-59)") {

@@ -24,7 +24,7 @@ class RestSourceSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     // ghost meetup row (no id) still belongs to london's payload
     assert(byChapter == Map("newyork" -> 2L, "london" -> 3L, "berlin" -> 4L,
-      "rome" -> 2L, "miami" -> 3L)) // atlantis: unknown adapter → no fixture
+      "rome" -> 2L, "miami" -> 4L)) // atlantis: unknown adapter → no fixture
   }
 
   test("composes with the normalize pipeline end to end") {

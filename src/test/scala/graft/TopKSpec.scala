@@ -66,6 +66,32 @@ class TopKSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("collect() works when the Filter has no Project above it") {
+    // regression: FinalTopKExec must emit UnsafeRow — a bare
+    // withColumn+filter+collect (no select) crashed with
+    // ClassCastException before the UnsafeProjection wrap
+    TopK.install(s)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val rows = Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .collect()
+    assert(rows.nonEmpty)
+  }
+
+  test("negative or wrapping rank limits are not rewritten") {
+    TopK.install(s)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val df = Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= lit(-4294967293L)) // low 32 bits == 3
+    val str = df.queryExecution.executedPlan.toString
+    assert(!str.contains("PartialTopK") && !str.contains("FinalTopK"))
+    assert(df.count() == 0) // always-false predicate stays always-false
+  }
+
   test("global top-k (empty partitionBy) is left to the builtin path") {
     TopK.install(s)
     val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
