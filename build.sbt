@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the bench JSON line off stdout; sbt's default
+// LoggedOutput wraps forked stdout in "[info] " which breaks that
+// parse (BENCH_r01/r02 parsed:null). StdoutOutput passes the forked
+// process's stdout/stderr through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

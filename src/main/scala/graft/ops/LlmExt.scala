@@ -324,7 +324,7 @@ object LlmExt extends QueryModule {
       |SELECT doc_id, lang, n_ws,
       |       len(pre)::BIGINT AS n_pre,
       |       list_sum(list_transform(pre, x -> ceil(length(x) / 4.0)::BIGINT))
-      |         AS n_bpe_est,
+      |         ::BIGINT AS n_bpe_est,
       |       floor((n_chars / list_sum(list_transform(pre,
       |              x -> ceil(length(x) / 4.0)::BIGINT))::DOUBLE)
       |             * 10000 + 0.5) / 10000 AS chars_per_tok

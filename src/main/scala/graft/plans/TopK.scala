@@ -67,8 +67,16 @@ case class PartialTopKExec(
 
   override protected def doExecute(): RDD[InternalRow] =
     child.execute().mapPartitions { iter =>
-      TopK.prune(iter, k, partitionExprs, orderExprs, child.output)
-        .flatMap(_._2)
+      // rows feed the EnsureRequirements-inserted shuffle, whose
+      // UnsafeRowSerializer requires UnsafeRow — a child producing
+      // GenericInternalRow (codegen off, object operators) must be
+      // projected, mirroring the Final side. The shuffle writer
+      // serializes each row before the next projection call, so the
+      // reused buffer needs no per-row copy.
+      val toUnsafe = UnsafeProjection.create(child.output, child.output)
+      TopK.prune(iter, k, partitionExprs, orderExprs, child.output,
+          maxGroups = TopK.partialMaxGroups)
+        .flatMap(_._2).map(toUnsafe)
     }
 
   override protected def withNewChildInternal(c: SparkPlan): PartialTopKExec =
@@ -110,19 +118,38 @@ case class FinalTopKExec(
 }
 
 object TopK {
+  /** Map-side group-count bound: the partial heaps HashMap holds
+    * O(groups-per-partition × k) copied rows with no spill, so on a
+    * very-high-cardinality partitionBy it could OOM where the
+    * sort-based Window path would spill. Past this many live groups
+    * the partial exec FLUSHES its heaps downstream and starts fresh —
+    * correct because the partial prune only emits candidates; the
+    * final exec re-prunes each co-located group, so a group split
+    * across flushes just ships a few extra rows. Memory stays bounded
+    * at maxGroups × k rows (at 2^17 groups × k=10 × ~200 B ≈ 256 MB
+    * worst-case, and far less for typical k and row widths). */
+  private[plans] val partialMaxGroups: Int = 1 << 17
+
   /** Shared bounded-heap pruning: group rows by the partition key and
     * keep only the k best under the sort order (max-heap holds the
-    * current k; a better row evicts the worst). O(n log k), no sort. */
+    * current k; a better row evicts the worst). O(n log k), no sort.
+    *
+    * `maxGroups` bounds the live-heap count (see [[partialMaxGroups]]);
+    * when exceeded, current heaps are emitted and cleared, so the SAME
+    * group key may appear in the output more than once. Only the
+    * partial exec may pass a finite bound — the final exec requires
+    * full grouping (one output tuple per key) to rank correctly. */
   private[plans] def prune(
       iter: Iterator[InternalRow], k: Int,
       partitionExprs: Seq[Expression], orderExprs: Seq[SortOrder],
-      input: Seq[Attribute]): Iterator[(UnsafeRow, Seq[InternalRow])] = {
+      input: Seq[Attribute],
+      maxGroups: Int = Int.MaxValue): Iterator[(UnsafeRow, Seq[InternalRow])] = {
     val keyProj = UnsafeProjection.create(partitionExprs, input)
     val ord = RowOrdering.create(orderExprs, input)
       .asInstanceOf[Ordering[InternalRow]]
-    val heaps = scala.collection.mutable.HashMap
+    var heaps = scala.collection.mutable.HashMap
       .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
-    iter.foreach { row =>
+    def ingest(row: InternalRow): Unit = {
       val key = keyProj(row)
       heaps.get(key) match {
         case None =>
@@ -134,7 +161,19 @@ object TopK {
           else if (ord.compare(row, h.head) < 0) { h.dequeue(); h.enqueue(row.copy()) }
       }
     }
-    heaps.iterator.map { case (key, h) => key -> h.toSeq }
+    // one chunk per flush: consume input until the group bound trips
+    // (or input ends), emit the chunk's heaps, repeat. Lazy via
+    // iterator-of-iterators so emitted chunks stream straight into the
+    // shuffle writer while ingestion of the next chunk proceeds.
+    new Iterator[Iterator[(UnsafeRow, Seq[InternalRow])]] {
+      override def hasNext: Boolean = iter.hasNext || heaps.nonEmpty
+      override def next(): Iterator[(UnsafeRow, Seq[InternalRow])] = {
+        while (iter.hasNext && heaps.size < maxGroups) ingest(iter.next())
+        val out = heaps
+        heaps = scala.collection.mutable.HashMap.empty
+        out.iterator.map { case (key, h) => key -> h.toSeq }
+      }
+    }.flatten
   }
 
   /** Strategy: plan the logical node as partial → (exchange inserted

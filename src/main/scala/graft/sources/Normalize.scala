@@ -120,6 +120,14 @@ object Normalize {
 
   // ----------------------------------------------------------- normalizers
 
+  /** Error messages interpolate raw payload fields that may themselves
+    * be null; plain concat() null-propagates, which would null the
+    * whole error string and let the invalid row sail through the ok
+    * channel with a null key. Render null fields as "<null>" instead
+    * (the oracle SQL mirrors this with coalesce). */
+  private def nn(c: org.apache.spark.sql.Column) =
+    coalesce(c.cast("string"), lit("<null>"))
+
   /** Null out every payload column on error rows (keep chapter+error) —
     * the row-level rendering of the reference's tagged union. */
   private def maskErrors(df: DataFrame): DataFrame = {
@@ -158,8 +166,8 @@ object Normalize {
             lit(null).cast("int").as("height"))),
         expr(s"CAST(array() AS $photosDdl)")).as("photos"),
       when(col("id").isNull,
-        concat(lit("ERROR: missing id for event '"), col("name"),
-          lit("' in chapter "), col("chapter"))).as("error")))
+        concat(lit("ERROR: missing id for event '"), nn(col("name")),
+          lit("' in chapter "), nn(col("chapter")))).as("error")))
 
   /** facebook.rkt:35-55 — URL synthesis (A24), ISO8601+offset epoch
     * (A21, sign-corrected), markdown description (A23), photos null. */
@@ -190,12 +198,12 @@ object Normalize {
         col("place.location.latitude").as("lat")).as("venue"),
       lit(null).cast(photosDdl).as("photos"),
       when(col("id").isNull,
-        concat(lit("ERROR: missing id for event '"), col("name"),
-          lit("' in chapter "), col("chapter")))
+        concat(lit("ERROR: missing id for event '"), nn(col("name")),
+          lit("' in chapter "), nn(col("chapter"))))
         .when(ts.isNull,
-          concat(lit("ERROR: unparseable start_time '"), col("start_time"),
+          concat(lit("ERROR: unparseable start_time '"), nn(col("start_time")),
             lit("' for event "), col("id"), lit(" in chapter "),
-            col("chapter"))).as("error")))
+            nn(col("chapter")))).as("error")))
   }
 
   /** eventbrite.rkt:51-85 — named-TZ local → DST-aware UTC epoch +
@@ -225,14 +233,14 @@ object Normalize {
         col("venue.latitude").cast("double").as("lat")).as("venue"),
       lit(null).cast(photosDdl).as("photos"),
       when(local.isNull,
-        concat(lit("ERROR: unparseable start.local for event "), col("id"),
-          lit(" in chapter "), col("chapter")))
+        concat(lit("ERROR: unparseable start.local for event "), nn(col("id")),
+          lit(" in chapter "), nn(col("chapter"))))
         // parseable local time but no timezone → the UTC conversion
         // nulls out; without this a row with a null key/time would
         // sail through the ok channel
         .when(utcTs.isNull,
-          concat(lit("ERROR: missing start.timezone for event "), col("id"),
-            lit(" in chapter "), col("chapter")))
+          concat(lit("ERROR: missing start.timezone for event "), nn(col("id")),
+            lit(" in chapter "), nn(col("chapter"))))
         .as("error")))
   }
 
@@ -254,7 +262,7 @@ object Normalize {
             "lon: DOUBLE, lat: DOUBLE>").as("venue"),
         lit(null).cast(photosDdl).as("photos"),
         concat(lit("ERROR: No adapter "), col("adapter"),
-          lit(" found for chapter "), col("chapter")).as("error"))
+          lit(" found for chapter "), nn(col("chapter"))).as("error"))
 
   /** A13 dispatch: per-adapter normalize → unionByName. In the
     * reference this is the WORKERS registry + cond; here each source

@@ -69,8 +69,9 @@ object NormalizeQueries extends QueryModule {
        |  venue.city AS venue_city, venue.zip AS venue_postal,
        |  venue.lon AS venue_lon, venue.lat AS venue_lat,
        |  coalesce(len(photo_album.photo_sample), 0)::BIGINT AS n_photos,
-       |  CASE WHEN id IS NULL THEN 'ERROR: missing id for event ''' || name ||
-       |       ''' in chapter ' || chapter END AS error
+       |  CASE WHEN id IS NULL THEN 'ERROR: missing id for event ''' ||
+       |       coalesce(name, '<null>') ||
+       |       ''' in chapter ' || coalesce(chapter, '<null>') END AS error
        |  FROM m_raw),
        |f AS (SELECT
        |  id AS event_id, chapter, 'https://facebook.com/' || id AS url,
@@ -88,10 +89,12 @@ object NormalizeQueries extends QueryModule {
        |  place.location.city AS venue_city, place.location.zip AS venue_postal,
        |  place.location.longitude AS venue_lon, place.location.latitude AS venue_lat,
        |  NULL::BIGINT AS n_photos,
-       |  CASE WHEN id IS NULL THEN 'ERROR: missing id for event ''' || name ||
-       |       ''' in chapter ' || chapter
+       |  CASE WHEN id IS NULL THEN 'ERROR: missing id for event ''' ||
+       |       coalesce(name, '<null>') ||
+       |       ''' in chapter ' || coalesce(chapter, '<null>')
        |       WHEN $fbTs IS NULL THEN 'ERROR: unparseable start_time ''' ||
-       |       start_time || ''' for event ' || id || ' in chapter ' || chapter
+       |       coalesce(start_time, '<null>') || ''' for event ' || id ||
+       |       ' in chapter ' || coalesce(chapter, '<null>')
        |  END AS error
        |  FROM f_raw),
        |e AS (SELECT
@@ -106,10 +109,10 @@ object NormalizeQueries extends QueryModule {
        |  venue.longitude::DOUBLE AS venue_lon, venue.latitude::DOUBLE AS venue_lat,
        |  NULL::BIGINT AS n_photos,
        |  CASE WHEN $ebLocal IS NULL THEN 'ERROR: unparseable start.local for event '
-       |       || id || ' in chapter ' || chapter
+       |       || coalesce(id, '<null>') || ' in chapter ' || coalesce(chapter, '<null>')
        |       WHEN start.timezone IS NULL THEN
-       |       'ERROR: missing start.timezone for event ' || id ||
-       |       ' in chapter ' || chapter END AS error
+       |       'ERROR: missing start.timezone for event ' || coalesce(id, '<null>') ||
+       |       ' in chapter ' || coalesce(chapter, '<null>') END AS error
        |  FROM e_raw),
        |u AS (SELECT
        |  NULL::VARCHAR AS event_id, chapter, NULL::VARCHAR AS url,
@@ -119,7 +122,8 @@ object NormalizeQueries extends QueryModule {
        |  NULL::VARCHAR AS venue_country, NULL::VARCHAR AS venue_city,
        |  NULL::VARCHAR AS venue_postal, NULL::DOUBLE AS venue_lon,
        |  NULL::DOUBLE AS venue_lat, NULL::BIGINT AS n_photos,
-       |  'ERROR: No adapter ' || adapter || ' found for chapter ' || chapter AS error
+       |  'ERROR: No adapter ' || adapter || ' found for chapter ' ||
+       |  coalesce(chapter, '<null>') AS error
        |  FROM c_raw WHERE adapter NOT IN ('meetup', 'facebook', 'eventbrite')),
        |all_rows AS (
        |  SELECT * FROM m UNION ALL SELECT * FROM f
