@@ -16,6 +16,7 @@ object SparkEntry {
     graft.ops.Functions,
     graft.ops.Llm,
     graft.ops.LlmExt,
+    graft.ops.LlmQuality,
     graft.sources.NormalizeQueries,
     graft.streaming.Streams,
   )
