@@ -3,6 +3,7 @@ package graft.ops
 import graft.QueryModule
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Remaining driver-brief LLM-data operators: n-gram Jaccard dedup via
   * PREFIX FILTERING (the AllPairs/PPJoin family — Bayardo et al.,
@@ -17,63 +18,90 @@ object LlmQuality extends QueryModule {
 
   // ----------------------------------------------------- q_llm_dedup_ngram
 
-  /** Word-4-gram sets per doc (distinct; positional order irrelevant).
+  /** Distinct word-4-gram HASHES per doc (positional order irrelevant).
     * Gram width matters for the blocking, not just the similarity: this
     * corpus's bigram vocabulary is ~1k (avg doc-frequency ~275 of 5000
     * docs at sf0.1 — measured), which makes ANY bigram-token blocking
     * effectively all-pairs (12.8M candidates). 4-grams push the
     * vocabulary to ~210k with max doc-frequency 6, so prefix buckets
-    * hold ≤ a handful of docs (~5k candidate pairs). */
-  private def ngrams4(text: Column): Column = {
+    * hold ≤ a handful of docs (~5k candidate pairs).
+    *
+    * Each gram is xxhash64'd from its 4 words IN the lambda — the
+    * 40-char gram string is never materialized (the r3 version built
+    * string grams and carried them through every stage; hashing at the
+    * source made the whole build ~6× cheaper). Distinct-on-hashes ==
+    * distinct-on-grams up to a |vocab|²/2⁶⁵ ≈ 1e-9 collision chance,
+    * the standard trade for exact set similarity at corpus scale. */
+  private def ngramHashes4(text: Column): Column = {
     val w = split(text, " ")
     val n = size(w)
     when(n >= 4,
       array_distinct(transform(sequence(lit(1), n - 3), i =>
-        concat_ws(" ", element_at(w, i), element_at(w, i + 1),
+        xxhash64(element_at(w, i), element_at(w, i + 1),
           element_at(w, i + 2), element_at(w, i + 3)))))
-      .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))
+      .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)"))
   }
 
   /** Exact n-gram Jaccard self-join with prefix filtering.
     *
-    * Every doc's bigram set is ordered by a GLOBAL total order —
-    * ascending corpus frequency, token as tie-break (rare first). If
-    * J(x, y) ≥ t, then |x∩y| ≥ ⌈t·|x|⌉, so the first
-    * |x| − ⌈t·|x|⌉ + 1 tokens of x (and symmetrically y) must contain
-    * a common token: blocking on prefix tokens finds EVERY qualifying
+    * Every doc's 4-gram set is ordered by a GLOBAL total order —
+    * ascending corpus frequency, gram hash as tie-break (rare first).
+    * If J(x, y) ≥ t, then |x∩y| ≥ ⌈t·|x|⌉, so the first
+    * |x| − ⌈t·|x|⌉ + 1 grams of x (and symmetrically y) must contain
+    * a common gram: blocking on prefix grams finds EVERY qualifying
     * pair, and the exact-Jaccard verification removes every false
     * candidate — output is identical to the all-pairs join the oracle
-    * runs, with candidates ~ Σ|token bucket|² over RARE tokens instead
+    * runs, with candidates ~ Σ|gram bucket|² over RARE grams instead
     * of n². At 100 TB the frequency table is vocabulary-bounded and
-    * the heavy join never materializes non-candidate pairs. */
+    * the heavy join never materializes non-candidate pairs.
+    *
+    * Physical design (this is what makes it fast — the r3 string-array
+    * formulation serialized onto single tasks and cost 27 s at sf0.1):
+    *  - 4-grams are hashed to BIGINT at the source (ngramHashes4);
+    *    the frequency ordering, prefix selection, bucketing and
+    *    verification all run on 8-byte longs, never 40-char strings.
+    *  - Prefix selection is a per-doc row_number window over the
+    *    exploded (doc, hash) pairs — no collect_list / array_sort /
+    *    slice round-trip through per-doc string arrays.
+    *  - Verification touches the exploded pairs ONCE: each candidate
+    *    pair unpivots to two (pair, doc) rows, joins (doc, h), and a
+    *    groupBy (pair, h) counts 2 for shared grams, 1 otherwise —
+    *    giving BOTH |x∩y| (count of 2s) and |x∪y| (distinct h count)
+    *    in one aggregation, with no per-doc set-size table and no
+    *    per-row gram arrays rebuilt or broadcast.
+    *  - Candidate generation runs at threshold t' = t − 1e-4: the
+    *    output filter admits pairs whose r4-ROUNDED jaccard ≥ t, i.e.
+    *    true J ≥ t − 5e-5, so blocking at exactly t could miss a pair
+    *    rounding up across the boundary. The slack makes the prefix
+    *    one gram longer only when ⌈t'·n⌉ < ⌈t·n⌉ (n ≳ 4000). */
   private def dedupNgram(s: SparkSession, d: String): DataFrame = {
-    val base = Llm.docs(s, d)
-      .select(col("doc_id"), ngrams4(col("text")).as("g"))
-      .filter(size(col("g")) >= 1)
-    // (doc, token) pairs; tokens are distinct per doc already
-    val toks = base.select(col("doc_id"), explode(col("g")).as("tok"))
-    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
-    // re-assemble each doc's set in (freq, tok) order; struct sort is
-    // field-lexicographic, giving one global order for every doc
-    val ordered = toks.join(freq, "tok")
-      .groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(struct(col("freq"), col("tok"))))
-        .as("sorted"))
-      .select(col("doc_id"),
-        transform(col("sorted"), _.getField("tok")).as("g"))
-    val pLen = (size(col("g")) - ceil(lit(JaccardT) * size(col("g"))) + 1)
-      .cast("int")
-    val prefixToks = ordered
-      .select(col("doc_id"), explode(slice(col("g"), lit(1), pLen)).as("tok"))
-    val cand = Llm.bucketPairs(prefixToks, Seq(col("tok")), col("doc_id"))
+    // (doc, gram-hash) pairs; hashes are distinct per doc
+    val toks = Llm.docs(s, d)
+      .select(col("doc_id"), explode(ngramHashes4(col("text"))).as("h"))
+    val freq = toks.groupBy(col("h")).agg(count(lit(1)).as("freq"))
+    val ord = Window.partitionBy(col("doc_id"))
+      .orderBy(col("freq"), col("h"))
+    val prefix = toks.join(freq, "h")
+      .select(col("doc_id"), col("h"),
+        row_number().over(ord).as("rn"),
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))).as("sz"))
+      .filter(col("rn") <=
+        col("sz") - ceil(lit(JaccardT - 1e-4) * col("sz")) + 1)
+    val cand = Llm.bucketPairs(prefix.select(col("doc_id"), col("h")),
+        Seq(col("h")), col("doc_id"))
       .select(col("x").as("da"), col("y").as("db"))
-    val inter = size(array_intersect(col("ga"), col("gb"))).cast("double")
     cand
-      .join(base.select(col("doc_id").as("da"), col("g").as("ga")), "da")
-      .join(base.select(col("doc_id").as("db"), col("g").as("gb")), "db")
       .select(col("da"), col("db"),
-        Det.r4(inter / (size(col("ga")) + size(col("gb")) - inter))
-          .as("jaccard"))
+        explode(array(col("da"), col("db"))).as("doc_id"))
+      .join(toks, "doc_id")
+      .groupBy(col("da"), col("db"), col("h"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("da"), col("db"))
+      .agg(sum(when(col("n") === 2, 1L).otherwise(0L)).cast("double")
+          .as("inter"),
+        count(lit(1)).cast("double").as("uni"))
+      .select(col("da"), col("db"),
+        Det.r4(col("inter") / col("uni")).as("jaccard"))
       .filter(col("jaccard") >= JaccardT)
       .orderBy(col("da"), col("db"))
   }
