@@ -68,7 +68,23 @@ object Bench {
         n -> ((System.nanoTime() - t0) / 1e9, r)
       }.toMap
     val (batch, streaming) = names.partition(_.startsWith("q_"))
-    val passes = Seq(pass(batch), pass(batch), pass(streaming), pass(streaming))
+    // Queries whose two samples disagree >1.5× get a THIRD sample:
+    // min-of-2 under a 55-query JVM still shows ±60% swings for the
+    // shuffle-heavy queries (observed round 3: q_fn_map 1.76→3.31 s
+    // with zero code change), and one more draw from the distribution
+    // collapses most of that. Batch retries run before any streaming
+    // query for the same state-store-residue reason as the main passes.
+    def unstable(ns: Seq[String],
+                 ps: Seq[Map[String, (Double, Either[String, Unit])]]) =
+      ns.filter { n =>
+        val ts = ps.filter(_.contains(n)).map(_(n)._1)
+        ts.nonEmpty && ts.max / ts.min > 1.5
+      }
+    val b1 = pass(batch); val b2 = pass(batch)
+    val b3 = pass(unstable(batch, Seq(b1, b2)))
+    val s1 = pass(streaming); val s2 = pass(streaming)
+    val s3 = pass(unstable(streaming, Seq(s1, s2)))
+    val passes = Seq(b1, b2, b3, s1, s2, s3)
     val timed = names.map { n =>
       val rs = passes.filter(_.contains(n)).map(_(n))
       (n, rs.map(_._1).min, rs.map(_._2).find(_.isLeft).getOrElse(Right(())))

@@ -104,14 +104,18 @@ object Normalize {
     * reference's observable envelope (facebook.rkt:30-32: parse +
     * `<div class="event-api-content">` wrap). No markdown jar ships
     * with Spark (SURVEY §7 risk 5), so this renders the subset the
-    * data uses: HTML escape, `*emphasis*`, double-newline paragraphs.
+    * data uses: HTML escape, `[text](url)` links, `*emphasis*`,
+    * double-newline paragraphs. Links render BEFORE emphasis so a `*`
+    * inside a URL or link text isn't split by the emphasis pass.
     * A Scala UDF — the reference's one true custom scalar (A23); kept
     * OUT of relational hot paths so codegen elsewhere is unaffected. */
   def renderMarkdown(md: String): String =
     if (md == null) null
     else {
       val esc = md.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-      val em = esc.replaceAll("\\*([^*]+)\\*", "<em>$1</em>")
+      val links = esc.replaceAll("\\[([^\\]]+)\\]\\(([^)\\s]+)\\)",
+        "<a href=\"$2\">$1</a>")
+      val em = links.replaceAll("\\*([^*]+)\\*", "<em>$1</em>")
       val paras = em.split("\n\n", -1).map(p => s"<p>$p</p>").mkString
       s"""<div class="event-api-content">$paras</div>"""
     }

@@ -43,10 +43,13 @@ object NormalizeQueries extends QueryModule {
   }
 
   private val mdSql: String = {
-    // DuckDB rendering of Normalize.renderMarkdown: escape, *em*,
-    // double-newline paragraphs, div wrap.
+    // DuckDB rendering of Normalize.renderMarkdown: escape, [t](u)
+    // links, *em*, double-newline paragraphs, div wrap — same pass
+    // order as the UDF (links before emphasis).
     val esc = "replace(replace(replace(description, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
-    val em = s"regexp_replace($esc, '\\*([^*]+)\\*', '<em>\\1</em>', 'g')"
+    val links = s"regexp_replace($esc, " +
+      """'\[([^\]]+)\]\(([^)\s]+)\)', '<a href="\2">\1</a>', 'g')"""
+    val em = s"regexp_replace($links, '\\*([^*]+)\\*', '<em>\\1</em>', 'g')"
     "'<div class=\"event-api-content\">' || array_to_string(" +
       s"list_transform(string_split($em, chr(10) || chr(10)), " +
       "p -> '<p>' || p || '</p>'), '') || '</div>'"

@@ -24,6 +24,18 @@ class MarkdownSpec extends AnyFunSuite {
       "<div class=\"event-api-content\"><p>a <em>b</em> c</p><p>d</p></div>")
   }
 
+  test("links render as anchors (reference renders [t](u) via its md lib)") {
+    assert(renderMarkdown("see [Papers We Love](https://paperswelove.org) now") ==
+      "<div class=\"event-api-content\"><p>see " +
+        "<a href=\"https://paperswelove.org\">Papers We Love</a> now</p></div>")
+  }
+
+  test("links render before emphasis (emphasis can wrap an anchor)") {
+    assert(renderMarkdown("*see [ab](u)*") ==
+      "<div class=\"event-api-content\"><p>" +
+        "<em>see <a href=\"u\">ab</a></em></p></div>")
+  }
+
   test("escapes HTML before rendering") {
     assert(renderMarkdown("<script>&") ==
       "<div class=\"event-api-content\"><p>&lt;script&gt;&amp;</p></div>")
@@ -46,6 +58,7 @@ class MarkdownSpec extends AnyFunSuite {
         .stripPrefix("<div class=\"event-api-content\">").stripSuffix("</div>")
       val stripped = inner.replace("<p>", "").replace("</p>", "")
         .replace("<em>", "").replace("</em>", "")
+        .replaceAll("<a href=\"[^\"]*\">", "").replace("</a>", "")
       !stripped.contains('<')
     })
   }
