@@ -30,12 +30,12 @@ object Bench {
       // queries re-run Janino compilation on every pass and the bench
       // measures the compiler, not the engine
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // planner extensions via the deployment config path — both
+      // passes of every query run under identical planning rules
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // planner extensions at session construction — both passes of every
-    // query run under identical planning rules
-    graft.plans.TopK.install(spark)
 
     // SPARK_GRAFT_BENCH_ONLY: comma-separated query subset (dev bisection)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

@@ -12,13 +12,13 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // graft's planner extensions are part of the engine
+      // configuration, wired the way a deployment would wire them —
+      // every query (and the oracle gate) runs under the same rules
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // graft's planner extensions are part of the engine configuration:
-    // installed at session construction so every query (and the oracle
-    // gate) runs under the same planning rules
-    graft.plans.TopK.install(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

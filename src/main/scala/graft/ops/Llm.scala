@@ -46,12 +46,31 @@ object Llm extends QueryModule {
     * dedups: group by bucket key, collect sorted members, expand all
     * unordered member pairs in-array. One pipeline computation — a
     * bands⨝bands self-join would clone the whole signature subplan
-    * into both sides. Returns distinct (x, y) member pairs. */
+    * into both sides. Returns distinct (x, y) member pairs.
+    *
+    * Buckets are CAPPED at [[MaxBucket]] members: the per-bucket
+    * collect_list is otherwise unbounded, and a degenerate bucket
+    * (thousands of exact duplicates sharing one signature) would both
+    * blow executor memory and expand |bucket|² pairs. Band geometry
+    * makes this unreachable in normal data; when it IS reached the
+    * query fails loudly with the bucket key in the message — the right
+    * response is to run exact dedup first (collapse the identical
+    * docs), not to silently drop candidate pairs and ship an
+    * incomplete dedup result. */
+  private[ops] val MaxBucket = 1024
+
   private[ops] def bucketPairs(df: DataFrame, keys: Seq[Column],
                                member: Column): DataFrame =
     df.groupBy(keys: _*)
       .agg(sort_array(collect_list(member)).as("members"))
       .filter(size(col("members")) > 1)
+      .withColumn("members",
+        when(size(col("members")) <= MaxBucket, col("members"))
+          .otherwise(raise_error(concat(
+            lit(s"graft.bucketPairs: bucket exceeds $MaxBucket members " +
+              "(degenerate near-duplicate cluster; run exact dedup first) " +
+              "at key "),
+            to_json(struct(keys: _*))))))
       .select(explode(expr(
         "flatten(transform(members, (x, i) -> " +
           "transform(slice(members, i + 2, size(members)), y -> struct(x, y))))"))

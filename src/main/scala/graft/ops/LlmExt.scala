@@ -90,42 +90,70 @@ object LlmExt extends QueryModule {
        |ORDER BY da, db""".stripMargin
   }
 
+  // --------------------------------------------------- shared IVF cell grid
+
+  /** Deterministic 32-cell IVF grid assignment, shared by q_llm_sim_ann
+    * and q_llm_dedup_embed: 2·argmax|v[1..16]| + sign of that component.
+    * A trained k-means codebook in production; a fixed grid here so the
+    * DuckDB oracle can replicate the assignment exactly. */
+  private def ivfCell(e: Column): Column = {
+    val head = slice(e, 1, 16)
+    val absH = transform(head, abs(_))
+    val amax = array_position(absH, array_max(absH))
+    (amax * 2 +
+      when(element_at(head, amax.cast("int")) >= 0, 1).otherwise(0))
+      .cast("long")
+  }
+
+  /** The identical DuckDB rendering over a DOUBLE[] expression `v`. */
+  private def ivfCellSql(v: String): String =
+    s"""(list_position(list_transform($v[1:16], x -> abs(x)),
+       |              list_max(list_transform($v[1:16], x -> abs(x))))
+       | * 2 +
+       | CASE WHEN $v[list_position(list_transform($v[1:16], x -> abs(x)),
+       |              list_max(list_transform($v[1:16], x -> abs(x))))]
+       |           >= 0 THEN 1 ELSE 0 END)::BIGINT""".stripMargin
+
   // ------------------------------------------------------ q_llm_dedup_embed
 
-  /** Embedding-cosine near-dup scoped to a cluster id (the `label`
-    * column stands in for an IVF cell assignment): candidate pairs
-    * come only from the same cell — the shuffle co-partitions both
-    * sides on the cell key, so at 100 TB the n² blowup is bounded per
-    * cell, the standard embedding-dedup shape (exact within cell). */
+  /** Embedding-cosine near-dup scoped to a cluster cell: candidate
+    * pairs come only from the same IVF cell — the shuffle
+    * co-partitions both sides on the cell key, so at 100 TB the n²
+    * blowup is bounded per cell, the standard embedding-dedup shape
+    * (exact within cell). The cell is the COMPUTED [[ivfCell]] grid
+    * assignment shared with q_llm_sim_ann — the operator is
+    * self-contained, not dependent on a pre-labeled column. */
   private def dedupEmbed(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val e = T.embeddings(s, d)
-      .select(col("vec_id"), col("label"),
+      .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("e"))
+      .withColumn("cell", ivfCell(col("e")))
       .withColumn("nrm", sqrt(expr("graft_dot(e, e)")))
     val cos = expr("graft_dot(a.e, b.e)") / (col("a.nrm") * col("b.nrm"))
     e.as("a").join(e.as("b"),
-        col("a.label") === col("b.label") &&
+        col("a.cell") === col("b.cell") &&
         col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.label").as("cell"), col("a.vec_id").as("va"),
+      .select(col("a.cell").as("cell"), col("a.vec_id").as("va"),
         col("b.vec_id").as("vb"), Det.r4(cos).as("cos_sim"))
       .filter(col("cos_sim") >= 0.35)
       .orderBy(col("cell"), col("va"), col("vb"))
   }
 
-  private val dedupEmbedSql =
-    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
-      |SELECT a.label AS cell, a.vec_id AS va, b.vec_id AS vb,
-      |       floor((list_dot_product(a.v, b.v) /
-      |              (sqrt(list_dot_product(a.v, a.v)) *
-      |               sqrt(list_dot_product(b.v, b.v)))) * 10000 + 0.5) / 10000
-      |         AS cos_sim
-      |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-      |WHERE floor((list_dot_product(a.v, b.v) /
-      |             (sqrt(list_dot_product(a.v, a.v)) *
-      |              sqrt(list_dot_product(b.v, b.v)))) * 10000 + 0.5) / 10000
-      |      >= 0.35
-      |ORDER BY cell, va, vb""".stripMargin
+  private lazy val dedupEmbedSql =
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |e AS (SELECT vec_id, v, ${ivfCellSql("v")} AS cell FROM e0)
+       |SELECT a.cell AS cell, a.vec_id AS va, b.vec_id AS vb,
+       |       floor((list_dot_product(a.v, b.v) /
+       |              (sqrt(list_dot_product(a.v, a.v)) *
+       |               sqrt(list_dot_product(b.v, b.v)))) * 10000 + 0.5) / 10000
+       |         AS cos_sim
+       |FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |WHERE floor((list_dot_product(a.v, b.v) /
+       |             (sqrt(list_dot_product(a.v, a.v)) *
+       |              sqrt(list_dot_product(b.v, b.v)))) * 10000 + 0.5) / 10000
+       |      >= 0.35
+       |ORDER BY cell, va, vb""".stripMargin
 
   // -------------------------------------------------------- q_llm_sim_ann
 
@@ -139,17 +167,11 @@ object LlmExt extends QueryModule {
     * measured separately in AnnSpec. Scale: the corpus shuffles once
     * on cell id; a probe touches |corpus|/cells vectors. */
   private def simAnn(s: SparkSession, d: String): DataFrame = {
-    val head = slice(col("e"), 1, 16)
-    val absH = transform(head, abs(_))
-    val amax = array_position(absH, array_max(absH))
-    val cell = (amax * 2 +
-      when(element_at(head, amax.cast("int")) >= 0, 1).otherwise(0))
-      .cast("long")
     graft.functions.GraftFunctions.register(s)
     val e = T.embeddings(s, d)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("e"))
-      .withColumn("cell", cell)
+      .withColumn("cell", ivfCell(col("e")))
       .withColumn("nrm", sqrt(expr("graft_dot(e, e)")))
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("e").as("qe"),
@@ -170,16 +192,10 @@ object LlmExt extends QueryModule {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  private val simAnnSql =
-    """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  private lazy val simAnnSql =
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |cells AS (
-      |  SELECT vec_id, v,
-      |         (list_position(list_transform(v[1:16], x -> abs(x)),
-      |                        list_max(list_transform(v[1:16], x -> abs(x))))
-      |          * 2 +
-      |          CASE WHEN v[list_position(list_transform(v[1:16], x -> abs(x)),
-      |                       list_max(list_transform(v[1:16], x -> abs(x))))]
-      |                    >= 0 THEN 1 ELSE 0 END)::BIGINT AS cell
+      |  SELECT vec_id, v, ${ivfCellSql("v")} AS cell
       |  FROM e0),
       |s AS (
       |  SELECT q.vec_id AS query_id, c.vec_id AS match_id, c.cell,

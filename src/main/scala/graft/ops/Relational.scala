@@ -523,10 +523,13 @@ object Relational extends QueryModule {
     * and plans it as PartialTopK → exchange → FinalTopK — bounded
     * per-group heaps map-side, only survivors shuffled, no sort/window
     * machinery — while this code stays the idiomatic formulation. The
-    * DuckDB oracle hash-match doubles as the operator's correctness
-    * proof. */
+    * rule arrives via the session's `spark.sql.extensions=
+    * graft.GraftExtensions` config (the deployment path; Verify/Bench/
+    * tests all set it) — the query itself installs nothing, and still
+    * returns correct rows on an unconfigured session via the plain
+    * window plan. The DuckDB oracle hash-match doubles as the
+    * operator's correctness proof. */
   private def topkPerGroup(s: SparkSession, d: String): DataFrame = {
-    graft.plans.TopK.install(s)
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     T.orders(s, d)

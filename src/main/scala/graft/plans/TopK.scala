@@ -72,7 +72,13 @@ case class PartialTopKExec(
       // GenericInternalRow (codegen off, object operators) must be
       // projected, mirroring the Final side. The shuffle writer
       // serializes each row before the next projection call, so the
-      // reused buffer needs no per-row copy.
+      // reused buffer needs no per-row copy. When the child's
+      // partitioning ALREADY satisfies the clustered distribution, no
+      // exchange is inserted and these rows flow straight into
+      // FinalTopKExec — that remains safe only because prune() copies
+      // every row on enqueue BEFORE the next projection call reuses
+      // the buffer; if prune's eager copy is ever removed, this
+      // projection must switch to per-row copies.
       val toUnsafe = UnsafeProjection.create(child.output, child.output)
       TopK.prune(iter, k, partitionExprs, orderExprs, child.output,
           maxGroups = TopK.partialMaxGroups)

@@ -15,28 +15,34 @@ import scala.jdk.CollectionConverters._
   * parallel work (`api-runner.rkt:152-168` chunks the chapter list
   * across 3 worker threads; Spark's scheduler replaces the thread
   * pool, so the connector only declares the partitioning). Each
-  * partition "fetches" its chapter's page from the adapter's endpoint
+  * partition fetches its chapter's page from the adapter's endpoint
   * and emits (chapter, adapter, payload-line) rows for the normalize
   * pipeline to consume.
   *
-  * The fetch itself goes through [[Transport]]: a live deployment
-  * implements it with an HTTP client (`meetup.rkt:83-84`,
+  * The fetch goes through the [[Transport]] seam: a live deployment
+  * registers an HTTP implementation (`meetup.rkt:83-84`,
   * `facebook.rkt:81-83`, `eventbrite.rkt:113-114`); this container is
-  * zero-egress, so the default transport serves the committed fixture
-  * captures — exactly the reference's own test strategy
-  * (`eventbrite.rkt:123-146` replays a captured API page).
+  * zero-egress, so the default `fixture` transport serves the
+  * committed fixture captures — exactly the reference's own test
+  * strategy (`eventbrite.rkt:123-146` replays a captured API page).
+  * The fixture file is parsed and chapter-indexed ONCE per JVM
+  * ([[FixtureIndex]]), not re-read per partition.
   *
-  * Rate limiting (A6, `meetup.rkt:9-26`): a token bucket per executor
-  * JVM, shared across that executor's partitions — the Spark
-  * restatement of the reference's per-worker throttle boxes. The
-  * reference sleeps when the api says <3 requests remain; the bucket
-  * enforces an requests/second ceiling before each fetch.
+  * Rate limiting (A6, `meetup.rkt:9-26`) is two-layer:
+  *  - a token bucket per executor JVM caps requests/second, shared
+  *    across that executor's partitions — the Spark restatement of the
+  *    reference's per-worker throttle boxes;
+  *  - response-header feedback: when a response reports
+  *    `X-Ratelimit-Remaining` < 3, the JVM defers every subsequent
+  *    fetch until `X-Ratelimit-Reset` — the reference's sleep-on-low
+  *    loop (meetup.rkt:15-24), applied JVM-wide.
   *
   * Usage:
   * {{{
   *   spark.read.format("graft.sources.rest.RestSource")
   *     .option("chaptersFile", ".../chapters.jsonl")
   *     .option("fixturesDir", ".../fixtures")     // offline transport
+  *     .option("transport", "fixture")            // or a registered name
   *     .option("ratePerSecond", "100")
   *     .load()
   * }}}
@@ -52,6 +58,74 @@ class RestSource extends TableProvider {
 object RestSource {
   val schema: StructType = StructType.fromDDL(
     "chapter STRING, adapter STRING, payload STRING")
+}
+
+/** One adapter-page fetch result. `rateRemaining`/`rateResetMillis`
+  * carry the reference's `X-Ratelimit-Remaining` / `X-Ratelimit-Reset`
+  * headers (meetup.rkt:12-13) when the transport surfaces them. */
+case class RestResponse(lines: Seq[String],
+                        rateRemaining: Option[Long] = None,
+                        rateResetMillis: Option[Long] = None)
+
+/** The fetch seam (A3–A5). Implementations: [[FixtureTransport]]
+  * (default, offline), or anything registered via
+  * [[Transport.register]] — an HTTP client in a live deployment, a
+  * mock in tests. Registration is per-JVM: on a cluster, register from
+  * an executor plugin (or ship the implementation on the classpath and
+  * register lazily); in local mode the driver registration suffices. */
+trait Transport {
+  def fetch(adapter: String, chapter: String): RestResponse
+}
+
+object Transport {
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, Transport]()
+
+  def register(name: String, t: Transport): Unit = registry.put(name, t)
+
+  def resolve(name: String, fixturesDir: String): Transport =
+    if (name == "fixture") new FixtureTransport(fixturesDir)
+    else Option(registry.get(name)).getOrElse(sys.error(
+      s"graft-rest: unknown transport '$name' — register it with " +
+        "graft.sources.rest.Transport.register(name, impl)"))
+}
+
+/** Offline transport: replays committed fixture captures, the
+  * reference's own test strategy. Delegates to the per-JVM
+  * [[FixtureIndex]] so each raw_<adapter>.jsonl is read and parsed
+  * once, not once per chapter partition. */
+class FixtureTransport(fixturesDir: String) extends Transport {
+  override def fetch(adapter: String, chapter: String): RestResponse =
+    RestResponse(FixtureIndex.lines(s"$fixturesDir/raw_$adapter.jsonl", chapter))
+}
+
+/** Per-JVM chapter index over fixture files: path → (chapter → lines).
+  * The r3 reader re-read and re-JSON-parsed the whole file in every
+  * chapter partition — O(chapters × file size); this parses once. */
+private[rest] object FixtureIndex {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Vector[String]]]()
+
+  def lines(path: String, chapter: String): Seq[String] =
+    cache.computeIfAbsent(path, load).getOrElse(chapter, Vector.empty)
+
+  private val load: java.util.function.Function[String, Map[String, Vector[String]]] =
+    (path: String) => {
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        // real JSON parse per line (jackson ships with Spark) — a regex
+        // probe would false-match field VALUES containing "chapter":...
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        java.nio.file.Files.readAllLines(p).asScala.iterator
+          .filter(_.trim.nonEmpty)
+          .flatMap { line =>
+            Option(mapper.readTree(line).get("chapter"))
+              .map(c => c.asText -> line)
+          }
+          .toVector.groupMap(_._1)(_._2)
+      }
+    }
 }
 
 private[rest] class RestTable(props: Map[String, String])
@@ -87,6 +161,7 @@ private[rest] class RestScanBuilder(props: Map[String, String])
       (Option(node.get("chapter")), Option(node.get("adapter"))) match {
         case (Some(c), Some(a)) =>
           Some(RestPartition(c.asText, a.asText,
+            props.getOrElse("transport", "fixture"),
             props.getOrElse("fixturesdir", ""),
             props.getOrElse("ratepersecond", "100").toDouble))
         case _ => None
@@ -99,6 +174,7 @@ private[rest] class RestScanBuilder(props: Map[String, String])
 }
 
 private[rest] case class RestPartition(chapter: String, adapter: String,
+                                       transport: String,
                                        fixturesDir: String,
                                        ratePerSecond: Double)
   extends InputPartition
@@ -108,7 +184,7 @@ private[rest] class RestReaderFactory extends PartitionReaderFactory {
     new RestReader(p.asInstanceOf[RestPartition])
 }
 
-/** Per-executor token bucket (A6). One bucket per JVM — every
+/** Per-executor rate limiting (A6). One state per JVM — every
   * partition on an executor shares the budget, like the reference's
   * per-worker throttle state (`meetup.rkt:9-10` boxes). */
 private[rest] object Throttle {
@@ -116,6 +192,16 @@ private[rest] object Throttle {
   // rates don't fight over shared state
   private val buckets =
     scala.collection.mutable.HashMap.empty[Long, (Double, Long)] // rate-> (tokens, lastNanos)
+
+  /** JVM-wide defer deadline from response-header feedback
+    * (meetup.rkt:15-24: when the api reports <3 requests remaining,
+    * sleep until the reset time). */
+  @volatile private var deferUntilMillis = 0L
+
+  def noteHeaders(resp: RestResponse): Unit =
+    if (resp.rateRemaining.exists(_ < 3))
+      deferUntilMillis = math.max(deferUntilMillis,
+        resp.rateResetMillis.getOrElse(System.currentTimeMillis() + 1000L))
 
   /** Try to take a token; returns 0 on success or the suggested sleep
     * millis. Never sleeps inside the lock — other readers keep making
@@ -130,6 +216,11 @@ private[rest] object Throttle {
   }
 
   def acquire(ratePerSecond: Double): Unit = {
+    var hdrWait = deferUntilMillis - System.currentTimeMillis()
+    while (hdrWait > 0) {
+      Thread.sleep(hdrWait)
+      hdrWait = deferUntilMillis - System.currentTimeMillis()
+    }
     var wait = tryAcquire(ratePerSecond)
     while (wait > 0) { Thread.sleep(wait); wait = tryAcquire(ratePerSecond) }
   }
@@ -138,22 +229,14 @@ private[rest] object Throttle {
 private[rest] class RestReader(p: RestPartition)
   extends PartitionReader[InternalRow] {
 
-  /** The "API fetch" for this chapter. Live mode would be an HTTP GET
-    * of the adapter's endpoint; offline it replays the captured page
-    * from fixtures, filtered to this partition's chapter. */
+  /** The API fetch for this chapter, through the [[Transport]] seam;
+    * throttled before, header-feedback recorded after. */
   private lazy val lines: Iterator[String] = {
     Throttle.acquire(p.ratePerSecond) // one fetch per partition
-    val path = java.nio.file.Paths.get(s"${p.fixturesDir}/raw_${p.adapter}.jsonl")
-    // real JSON parse per line — formatting-independent and immune to
-    // values that merely contain the text "chapter": "..."
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    if (!java.nio.file.Files.exists(path)) Iterator.empty
-    else java.nio.file.Files.readAllLines(path).asScala.iterator
-      .filter { line =>
-        line.trim.nonEmpty &&
-          Option(mapper.readTree(line).get("chapter"))
-            .exists(_.asText == p.chapter)
-      }
+    val resp = Transport.resolve(p.transport, p.fixturesDir)
+      .fetch(p.adapter, p.chapter)
+    Throttle.noteHeaders(resp)
+    resp.lines.iterator
   }
 
   private var current: String = _

@@ -1,0 +1,37 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bounded-bucket contract of Llm.bucketPairs: normal buckets
+  * expand to unordered pairs; a degenerate bucket (e.g. thousands of
+  * exact duplicates landing in one LSH bucket) fails LOUDLY instead of
+  * collecting an unbounded array and OOMing an executor. */
+class BucketPairsSpec extends AnyFunSuite {
+  private lazy val s = SparkTestBase.spark
+
+  test("small buckets expand to all unordered pairs") {
+    import s.implicits._
+    val df = Seq(("b1", 3L), ("b1", 1L), ("b1", 2L), ("b2", 9L))
+      .toDF("k", "m")
+    val pairs = Llm.bucketPairs(df, Seq(col("k")), col("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L))) // b2 singleton drops
+  }
+
+  test("a bucket over MaxBucket members fails loudly, naming the key") {
+    import s.implicits._
+    // adversarial input: all-identical docs → one bucket, n² blow-up
+    val df = (1 to Llm.MaxBucket + 1).map(i => ("same", i.toLong))
+      .toDF("k", "m")
+    val e = intercept[Exception] {
+      Llm.bucketPairs(df, Seq(col("k")), col("m")).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("bucket exceeds")),
+      s"unexpected failure: $e")
+  }
+}

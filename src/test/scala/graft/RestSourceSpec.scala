@@ -37,6 +37,56 @@ class RestSourceSpec extends AnyFunSuite {
     assert(ok.count() == 4) // 5 meetup payload rows, 1 ghost error
   }
 
+  test("a registered mock Transport is injected through the seam") {
+    val served = Seq(
+      """{"chapter": "berlin", "id": "m1", "name": "Mocked"}""",
+      """{"chapter": "berlin", "id": "m2", "name": "Also mocked"}""")
+    graft.sources.rest.Transport.register("mock",
+      new graft.sources.rest.Transport {
+        override def fetch(adapter: String, chapter: String) =
+          graft.sources.rest.RestResponse(
+            if (chapter == "berlin") served else Nil)
+      })
+    val rows = s.read.format("graft.sources.rest.RestSource")
+      .option("chaptersFile", s"$fx/chapters.jsonl")
+      .option("transport", "mock")
+      .option("ratePerSecond", "1000")
+      .load()
+      .filter(col("payload").isNotNull)
+      .collect()
+    assert(rows.map(_.getString(2)).sorted.toSeq == served.sorted)
+    assert(rows.forall(_.getString(0) == "berlin"))
+  }
+
+  test("an unregistered transport name fails loudly") {
+    val e = intercept[Exception] {
+      s.read.format("graft.sources.rest.RestSource")
+        .option("chaptersFile", s"$fx/chapters.jsonl")
+        .option("transport", "no-such-transport")
+        .load().count()
+    }
+    assert(e.getMessage != null || e.getCause != null) // surfaced, not swallowed
+  }
+
+  test("low X-Ratelimit-Remaining defers subsequent fetches to reset") {
+    graft.sources.rest.Transport.register("ratelimited",
+      new graft.sources.rest.Transport {
+        override def fetch(adapter: String, chapter: String) =
+          graft.sources.rest.RestResponse(Nil,
+            rateRemaining = Some(1L),
+            rateResetMillis = Some(System.currentTimeMillis() + 400L))
+      })
+    val t0 = System.nanoTime()
+    // 6 chapter partitions; the first response's headers defer the rest
+    s.read.format("graft.sources.rest.RestSource")
+      .option("chaptersFile", s"$fx/chapters.jsonl")
+      .option("transport", "ratelimited")
+      .option("ratePerSecond", "1000")
+      .load().count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec >= 0.3, f"expected header-driven defer, took $sec%.2fs")
+  }
+
   test("token bucket throttles fetch rate") {
     val t0 = System.nanoTime()
     s.read.format("graft.sources.rest.RestSource")

@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.TopK
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.scalatest.funsuite.AnyFunSuite
@@ -23,8 +23,10 @@ class TopKSpec extends AnyFunSuite {
       .orderBy(col("o_custkey"), col("rn"))
   }
 
-  test("rewrite fires and plans the partial/final operators") {
-    TopK.install(s)
+  test("rewrite fires via spark.sql.extensions config (no install call)") {
+    // SparkTestBase sets spark.sql.extensions=graft.GraftExtensions;
+    // nothing in this suite calls TopK.install — the plan shape below
+    // proves the config-driven injection path works end to end
     val str = topkQuery().queryExecution.executedPlan.toString
     assert(str.contains("PartialTopK"), s"expected PartialTopK in:\n$str")
     assert(str.contains("FinalTopK"))
@@ -35,9 +37,11 @@ class TopKSpec extends AnyFunSuite {
   }
 
   test("custom operator result equals the window formulation") {
-    // baseline WITHOUT the rule: fresh session keeps its own
-    // experimental methods — use a cloned session sans installs
+    // baseline WITHOUT the rule: newSession inherits the injected
+    // extensions, so exclude the rewrite by name for this session
     val plain = s.newSession()
+    plain.conf.set("spark.sql.optimizer.excludedRules",
+      "graft.plans.TopK$TopKRewrite")
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     val expected = Tables.orders(plain, d)
@@ -48,13 +52,11 @@ class TopKSpec extends AnyFunSuite {
       .orderBy(col("o_custkey"), col("rn"))
       .collect().toSeq
 
-    TopK.install(s)
     val got = topkQuery().collect().toSeq
     assert(got == expected)
   }
 
   test("rewrite leaves non-matching window queries untouched") {
-    TopK.install(s)
     // rank() (not row_number) must NOT be rewritten
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -70,7 +72,6 @@ class TopKSpec extends AnyFunSuite {
     // regression: FinalTopKExec must emit UnsafeRow — a bare
     // withColumn+filter+collect (no select) crashed with
     // ClassCastException before the UnsafeProjection wrap
-    TopK.install(s)
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     val rows = Tables.orders(s, d)
@@ -81,7 +82,6 @@ class TopKSpec extends AnyFunSuite {
   }
 
   test("negative or wrapping rank limits are not rewritten") {
-    TopK.install(s)
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     val df = Tables.orders(s, d)
@@ -93,7 +93,6 @@ class TopKSpec extends AnyFunSuite {
   }
 
   test("global top-k (empty partitionBy) is left to the builtin path") {
-    TopK.install(s)
     val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
     val df = Tables.orders(s, d)
       .withColumn("rn", row_number().over(w).cast("long"))
