@@ -183,15 +183,136 @@ object LlmQuality extends QueryModule {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------ q_llm_repetition
+
+  /** Gopher-style within-document repetition signals (Rae et al. 2021
+    * §A1.1 use them as corpus filters): fraction of 2-grams taken by
+    * the single most frequent 2-gram, and fraction of 3-grams that
+    * occur more than once. Grams are xxhash64'd before the count
+    * shuffle (8-byte keys, same trade as dedupNgram; the oracle counts
+    * strings — identical up to a ~1e-9 collision). Two map-side-
+    * combined aggregations per gram width, then a per-doc reduce:
+    * shuffle volume is O(distinct grams), and at 100 TB this is the
+    * same shape as a word count. Flag thresholds follow Gopher's
+    * published cut points (0.20 / 0.18), applied to the ROUNDED
+    * fractions so both engines agree at the boundary. */
+  private def repetition(s: SparkSession, d: String): DataFrame = {
+    val base = Llm.docs(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+    def gramFracs(width: Int): DataFrame = {
+      val gram = expr(
+        s"transform(sequence(1, size(w) - ${width - 1}), i -> " +
+          s"xxhash64(${(0 until width).map(o => s"w[i + ${o - 1}]").mkString(", ")}))")
+      base.select(col("doc_id"), explode(gram).as("h"))
+        .groupBy(col("doc_id"), col("h"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg((max(col("n")).cast("double") / sum(col("n"))).as("top_frac"),
+          (sum(when(col("n") > 1, col("n")).otherwise(0L)).cast("double") /
+            sum(col("n"))).as("dup_frac"))
+    }
+    val f2 = gramFracs(2).select(col("doc_id"), col("top_frac").as("t2"))
+    val f3 = gramFracs(3).select(col("doc_id"), col("dup_frac").as("d3"))
+    f2.join(f3, "doc_id")
+      .select(col("doc_id"),
+        Det.r4(col("t2")).as("top2_frac"),
+        Det.r4(col("d3")).as("dup3_frac"),
+        (Det.r4(col("t2")) >= 0.20 || Det.r4(col("d3")) >= 0.18)
+          .as("repetitive"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val repetitionSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |g2 AS (
+       |  SELECT doc_id, g, count(*) AS n FROM (
+       |    SELECT doc_id,
+       |           unnest(list_transform(range(1, len(w)),
+       |                                 i -> w[i] || ' ' || w[i+1])) AS g
+       |    FROM t)
+       |  GROUP BY doc_id, g),
+       |a2 AS (SELECT doc_id, max(n)::DOUBLE / sum(n) AS t2 FROM g2
+       |       GROUP BY doc_id),
+       |g3 AS (
+       |  SELECT doc_id, g, count(*) AS n FROM (
+       |    SELECT doc_id,
+       |           unnest(list_transform(range(1, len(w) - 1),
+       |                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+       |    FROM t)
+       |  GROUP BY doc_id, g),
+       |a3 AS (SELECT doc_id,
+       |         sum(CASE WHEN n > 1 THEN n ELSE 0 END)::DOUBLE / sum(n) AS d3
+       |       FROM g3 GROUP BY doc_id)
+       |SELECT a2.doc_id AS doc_id,
+       |       ${Det.sql4("t2")} AS top2_frac,
+       |       ${Det.sql4("d3")} AS dup3_frac,
+       |       (${Det.sql4("t2")} >= 0.20 OR ${Det.sql4("d3")} >= 0.18)
+       |         AS repetitive
+       |FROM a2 JOIN a3 ON a2.doc_id = a3.doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------- q_llm_dedup_apply
+
+  /** The pipeline stage that CONSUMES dedup output: materialize the
+    * deduplicated corpus (keep = min doc_id per exact-dup group, the
+    * q_llm_dedup_exact keeper rule) and summarize what survived per
+    * language — kept docs, kept chars, and drop rate vs the raw
+    * corpus. At 100 TB this is the same single digest shuffle as the
+    * dedup itself plus a semi-join of keepers back to the scan —
+    * broadcast at test scale (AQE sees a few KB), a doc_id-partitioned
+    * shuffle semi-join at corpus scale where keepers ≈ the corpus; no
+    * second pass over the text either way. */
+  private def dedupApply(s: SparkSession, d: String): DataFrame = {
+    val docs = Llm.docs(s, d)
+    val keepers = docs
+      .select(col("doc_id"),
+        sha2(concat_ws(" ", slice(split(col("text"), " "), 1, 8)), 256).as("h"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val kept = docs.join(keepers, Seq("doc_id"), "left_semi")
+    val raw = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_raw"))
+    kept.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).cast("long").as("chars_kept"))
+      .join(raw, "lang")
+      .select(col("lang"), col("n_kept"), col("chars_kept"),
+        Det.r4(lit(1.0) - col("n_kept").cast("double") / col("n_raw"))
+          .as("drop_rate"))
+      .orderBy(col("lang"))
+  }
+
+  private val dedupApplySql =
+    s"""WITH k AS (
+       |  SELECT min(doc_id) AS doc_id FROM (
+       |    SELECT doc_id,
+       |      sha256(array_to_string(string_split(text, ' ')[1:8], ' ')) AS h
+       |    FROM documents)
+       |  GROUP BY h),
+       |kept AS (SELECT d.* FROM documents d SEMI JOIN k ON d.doc_id = k.doc_id),
+       |raw AS (SELECT lang, count(*) AS n_raw FROM documents GROUP BY lang)
+       |SELECT kept.lang AS lang, count(*) AS n_kept,
+       |       sum(n_chars)::BIGINT AS chars_kept,
+       |       ${Det.sql4("1.0 - count(*)::DOUBLE / any_value(n_raw)")}
+       |         AS drop_rate
+       |FROM kept JOIN raw ON kept.lang = raw.lang
+       |GROUP BY kept.lang ORDER BY lang""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_dedup_ngram" -> (dedupNgram _),
     "q_llm_quality" -> (quality _),
+    "q_llm_repetition" -> (repetition _),
+    "q_llm_dedup_apply" -> (dedupApply _),
   )
 
   val oracles: Map[String, String] = Map(
     "q_llm_dedup_ngram" -> dedupNgramSql,
     "q_llm_quality" -> qualitySql,
+    "q_llm_repetition" -> repetitionSql,
+    "q_llm_dedup_apply" -> dedupApplySql,
   )
 }

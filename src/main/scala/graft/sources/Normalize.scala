@@ -103,12 +103,16 @@ object Normalize {
   /** Minimal zero-dependency markdown→HTML rendering matching the
     * reference's observable envelope (facebook.rkt:30-32: parse +
     * `<div class="event-api-content">` wrap). No markdown jar ships
-    * with Spark (SURVEY §7 risk 5), so this renders the subset the
-    * data uses: HTML escape, `[text](url)` links, `*emphasis*`,
-    * double-newline paragraphs. Links render BEFORE emphasis so a `*`
-    * inside a URL or link text isn't split by the emphasis pass.
+    * with Spark (SURVEY §7 risk 5), so this renders the subset real
+    * event descriptions use: HTML escape, `[text](url)` links,
+    * `*emphasis*`, ATX headers (`# `–`###### `, single-line blocks),
+    * `- ` unordered lists (blocks where every line is an item), and
+    * double-newline paragraph blocks. Links render BEFORE emphasis so
+    * a `*` inside a URL or link text isn't split by the emphasis pass.
     * A Scala UDF — the reference's one true custom scalar (A23); kept
     * OUT of relational hot paths so codegen elsewhere is unaffected. */
+  private val MdHeader = "^(#{1,6}) (.*)$".r
+
   def renderMarkdown(md: String): String =
     if (md == null) null
     else {
@@ -116,7 +120,17 @@ object Normalize {
       val links = esc.replaceAll("\\[([^\\]]+)\\]\\(([^)\\s]+)\\)",
         "<a href=\"$2\">$1</a>")
       val em = links.replaceAll("\\*([^*]+)\\*", "<em>$1</em>")
-      val paras = em.split("\n\n", -1).map(p => s"<p>$p</p>").mkString
+      val paras = em.split("\n\n", -1).map { p =>
+        val lines = p.split("\n", -1)
+        p match {
+          case MdHeader(hs, rest) if !p.contains("\n") =>
+            s"<h${hs.length}>$rest</h${hs.length}>"
+          case _ if lines.forall(_.startsWith("- ")) =>
+            lines.map(l => s"<li>${l.stripPrefix("- ")}</li>")
+              .mkString("<ul>", "", "</ul>")
+          case _ => s"<p>$p</p>"
+        }
+      }.mkString
       s"""<div class="event-api-content">$paras</div>"""
     }
 

@@ -44,15 +44,31 @@ object NormalizeQueries extends QueryModule {
 
   private val mdSql: String = {
     // DuckDB rendering of Normalize.renderMarkdown: escape, [t](u)
-    // links, *em*, double-newline paragraphs, div wrap — same pass
-    // order as the UDF (links before emphasis).
+    // links, *em*, then per-block header / list / paragraph, div wrap —
+    // same pass order and block rules as the UDF (links before
+    // emphasis; a header is a single-line block of 1-6 #'s + space; a
+    // list is a block where EVERY line starts with "- ").
     val esc = "replace(replace(replace(description, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
     val links = s"regexp_replace($esc, " +
       """'\[([^\]]+)\]\(([^)\s]+)\)', '<a href="\2">\1</a>', 'g')"""
     val em = s"regexp_replace($links, '\\*([^*]+)\\*', '<em>\\1</em>', 'g')"
+    val hLvl = "length(regexp_extract(p, '^(#+) ', 1))"
+    // single-line: this snippet is embedded in scanJsonSql, whose outer
+    // stripMargin would otherwise eat a leading '|' of a wrapped '||'
+    val block =
+      "CASE " +
+        s"WHEN regexp_matches(p, '^#{1,6} ') AND NOT contains(p, chr(10)) " +
+        s"THEN '<h' || $hLvl || '>' || regexp_replace(p, '^#+ ', '') " +
+        s"|| '</h' || $hLvl || '>' " +
+        "WHEN len(list_filter(string_split(p, chr(10)), " +
+        "l -> NOT starts_with(l, '- '))) = 0 " +
+        "THEN '<ul>' || array_to_string(list_transform(" +
+        "string_split(p, chr(10)), l -> '<li>' || l[3:] || '</li>'), '') " +
+        "|| '</ul>' " +
+        "ELSE '<p>' || p || '</p>' END"
     "'<div class=\"event-api-content\">' || array_to_string(" +
       s"list_transform(string_split($em, chr(10) || chr(10)), " +
-      "p -> '<p>' || p || '</p>'), '') || '</div>'"
+      s"p -> $block), '') || '</div>'"
   }
 
   private val scanJsonSql = {

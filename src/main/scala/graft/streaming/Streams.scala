@@ -154,12 +154,17 @@ object Streams extends QueryModule {
     * once it can no longer grow, i.e. its end ≤ the final watermark
     * (max event time − 10 min, applied by the closing no-data batch).
     * The oracle carries the same HAVING bound. */
-  private def sSession(s: SparkSession, d: String): DataFrame = {
-    val agg = eventsStream(s, d)
+  /** The session-window streaming frame, exposed so tests can run it
+    * against a production-shaped FILE sink as well as the scored
+    * memory-sink path (StreamingSpec). */
+  private[graft] def sessionFrame(s: SparkSession, d: String): DataFrame =
+    eventsStream(s, d)
       .withWatermark("ts", "10 minutes")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n"), Det.r2(sum(col("value"))).as("total"))
-    runToBatch(s, agg, "append")
+
+  private def sSession(s: SparkSession, d: String): DataFrame = {
+    runToBatch(s, sessionFrame(s, d), "append")
       .select(col("user_id"),
         date_format(col("session_window.start"), wfmt).as("session_start"),
         date_format(col("session_window.end"), wfmt).as("session_end"),

@@ -36,6 +36,21 @@ class MarkdownSpec extends AnyFunSuite {
         "<em>see <a href=\"u\">ab</a></em></p></div>")
   }
 
+  test("single-line # blocks render as headers, by level") {
+    assert(renderMarkdown("## Agenda\n\nbody") ==
+      "<div class=\"event-api-content\"><h2>Agenda</h2><p>body</p></div>")
+    // 7 #'s is not a header; a block with a newline is not a header
+    assert(renderMarkdown("####### nope").contains("<p>####### nope</p>"))
+    assert(renderMarkdown("# a\nb").contains("<p># a\nb</p>"))
+  }
+
+  test("all-dash blocks render as unordered lists") {
+    assert(renderMarkdown("- one\n- two") ==
+      "<div class=\"event-api-content\"><ul><li>one</li><li>two</li></ul></div>")
+    // a mixed block is NOT a list
+    assert(renderMarkdown("- one\ntwo").contains("<p>- one\ntwo</p>"))
+  }
+
   test("escapes HTML before rendering") {
     assert(renderMarkdown("<script>&") ==
       "<div class=\"event-api-content\"><p>&lt;script&gt;&amp;</p></div>")
@@ -56,9 +71,9 @@ class MarkdownSpec extends AnyFunSuite {
     holds(Prop.forAll(Gen.asciiPrintableStr) { s =>
       val inner = renderMarkdown(s)
         .stripPrefix("<div class=\"event-api-content\">").stripSuffix("</div>")
-      val stripped = inner.replace("<p>", "").replace("</p>", "")
-        .replace("<em>", "").replace("</em>", "")
-        .replaceAll("<a href=\"[^\"]*\">", "").replace("</a>", "")
+      val stripped = inner
+        .replaceAll("</?(p|em|ul|li|h[1-6]|a)>", "")
+        .replaceAll("<a href=\"[^\"]*\">", "")
       !stripped.contains('<')
     })
   }

@@ -67,7 +67,9 @@ class NormalizeSpec extends AnyFunSuite {
     assert(r.getAs[Long]("time") == 1490223600000L)
     assert(r.getAs[Long]("utcOffset") == -4L * 3600 * 1000) // signed, unlike ref
     assert(r.getAs[String]("description") ==
-      "<div class=\"event-api-content\"><p>Talks about <em>papers</em> we love.</p>" +
+      "<div class=\"event-api-content\"><h1>Kickoff night</h1>" +
+        "<p>Talks about <em>papers</em> we love.</p>" +
+        "<ul><li>bring a paper</li><li>bring a friend</li></ul>" +
         "<p>Come join us!</p></div>")
     assert(r.isNullAt(r.fieldIndex("photos"))) // photos 'null for fb
   }

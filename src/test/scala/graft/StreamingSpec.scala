@@ -24,6 +24,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("append-mode session stream writes to a parquet FILE sink") {
+    // the scored queries use the memory sink (driver-harness contract:
+    // the result comes back as a DataFrame); this proves the SAME
+    // streaming frame runs against the production-shaped file sink —
+    // the 100-TB path, where results append to parquet/delta instead
+    // of collecting to the driver
+    val out = java.nio.file.Files.createTempDirectory("graft_sink_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    val agg = graft.streaming.Streams.sessionFrame(s, d)
+    val q = agg.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    val fromFile = s.read.parquet(out)
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("n"), col("total"))
+      .orderBy(col("user_id"), col("session_start"))
+      .collect().toSeq
+    val scored = SparkEntry.queries("s_session")(s, d)
+      .select(col("user_id"), col("session_start"), col("n"), col("total"))
+      .collect().toSeq
+    assert(fromFile == scored)
+  }
+
   test("s_stateful_dedup equals batch count-distinct") {
     val streamed = SparkEntry.queries("s_stateful_dedup")(s, d).collect().toSeq
     val batch = Tables.events(s, d)
