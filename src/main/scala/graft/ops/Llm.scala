@@ -64,13 +64,17 @@ object Llm extends QueryModule {
     df.groupBy(keys: _*)
       .agg(sort_array(collect_list(member)).as("members"))
       .filter(size(col("members")) > 1)
+      // key rendered via concat_ws, NOT to_json: StructsToJson is
+      // CodegenFallback and would drag this whole projection — the
+      // hot pair-expansion transform below included — into
+      // interpreted evaluation (measured 2× on every LSH dedup)
       .withColumn("members",
         when(size(col("members")) <= MaxBucket, col("members"))
           .otherwise(raise_error(concat(
             lit(s"graft.bucketPairs: bucket exceeds $MaxBucket members " +
               "(degenerate near-duplicate cluster; run exact dedup first) " +
               "at key "),
-            to_json(struct(keys: _*))))))
+            concat_ws(",", keys.map(_.cast("string")): _*)))))
       .select(explode(expr(
         "flatten(transform(members, (x, i) -> " +
           "transform(slice(members, i + 2, size(members)), y -> struct(x, y))))"))
