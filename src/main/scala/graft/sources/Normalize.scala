@@ -89,6 +89,17 @@ object Normalize {
   val chaptersSchema: StructType = StructType.fromDDL(
     "chapter STRING, title STRING, adapter STRING, api_id STRING, organization STRING")
 
+  /** Video definitions (`private/data/data_formats.md:46-74`): a single
+    * JSON object keyed by video id. Documented-only in the reference
+    * (no code path reads it there either); here it gets a real typed
+    * reader so the schema is executable, not prose. */
+  private val thumbDdl = "STRUCT<url: STRING, width: INT, height: INT>"
+  val videoSchema: StructType = StructType.fromDDL(
+    s"""embedUrl STRING, published STRING, title STRING,
+       |description STRING,
+       |thumbnails STRUCT<default: $thumbDdl, medium: $thumbDdl,
+       |                  high: $thumbDdl>""".stripMargin)
+
   def readMeetup(s: SparkSession, path: String): DataFrame =
     s.read.schema(meetupRawSchema).json(path)
   def readFacebook(s: SparkSession, path: String): DataFrame =
@@ -98,17 +109,42 @@ object Normalize {
   def readChapters(s: SparkSession, path: String): DataFrame =
     s.read.schema(chaptersSchema).json(path)
 
+  /** videos.json is ONE object keyed by video id (data_formats.md:46),
+    * not JSONL — read whole-file, parse as a map, explode to typed
+    * rows with the published timestamp parsed and thumbnails
+    * flattened. The id-keyed-map→rows pivot is the inverse of
+    * [[toReferenceShape]]'s sink-edge reshape. wholetext is a
+    * single-task read per file — videos.json is a small dimension
+    * table (hundreds of rows), never the fact side. */
+  def readVideos(s: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types.{MapType, StringType}
+    s.read.option("wholetext", "true").text(path)
+      .select(explode(from_json(col("value"),
+        MapType(StringType, videoSchema))).as(Seq("video_id", "v")))
+      .select(col("video_id"),
+        col("v.embedUrl").as("embed_url"),
+        to_timestamp(col("v.published"),
+          "yyyy-MM-dd'T'HH:mm:ss.SSSX").as("published"),
+        col("v.title").as("title"),
+        col("v.description").as("description"),
+        col("v.thumbnails.default").as("thumb_default"),
+        col("v.thumbnails.medium").as("thumb_medium"),
+        col("v.thumbnails.high").as("thumb_high"))
+  }
+
   // --------------------------------------------------------- markdown UDF
 
   /** Minimal zero-dependency markdown→HTML rendering matching the
     * reference's observable envelope (facebook.rkt:30-32: parse +
     * `<div class="event-api-content">` wrap). No markdown jar ships
     * with Spark (SURVEY §7 risk 5), so this renders the subset real
-    * event descriptions use: HTML escape, `[text](url)` links,
-    * `*emphasis*`, ATX headers (`# `–`###### `, single-line blocks),
-    * `- ` unordered lists (blocks where every line is an item), and
-    * double-newline paragraph blocks. Links render BEFORE emphasis so
-    * a `*` inside a URL or link text isn't split by the emphasis pass.
+    * event descriptions use: HTML escape, `` `code` `` spans,
+    * `[text](url)` links, `**bold**`, `*emphasis*`, ATX headers
+    * (`# `–`###### `, single-line blocks), `- ` unordered lists
+    * (blocks where every line is an item), and double-newline
+    * paragraph blocks. Pass order matters: code → links → bold → em,
+    * so a `*` inside a URL or link text isn't split by the emphasis
+    * pass and `**x**` isn't half-eaten by the single-star rule.
     * A Scala UDF — the reference's one true custom scalar (A23); kept
     * OUT of relational hot paths so codegen elsewhere is unaffected. */
   private val MdHeader = "^(#{1,6}) (.*)$".r
@@ -117,9 +153,11 @@ object Normalize {
     if (md == null) null
     else {
       val esc = md.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-      val links = esc.replaceAll("\\[([^\\]]+)\\]\\(([^)\\s]+)\\)",
+      val code = esc.replaceAll("`([^`]+)`", "<code>$1</code>")
+      val links = code.replaceAll("\\[([^\\]]+)\\]\\(([^)\\s]+)\\)",
         "<a href=\"$2\">$1</a>")
-      val em = links.replaceAll("\\*([^*]+)\\*", "<em>$1</em>")
+      val bold = links.replaceAll("\\*\\*([^*]+)\\*\\*", "<strong>$1</strong>")
+      val em = bold.replaceAll("\\*([^*]+)\\*", "<em>$1</em>")
       val paras = em.split("\n\n", -1).map { p =>
         val lines = p.split("\n", -1)
         p match {

@@ -49,9 +49,12 @@ object NormalizeQueries extends QueryModule {
     // emphasis; a header is a single-line block of 1-6 #'s + space; a
     // list is a block where EVERY line starts with "- ").
     val esc = "replace(replace(replace(description, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
-    val links = s"regexp_replace($esc, " +
+    val code = s"regexp_replace($esc, '`([^`]+)`', '<code>\\1</code>', 'g')"
+    val links = s"regexp_replace($code, " +
       """'\[([^\]]+)\]\(([^)\s]+)\)', '<a href="\2">\1</a>', 'g')"""
-    val em = s"regexp_replace($links, '\\*([^*]+)\\*', '<em>\\1</em>', 'g')"
+    val bold =
+      s"regexp_replace($links, '\\*\\*([^*]+)\\*\\*', '<strong>\\1</strong>', 'g')"
+    val em = s"regexp_replace($bold, '\\*([^*]+)\\*', '<em>\\1</em>', 'g')"
     val hLvl = "length(regexp_extract(p, '^(#+) ', 1))"
     // single-line: this snippet is embedded in scanJsonSql, whose outer
     // stripMargin would otherwise eat a leading '|' of a wrapped '||'

@@ -83,11 +83,51 @@ object Transport {
 
   def register(name: String, t: Transport): Unit = registry.put(name, t)
 
+  /** `fixture` → offline replay; an `http(s)://...` base URL → live
+    * [[HttpTransport]]; anything else → the per-JVM registry. */
   def resolve(name: String, fixturesDir: String): Transport =
     if (name == "fixture") new FixtureTransport(fixturesDir)
+    else if (name.startsWith("http://") || name.startsWith("https://"))
+      new HttpTransport(name)
     else Option(registry.get(name)).getOrElse(sys.error(
       s"graft-rest: unknown transport '$name' — register it with " +
         "graft.sources.rest.Transport.register(name, impl)"))
+}
+
+/** Live HTTP transport (the reference's simple-http GET of
+  * `/{api-id}/events`, meetup.rkt:83-86): fetches
+  * `{base}/{adapter}/{chapter}/events` with the JDK's built-in
+  * java.net.http client (no extra dependency), expects a
+  * newline-delimited JSON body, and surfaces the
+  * `X-Ratelimit-Remaining` / `X-Ratelimit-Reset` headers
+  * (meetup.rkt:19-24; Reset is epoch SECONDS, converted to the millis
+  * deadline [[Throttle]] expects). Non-2xx fails loudly — the error
+  * row lift happens in the normalize layer, not by swallowing fetch
+  * failures (the reference's exn handlers at meetup.rkt:74-80 do the
+  * same lift one level up). Exercised in RestSourceSpec against a
+  * loopback HttpServer; the container has no egress, so that test IS
+  * the live-mode proof. */
+class HttpTransport(baseUrl: String) extends Transport {
+  override def fetch(adapter: String, chapter: String): RestResponse = {
+    val client = java.net.http.HttpClient.newHttpClient()
+    val req = java.net.http.HttpRequest.newBuilder()
+      .uri(java.net.URI.create(
+        s"${baseUrl.stripSuffix("/")}/$adapter/$chapter/events"))
+      .GET().build()
+    val resp = client.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() / 100 != 2)
+      sys.error(s"graft-rest: HTTP ${resp.statusCode()} fetching " +
+        s"$adapter/$chapter from $baseUrl")
+    def hdr(n: String): Option[String] = {
+      val v = resp.headers().firstValue(n)
+      if (v.isPresent) Some(v.get) else None
+    }
+    RestResponse(
+      resp.body().split("\n").toSeq.filter(_.trim.nonEmpty),
+      hdr("X-Ratelimit-Remaining").flatMap(_.toLongOption),
+      hdr("X-Ratelimit-Reset").flatMap(_.toLongOption).map(_ * 1000L))
+  }
 }
 
 /** Offline transport: replays committed fixture captures, the

@@ -36,6 +36,12 @@ class MarkdownSpec extends AnyFunSuite {
         "<em>see <a href=\"u\">ab</a></em></p></div>")
   }
 
+  test("bold renders before emphasis; code spans render first") {
+    assert(renderMarkdown("**b** and *e* and `c`") ==
+      "<div class=\"event-api-content\"><p><strong>b</strong> and " +
+        "<em>e</em> and <code>c</code></p></div>")
+  }
+
   test("single-line # blocks render as headers, by level") {
     assert(renderMarkdown("## Agenda\n\nbody") ==
       "<div class=\"event-api-content\"><h2>Agenda</h2><p>body</p></div>")
@@ -72,7 +78,7 @@ class MarkdownSpec extends AnyFunSuite {
       val inner = renderMarkdown(s)
         .stripPrefix("<div class=\"event-api-content\">").stripSuffix("</div>")
       val stripped = inner
-        .replaceAll("</?(p|em|ul|li|h[1-6]|a)>", "")
+        .replaceAll("</?(p|em|strong|code|ul|li|h[1-6]|a)>", "")
         .replaceAll("<a href=\"[^\"]*\">", "")
       !stripped.contains('<')
     })

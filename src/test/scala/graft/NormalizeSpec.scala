@@ -70,8 +70,23 @@ class NormalizeSpec extends AnyFunSuite {
       "<div class=\"event-api-content\"><h1>Kickoff night</h1>" +
         "<p>Talks about <em>papers</em> we love.</p>" +
         "<ul><li>bring a paper</li><li>bring a friend</li></ul>" +
-        "<p>Come join us!</p></div>")
+        "<p>Come join us — <strong>bold</strong> talks and " +
+        "<code>live code</code>!</p></div>")
     assert(r.isNullAt(r.fieldIndex("photos"))) // photos 'null for fb
+  }
+
+  test("video table: id-keyed JSON object pivots to typed rows (data_formats.md:46-74)") {
+    val v = Normalize.readVideos(s, s"$fx/videos.json")
+      .orderBy(col("video_id")).collect()
+    assert(v.length == 2)
+    val first = v.find(_.getString(0) == "fB2UrqbfV-4").get
+    assert(first.getAs[String]("embed_url")
+      == "https://www.youtube.com/embed/fB2UrqbfV-4")
+    assert(first.getAs[java.sql.Timestamp]("published").toInstant
+      == java.time.Instant.parse("2017-01-24T05:56:27Z"))
+    val thumb = first.getAs[org.apache.spark.sql.Row]("thumb_medium")
+    assert(thumb.getAs[String]("url").endsWith("mqdefault.jpg"))
+    assert(thumb.getAs[Int]("width") == 320 && thumb.getAs[Int]("height") == 180)
   }
 
   test("eventbrite normalize: DST-aware tz offset, millis key (eventbrite.rkt:51-85)") {

@@ -58,6 +58,42 @@ class RestSourceSpec extends AnyFunSuite {
     assert(rows.forall(_.getString(0) == "berlin"))
   }
 
+  test("HttpTransport fetches chapters from a live (loopback) server") {
+    // zero-egress container: a JDK HttpServer on 127.0.0.1 plays the
+    // adapter API — this is the live-mode proof for the http transport
+    val served = Map(
+      "berlin" -> Seq(
+        """{"chapter": "berlin", "id": "h1", "name": "Via HTTP"}""",
+        """{"chapter": "berlin", "id": "h2", "name": "Also HTTP"}"""),
+      "london" -> Seq(
+        """{"chapter": "london", "id": "h3", "name": "London HTTP"}"""))
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", { exchange =>
+      // path shape: /{adapter}/{chapter}/events (meetup.rkt:83-84)
+      val parts = exchange.getRequestURI.getPath.split("/").filter(_.nonEmpty)
+      val body = served.getOrElse(parts(1), Nil).mkString("\n")
+        .getBytes("UTF-8")
+      exchange.getResponseHeaders.add("X-Ratelimit-Remaining", "30")
+      exchange.sendResponseHeaders(200, body.length)
+      exchange.getResponseBody.write(body)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val rows = s.read.format("graft.sources.rest.RestSource")
+        .option("chaptersFile", s"$fx/chapters.jsonl")
+        .option("transport",
+          s"http://127.0.0.1:${server.getAddress.getPort}")
+        .option("ratePerSecond", "1000")
+        .load()
+        .filter(col("payload").isNotNull)
+        .collect()
+      assert(rows.map(_.getString(2)).sorted.toSeq ==
+        served.values.flatten.toSeq.sorted)
+    } finally server.stop(0)
+  }
+
   test("an unregistered transport name fails loudly") {
     val e = intercept[Exception] {
       s.read.format("graft.sources.rest.RestSource")
