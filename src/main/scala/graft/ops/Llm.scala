@@ -48,15 +48,21 @@ object Llm extends QueryModule {
     * bands⨝bands self-join would clone the whole signature subplan
     * into both sides. Returns distinct (x, y) member pairs.
     *
-    * Buckets are CAPPED at [[MaxBucket]] members: the per-bucket
-    * collect_list is otherwise unbounded, and a degenerate bucket
-    * (thousands of exact duplicates sharing one signature) would both
-    * blow executor memory and expand |bucket|² pairs. Band geometry
-    * makes this unreachable in normal data; when it IS reached the
-    * query fails loudly with the bucket key in the message — the right
-    * response is to run exact dedup first (collapse the identical
-    * docs), not to silently drop candidate pairs and ship an
-    * incomplete dedup result. */
+    * Buckets are CAPPED at [[MaxBucket]] members: a degenerate bucket
+    * (thousands of exact duplicates sharing one signature) would
+    * otherwise expand |bucket|² pairs. Band geometry makes this
+    * unreachable in normal data; when it IS reached the query fails
+    * loudly with the bucket key in the message — the right response is
+    * to run exact dedup first (collapse the identical docs), not to
+    * silently drop candidate pairs and ship an incomplete dedup
+    * result. Scope note: the guard evaluates AFTER collect_list has
+    * materialized the bucket, so it bounds the n² expansion and makes
+    * the failure diagnosable, but a multi-GB adversarial bucket can
+    * still stress the aggregation buffer itself; hardening that needs
+    * a bounded custom Aggregator (cap+overflow-flag buffer) or a
+    * pre-count pass, both costing a second pass over the signature
+    * build — not taken while the cap is orders of magnitude above
+    * real bucket sizes. */
   private[ops] val MaxBucket = 1024
 
   private[ops] def bucketPairs(df: DataFrame, keys: Seq[Column],

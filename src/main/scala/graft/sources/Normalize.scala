@@ -123,8 +123,13 @@ object Normalize {
         MapType(StringType, videoSchema))).as(Seq("video_id", "v")))
       .select(col("video_id"),
         col("v.embedUrl").as("embed_url"),
-        to_timestamp(col("v.published"),
-          "yyyy-MM-dd'T'HH:mm:ss.SSSX").as("published"),
+        // real captures carry both milli and whole-second forms; a
+        // single rigid .SSS pattern would silently null the latter
+        coalesce(
+          try_to_timestamp(col("v.published"),
+            lit("yyyy-MM-dd'T'HH:mm:ss.SSSX")),
+          try_to_timestamp(col("v.published"),
+            lit("yyyy-MM-dd'T'HH:mm:ssX"))).as("published"),
         col("v.title").as("title"),
         col("v.description").as("description"),
         col("v.thumbnails.default").as("thumb_default"),
@@ -145,6 +150,12 @@ object Normalize {
     * paragraph blocks. Pass order matters: code → links → bold → em,
     * so a `*` inside a URL or link text isn't split by the emphasis
     * pass and `**x**` isn't half-eaten by the single-star rule.
+    * KNOWN LIMIT of the regex-pass design: earlier passes do not
+    * protect their output from later ones, so e.g. single `*`s inside
+    * TWO DIFFERENT code spans can still be paired by the emphasis
+    * pass (crossed tags) — a real markdown parser tokenizes instead.
+    * The DuckDB oracle mirrors these passes exactly, so the subset is
+    * deterministic and cross-engine-stable even at its edges.
     * A Scala UDF — the reference's one true custom scalar (A23); kept
     * OUT of relational hot paths so codegen elsewhere is unaffected. */
   private val MdHeader = "^(#{1,6}) (.*)$".r

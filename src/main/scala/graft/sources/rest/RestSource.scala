@@ -109,12 +109,17 @@ object Transport {
   * the live-mode proof. */
 class HttpTransport(baseUrl: String) extends Transport {
   override def fetch(adapter: String, chapter: String): RestResponse = {
-    val client = java.net.http.HttpClient.newHttpClient()
+    // path segments percent-encoded: a chapter id with a space would
+    // crash URI.create, and one containing '/' would silently rewrite
+    // the request path
+    def seg(v: String): String =
+      java.net.URLEncoder.encode(v, "UTF-8").replace("+", "%20")
     val req = java.net.http.HttpRequest.newBuilder()
       .uri(java.net.URI.create(
-        s"${baseUrl.stripSuffix("/")}/$adapter/$chapter/events"))
+        s"${baseUrl.stripSuffix("/")}/${seg(adapter)}/${seg(chapter)}/events"))
+      .timeout(java.time.Duration.ofSeconds(60))
       .GET().build()
-    val resp = client.send(req,
+    val resp = HttpTransport.client.send(req,
       java.net.http.HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() / 100 != 2)
       sys.error(s"graft-rest: HTTP ${resp.statusCode()} fetching " +
@@ -128,6 +133,16 @@ class HttpTransport(baseUrl: String) extends Transport {
       hdr("X-Ratelimit-Remaining").flatMap(_.toLongOption),
       hdr("X-Ratelimit-Reset").flatMap(_.toLongOption).map(_ * 1000L))
   }
+}
+
+object HttpTransport {
+  /** One client per JVM: connection pooling across all partitions on
+    * an executor instead of a fresh selector thread + TCP handshake
+    * per fetch. Connect/request timeouts bound a stalled server —
+    * without them a wedged endpoint hangs the Spark task forever. */
+  private lazy val client = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(20))
+    .build()
 }
 
 /** Offline transport: replays committed fixture captures, the
@@ -147,7 +162,12 @@ private[rest] object FixtureIndex {
     new java.util.concurrent.ConcurrentHashMap[String, Map[String, Vector[String]]]()
 
   def lines(path: String, chapter: String): Seq[String] =
-    cache.computeIfAbsent(path, load).getOrElse(chapter, Vector.empty)
+    // a MISSING file is not cached: computeIfAbsent would pin the
+    // empty result forever, hiding a fixture created later in the
+    // JVM's lifetime (the pre-index reader re-checked every read)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+      Vector.empty
+    else cache.computeIfAbsent(path, load).getOrElse(chapter, Vector.empty)
 
   private val load: java.util.function.Function[String, Map[String, Vector[String]]] =
     (path: String) => {
@@ -227,7 +247,7 @@ private[rest] class RestReaderFactory extends PartitionReaderFactory {
 /** Per-executor rate limiting (A6). One state per JVM — every
   * partition on an executor shares the budget, like the reference's
   * per-worker throttle state (`meetup.rkt:9-10` boxes). */
-private[rest] object Throttle {
+private[graft] object Throttle {
   // one bucket per rate so concurrent scans with different configured
   // rates don't fight over shared state
   private val buckets =
@@ -235,13 +255,22 @@ private[rest] object Throttle {
 
   /** JVM-wide defer deadline from response-header feedback
     * (meetup.rkt:15-24: when the api reports <3 requests remaining,
-    * sleep until the reset time). */
+    * sleep until the reset time). Updated under the lock: a bare
+    * volatile read-modify-write would let a concurrent smaller
+    * deadline overwrite a larger one and resume fetching early. */
   @volatile private var deferUntilMillis = 0L
 
   def noteHeaders(resp: RestResponse): Unit =
-    if (resp.rateRemaining.exists(_ < 3))
+    if (resp.rateRemaining.exists(_ < 3)) synchronized {
       deferUntilMillis = math.max(deferUntilMillis,
         resp.rateResetMillis.getOrElse(System.currentTimeMillis() + 1000L))
+    }
+
+  /** Test hook: clear the defer deadline so a suite that plants one
+    * can't leak a sleep into unrelated tests in the shared JVM. */
+  private[graft] def clearDefer(): Unit = synchronized {
+    deferUntilMillis = 0L
+  }
 
   /** Try to take a token; returns 0 on success or the suggested sleep
     * millis. Never sleeps inside the lock — other readers keep making

@@ -121,6 +121,8 @@ class RestSourceSpec extends AnyFunSuite {
       .load().count()
     val sec = (System.nanoTime() - t0) / 1e9
     assert(sec >= 0.3, f"expected header-driven defer, took $sec%.2fs")
+    // don't leak the planted deadline into later tests in this JVM
+    graft.sources.rest.Throttle.clearDefer()
   }
 
   test("token bucket throttles fetch rate") {

@@ -44,13 +44,18 @@ class TopKSpec extends AnyFunSuite {
       "graft.plans.TopK$TopKRewrite")
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    val expected = Tables.orders(plain, d)
+    val baseline = Tables.orders(plain, d)
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .select(col("o_custkey"), col("rn"), col("o_orderkey"),
         col("o_totalprice"))
       .orderBy(col("o_custkey"), col("rn"))
-      .collect().toSeq
+    // guard against silent rule-name drift: excludedRules IGNORES
+    // unknown names, which would turn this into TopK == TopK
+    val baseStr = baseline.queryExecution.executedPlan.toString
+    assert(!baseStr.contains("PartialTopK"),
+      "exclusion did not take — update the rule name in excludedRules")
+    val expected = baseline.collect().toSeq
 
     val got = topkQuery().collect().toSeq
     assert(got == expected)
