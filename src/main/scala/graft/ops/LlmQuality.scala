@@ -74,10 +74,17 @@ object LlmQuality extends QueryModule {
     *    true J ≥ t − 5e-5, so blocking at exactly t could miss a pair
     *    rounding up across the boundary. The slack makes the prefix
     *    one gram longer only when ⌈t'·n⌉ < ⌈t·n⌉ (n ≳ 4000). */
-  private def dedupNgram(s: SparkSession, d: String): DataFrame = {
-    // (doc, gram-hash) pairs; hashes are distinct per doc
-    val toks = Llm.docs(s, d)
+  /** (doc, gram-hash) pairs; hashes are distinct per doc. */
+  private def ngramToks(s: SparkSession, d: String): DataFrame =
+    Llm.docs(s, d)
       .select(col("doc_id"), explode(ngramHashes4(col("text"))).as("h"))
+
+  /** The blocking stage alone: candidate (da, db) pairs from the
+    * prefix buckets. Package-visible so ScaleTechniquesSpec can
+    * assert the pruning ratio vs all-pairs — the property the whole
+    * AllPairs design stands on. */
+  private[ops] def ngramCandidates(s: SparkSession, d: String): DataFrame = {
+    val toks = ngramToks(s, d)
     val freq = toks.groupBy(col("h")).agg(count(lit(1)).as("freq"))
     val ord = Window.partitionBy(col("doc_id"))
       .orderBy(col("freq"), col("h"))
@@ -87,9 +94,14 @@ object LlmQuality extends QueryModule {
         count(lit(1)).over(Window.partitionBy(col("doc_id"))).as("sz"))
       .filter(col("rn") <=
         col("sz") - ceil(lit(JaccardT - 1e-4) * col("sz")) + 1)
-    val cand = Llm.bucketPairs(prefix.select(col("doc_id"), col("h")),
+    Llm.bucketPairs(prefix.select(col("doc_id"), col("h")),
         Seq(col("h")), col("doc_id"))
       .select(col("x").as("da"), col("y").as("db"))
+  }
+
+  private def dedupNgram(s: SparkSession, d: String): DataFrame = {
+    val toks = ngramToks(s, d)
+    val cand = ngramCandidates(s, d)
     cand
       .select(col("da"), col("db"),
         explode(array(col("da"), col("db"))).as("doc_id"))

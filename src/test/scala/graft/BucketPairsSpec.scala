@@ -20,6 +20,19 @@ class BucketPairsSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L))) // b2 singleton drops
   }
 
+  test("ngram prefix blocking prunes the candidate space (AllPairs property)") {
+    // the scale claim behind q_llm_dedup_ngram: the prefix-filter
+    // buckets generate FAR fewer pairs than the n(n-1)/2 all-pairs
+    // join the oracle runs, while the gate proves output equality
+    val d = SparkTestBase.sfDir
+    val n = Llm.docs(s, d).count()
+    val allPairs = n * (n - 1) / 2
+    val cands = LlmQuality.ngramCandidates(s, d).count()
+    assert(cands > 0, "blocking found no candidates at all")
+    assert(cands * 20 < allPairs,
+      s"$cands candidates vs $allPairs all-pairs — blocking isn't pruning")
+  }
+
   test("a bucket over MaxBucket members fails loudly, naming the key") {
     import s.implicits._
     // adversarial input: all-identical docs → one bucket, n² blow-up
