@@ -37,6 +37,11 @@ import java.sql.Timestamp
   */
 object Streams extends QueryModule {
 
+  /** Keyed state for s_custom_state (top-level so the Dataset encoder
+    * gets a TypeTag — a method-local case class cannot provide one). */
+  private[streaming] case class UserAgg(n: Long, maxV: Double,
+                                        types: Set[String])
+
   /** events schema as the streaming reader needs it (nanos→long per
     * Tables.events; streaming file sources require an explicit schema). */
   private val eventsRawSchema = StructType.fromDDL(
@@ -222,6 +227,84 @@ object Streams extends QueryModule {
     """SELECT event_type, count(DISTINCT user_id) AS n_distinct_users
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ----------------------------------------------------------- s_join_static
+
+  /** Stream-static enrichment join: the events stream joined to a
+    * STATIC per-user profile (computed batch-side from the same
+    * table), then aggregated per event_type. The static side is
+    * re-read per micro-batch by Spark's stream-static join machinery —
+    * at scale it's a broadcast of a dim table or a co-partitioned
+    * bucketed join; the streaming side never shuffles for the join
+    * itself. Oracle: the same join in plain SQL. */
+  private def sJoinStatic(s: SparkSession, d: String): DataFrame = {
+    val userStats = graft.Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("user_events"))
+    val joined = eventsStream(s, d)
+      .withWatermark("ts", "10 minutes")
+      .join(broadcast(userStats), "user_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        Det.r2(avg(col("user_events"))).as("avg_user_events"))
+    runToBatch(s, joined, "update")
+      .select(col("event_type"), col("n"), col("avg_user_events"))
+      .orderBy(col("event_type"))
+  }
+
+  private val sJoinStaticSql =
+    s"""WITH u AS (
+       |  SELECT user_id, count(*) AS user_events FROM events
+       |  GROUP BY user_id)
+       |SELECT event_type, count(*) AS n,
+       |       ${Det.sql2("avg(user_events)")} AS avg_user_events
+       |FROM events JOIN u USING (user_id)
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------- s_custom_state
+
+  /** Custom keyed state via flatMapGroupsWithState — the driver-brief
+    * API for state the declarative windows can't express. Per-user
+    * state = (event count, max value, distinct event types seen);
+    * each batch emits the updated snapshot, so with the file source's
+    * single data batch the sink holds exactly the final state per
+    * user. The memory-sink dedupe (max per user) mirrors s_late's
+    * update-mode convention and is a no-op for single-batch input.
+    * At scale: state is O(users), hash-partitioned by key, bounded by
+    * the type-set cardinality — the same layout mapGroupsWithState
+    * deploys on a real cluster. */
+  private def sCustomState(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val updated = eventsStream(s, d)
+      .select(col("user_id").as[Long], col("value").as[Double],
+        col("event_type").as[String])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserAgg, (Long, Long, Double, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[UserAgg]) =>
+          val prev = state.getOption.getOrElse(UserAgg(0L, Double.MinValue, Set.empty))
+          val next = rows.foldLeft(prev) { (acc, r) =>
+            UserAgg(acc.n + 1, math.max(acc.maxV, r._2), acc.types + r._3)
+          }
+          state.update(next)
+          Iterator((uid, next.n, next.maxV, next.types.size.toLong))
+      }
+      .toDF("user_id", "n_events", "max_value", "n_types")
+    runStream(s, updated, "update", Some(Trigger.AvailableNow()),
+        _.awaitTermination())
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"),
+        Det.r2(max(col("max_value"))).as("max_value"),
+        max(col("n_types")).as("n_types"))
+      .orderBy(col("user_id"))
+  }
+
+  private val sCustomStateSql =
+    s"""SELECT user_id, count(*) AS n_events,
+       |       ${Det.sql2("max(value)")} AS max_value,
+       |       count(DISTINCT event_type) AS n_types
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ------------------------------------------------------------------ s_late
 
   /** Watermark late-data semantics on a hand-planted two-batch stream:
@@ -280,6 +363,8 @@ object Streams extends QueryModule {
     "s_slide" -> (sSlide _),
     "s_session" -> (sSession _),
     "s_stateful_dedup" -> (sDedup _),
+    "s_join_static" -> (sJoinStatic _),
+    "s_custom_state" -> (sCustomState _),
     "s_late" -> (sLate _),
   )
 
@@ -288,6 +373,8 @@ object Streams extends QueryModule {
     "s_slide" -> sSlideSql,
     "s_session" -> sSessionSql,
     "s_stateful_dedup" -> sDedupSql,
+    "s_join_static" -> sJoinStaticSql,
+    "s_custom_state" -> sCustomStateSql,
     "s_late" -> sLateSql,
   )
 }
