@@ -32,48 +32,17 @@ object LlmQuality extends QueryModule {
     * source made the whole build ~6× cheaper). Distinct-on-hashes ==
     * distinct-on-grams up to a |vocab|²/2⁶⁵ ≈ 1e-9 collision chance,
     * the standard trade for exact set similarity at corpus scale. */
-  private def ngramHashes4(text: Column): Column = {
+  private def ngramHashes(text: Column, width: Int): Column = {
     val w = split(text, " ")
     val n = size(w)
-    when(n >= 4,
-      array_distinct(transform(sequence(lit(1), n - 3), i =>
-        xxhash64(element_at(w, i), element_at(w, i + 1),
-          element_at(w, i + 2), element_at(w, i + 3)))))
+    when(n >= width,
+      array_distinct(transform(sequence(lit(1), n - (width - 1)), i =>
+        xxhash64((0 until width).map(o => element_at(w, i + o)): _*))))
       .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)"))
   }
 
-  /** Exact n-gram Jaccard self-join with prefix filtering.
-    *
-    * Every doc's 4-gram set is ordered by a GLOBAL total order —
-    * ascending corpus frequency, gram hash as tie-break (rare first).
-    * If J(x, y) ≥ t, then |x∩y| ≥ ⌈t·|x|⌉, so the first
-    * |x| − ⌈t·|x|⌉ + 1 grams of x (and symmetrically y) must contain
-    * a common gram: blocking on prefix grams finds EVERY qualifying
-    * pair, and the exact-Jaccard verification removes every false
-    * candidate — output is identical to the all-pairs join the oracle
-    * runs, with candidates ~ Σ|gram bucket|² over RARE grams instead
-    * of n². At 100 TB the frequency table is vocabulary-bounded and
-    * the heavy join never materializes non-candidate pairs.
-    *
-    * Physical design (this is what makes it fast — the r3 string-array
-    * formulation serialized onto single tasks and cost 27 s at sf0.1):
-    *  - 4-grams are hashed to BIGINT at the source (ngramHashes4);
-    *    the frequency ordering, prefix selection, bucketing and
-    *    verification all run on 8-byte longs, never 40-char strings.
-    *  - Prefix selection is a per-doc row_number window over the
-    *    exploded (doc, hash) pairs — no collect_list / array_sort /
-    *    slice round-trip through per-doc string arrays.
-    *  - Verification touches the exploded pairs ONCE: each candidate
-    *    pair unpivots to two (pair, doc) rows, joins (doc, h), and a
-    *    groupBy (pair, h) counts 2 for shared grams, 1 otherwise —
-    *    giving BOTH |x∩y| (count of 2s) and |x∪y| (distinct h count)
-    *    in one aggregation, with no per-doc set-size table and no
-    *    per-row gram arrays rebuilt or broadcast.
-    *  - Candidate generation runs at threshold t' = t − 1e-4: the
-    *    output filter admits pairs whose r4-ROUNDED jaccard ≥ t, i.e.
-    *    true J ≥ t − 5e-5, so blocking at exactly t could miss a pair
-    *    rounding up across the boundary. The slack makes the prefix
-    *    one gram longer only when ⌈t'·n⌉ < ⌈t·n⌉ (n ≳ 4000). */
+  private def ngramHashes4(text: Column): Column = ngramHashes(text, 4)
+
   /** (doc, gram-hash) pairs; hashes are distinct per doc. */
   private def ngramToks(s: SparkSession, d: String): DataFrame =
     Llm.docs(s, d)
@@ -99,6 +68,39 @@ object LlmQuality extends QueryModule {
       .select(col("x").as("da"), col("y").as("db"))
   }
 
+  /** Exact n-gram Jaccard self-join with prefix filtering.
+    *
+    * Every doc's 4-gram set is ordered by a GLOBAL total order —
+    * ascending corpus frequency, gram hash as tie-break (rare first).
+    * If J(x, y) ≥ t, then |x∩y| ≥ ⌈t·|x|⌉, so the first
+    * |x| − ⌈t·|x|⌉ + 1 grams of x (and symmetrically y) must contain
+    * a common gram: blocking on prefix grams finds EVERY qualifying
+    * pair, and the exact-Jaccard verification removes every false
+    * candidate — output is identical to the all-pairs join the oracle
+    * runs, with candidates ~ Σ|gram bucket|² over RARE grams instead
+    * of n². At 100 TB the frequency table is vocabulary-bounded and
+    * the heavy join never materializes non-candidate pairs.
+    *
+    * Physical design (this is what makes it fast — the r3 string-array
+    * formulation serialized onto single tasks and cost 27 s at sf0.1):
+    *  - 4-grams are hashed to BIGINT at the source (ngramHashes4);
+    *    the frequency ordering, prefix selection, bucketing and
+    *    verification all run on 8-byte longs, never 40-char strings.
+    *  - Prefix selection is a per-doc row_number window over the
+    *    exploded (doc, hash) pairs — no collect_list / array_sort /
+    *    slice round-trip through per-doc string arrays
+    *    (ngramCandidates above).
+    *  - Verification touches the exploded pairs ONCE: each candidate
+    *    pair unpivots to two (pair, doc) rows, joins (doc, h), and a
+    *    groupBy (pair, h) counts 2 for shared grams, 1 otherwise —
+    *    giving BOTH |x∩y| (count of 2s) and |x∪y| (distinct h count)
+    *    in one aggregation, with no per-doc set-size table and no
+    *    per-row gram arrays rebuilt or broadcast.
+    *  - Candidate generation runs at threshold t' = t − 1e-4: the
+    *    output filter admits pairs whose r4-ROUNDED jaccard ≥ t, i.e.
+    *    true J ≥ t − 5e-5, so blocking at exactly t could miss a pair
+    *    rounding up across the boundary. The slack makes the prefix
+    *    one gram longer only when ⌈t'·n⌉ < ⌈t·n⌉ (n ≳ 4000). */
   private def dedupNgram(s: SparkSession, d: String): DataFrame = {
     val toks = ngramToks(s, d)
     val cand = ngramCandidates(s, d)
@@ -312,6 +314,49 @@ object LlmQuality extends QueryModule {
        |FROM kept JOIN raw ON kept.lang = raw.lang
        |GROUP BY kept.lang ORDER BY lang""".stripMargin
 
+  // -------------------------------------------------- q_llm_decontaminate
+
+  /** Train/eval decontamination (the GPT-3 appendix-C / Dolma stage):
+    * find training documents sharing verbatim word-8-grams with an
+    * evaluation set. The eval set here is a deterministic doc_id
+    * slice (mod 7, ~14% of docs) standing in for a benchmark suite; report every
+    * (train, eval) pair with its shared-8-gram count. Physical shape
+    * is the canonical one at 100 TB: benchmarks are tiny, so the
+    * eval-set gram index BROADCASTS and the corpus is scanned ONCE
+    * map-side — no shuffle touches the full training set (the
+    * (train,eval,h) join output is |collisions|, not |corpus|).
+    * Grams are xxhash64 longs as in dedupNgram; the oracle joins the
+    * string grams directly. */
+  private def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val grams = Llm.docs(s, d)
+      .select(col("doc_id"), col("doc_id").mod(7).as("m"),
+        explode(ngramHashes(col("text"), 8)).as("h"))
+    val evalG = grams.filter(col("m") === 0)
+      .select(col("doc_id").as("eval_id"), col("h"))
+    val trainG = grams.filter(col("m") =!= 0)
+      .select(col("doc_id").as("train_id"), col("h"))
+    trainG.join(broadcast(evalG), "h")
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("train_id"), col("eval_id"))
+  }
+
+  private val decontaminateSql =
+    """WITH g AS (
+      |  SELECT doc_id, doc_id % 7 AS m,
+      |         unnest(list_distinct(list_transform(range(1, len(w) - 6),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+      |                || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6]
+      |                || ' ' || w[i+7]))) AS g
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |  WHERE len(w) >= 8)
+      |SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+      |       count(*) AS n_shared
+      |FROM g t JOIN g e ON t.g = e.g
+      |WHERE t.m <> 0 AND e.m = 0
+      |GROUP BY t.doc_id, e.doc_id
+      |ORDER BY train_id, eval_id""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -319,6 +364,7 @@ object LlmQuality extends QueryModule {
     "q_llm_quality" -> (quality _),
     "q_llm_repetition" -> (repetition _),
     "q_llm_dedup_apply" -> (dedupApply _),
+    "q_llm_decontaminate" -> (decontaminate _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -326,5 +372,6 @@ object LlmQuality extends QueryModule {
     "q_llm_quality" -> qualitySql,
     "q_llm_repetition" -> repetitionSql,
     "q_llm_dedup_apply" -> dedupApplySql,
+    "q_llm_decontaminate" -> decontaminateSql,
   )
 }
