@@ -49,8 +49,8 @@ object LlmQuality extends QueryModule {
       .select(col("doc_id"), explode(ngramHashes4(col("text"))).as("h"))
 
   /** The blocking stage alone: candidate (da, db) pairs from the
-    * prefix buckets. Package-visible so ScaleTechniquesSpec can
-    * assert the pruning ratio vs all-pairs — the property the whole
+    * prefix buckets. Package-visible so BucketPairsSpec can assert
+    * the pruning ratio vs all-pairs — the property the whole
     * AllPairs design stands on. */
   private[ops] def ngramCandidates(s: SparkSession, d: String): DataFrame = {
     val toks = ngramToks(s, d)
@@ -319,11 +319,13 @@ object LlmQuality extends QueryModule {
   /** Train/eval decontamination (the GPT-3 appendix-C / Dolma stage):
     * find training documents sharing verbatim word-8-grams with an
     * evaluation set. The eval set here is a deterministic doc_id
-    * slice (mod 7, ~14% of docs) standing in for a benchmark suite; report every
-    * (train, eval) pair with its shared-8-gram count. Physical shape
-    * is the canonical one at 100 TB: benchmarks are tiny, so the
-    * eval-set gram index BROADCASTS and the corpus is scanned ONCE
-    * map-side — no shuffle touches the full training set (the
+    * slice (mod 7, ~14% of docs) standing in for a benchmark suite;
+    * report every (train, eval) pair with its shared-8-gram count.
+    * Physical shape is the canonical one at 100 TB: benchmarks are
+    * tiny, so the eval-set gram index BROADCASTS (built from its own
+    * eval-only scan — Catalyst pushes the mod filter below the gram
+    * explode) and the full training corpus is scanned once map-side
+    * against it — no shuffle touches the training set (the
     * (train,eval,h) join output is |collisions|, not |corpus|).
     * Grams are xxhash64 longs as in dedupNgram; the oracle joins the
     * string grams directly. */

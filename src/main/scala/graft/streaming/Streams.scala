@@ -247,6 +247,12 @@ object Streams extends QueryModule {
       .agg(count(lit(1)).as("n"),
         Det.r2(avg(col("user_events"))).as("avg_user_events"))
     runToBatch(s, joined, "update")
+      // update mode re-emits a group per batch; keep the final (max-n)
+      // snapshot per type so a multi-batch source can't leave partials
+      // (same convention as s_late / s_custom_state)
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        max_by(col("avg_user_events"), col("n")).as("avg_user_events"))
       .select(col("event_type"), col("n"), col("avg_user_events"))
       .orderBy(col("event_type"))
   }
@@ -290,8 +296,7 @@ object Streams extends QueryModule {
           Iterator((uid, next.n, next.maxV, next.types.size.toLong))
       }
       .toDF("user_id", "n_events", "max_value", "n_types")
-    runStream(s, updated, "update", Some(Trigger.AvailableNow()),
-        _.awaitTermination())
+    runToBatch(s, updated, "update")
       .groupBy(col("user_id"))
       .agg(max(col("n_events")).as("n_events"),
         Det.r2(max(col("max_value"))).as("max_value"),
