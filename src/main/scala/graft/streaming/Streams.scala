@@ -42,6 +42,38 @@ object Streams extends QueryModule {
   private[streaming] case class UserAgg(n: Long, maxV: Double,
                                         types: Set[String])
 
+  /** Keyed state for s_transform_state. */
+  private[streaming] case class Extrema(n: Long, minV: Double, maxV: Double)
+
+  /** StatefulProcessor for s_transform_state — the Spark 4
+    * transformWithState API (the successor to mapGroupsWithState):
+    * typed ValueState obtained from the handle in init, updated per
+    * batch, snapshot emitted per key. Only order-INDEPENDENT stats
+    * (count/min/max) so the emitted row is identical regardless of
+    * shuffle-read order within the batch. */
+  private[streaming] class ExtremaProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Double), (Long, Long, Double, Double)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var state: ValueState[Extrema] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[Extrema]("extrema",
+        org.apache.spark.sql.Encoders.product[Extrema], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+        timers: TimerValues): Iterator[(Long, Long, Double, Double)] = {
+      val prev =
+        if (state.exists()) state.get()
+        else Extrema(0L, Double.MaxValue, Double.MinValue)
+      val next = rows.foldLeft(prev) { (acc, r) =>
+        Extrema(acc.n + 1, math.min(acc.minV, r._2), math.max(acc.maxV, r._2))
+      }
+      state.update(next)
+      Iterator((key, next.n, next.minV, next.maxV))
+    }
+  }
+
   /** events schema as the streaming reader needs it (nanos→long per
     * Tables.events; streaming file sources require an explicit schema). */
   private val eventsRawSchema = StructType.fromDDL(
@@ -310,6 +342,47 @@ object Streams extends QueryModule {
        |       count(DISTINCT event_type) AS n_types
        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------------------- s_transform_state
+
+  /** Per-user running count/min/max through transformWithState — the
+    * Spark 4 arbitrary-state API ([[ExtremaProcessor]]). TWS requires
+    * the RocksDB state store, so the provider conf is swapped in for
+    * this query's start (the RocksDB path is also the right one at
+    * 100 TB: state spills off-heap/disk instead of living on the JVM
+    * heap like the HDFS-backed default). Single data batch ⇒ the
+    * update sink holds the final snapshot per user; the max-dedupe
+    * mirrors the other update-mode queries. */
+  private def sTransformState(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val updated = eventsStream(s, d)
+      .select(col("user_id").as[Long], col("value").as[Double])
+      .groupByKey(_._1)
+      .transformWithState(new ExtremaProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "n_events", "min_value", "max_value")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.get(key)
+    val sunk =
+      try {
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        runToBatch(s, updated, "update")
+      } finally s.conf.set(key, prev)
+    sunk
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"),
+        Det.r2(min(col("min_value"))).as("min_value"),
+        Det.r2(max(col("max_value"))).as("max_value"))
+      .orderBy(col("user_id"))
+  }
+
+  private val sTransformStateSql =
+    s"""SELECT user_id, count(*) AS n_events,
+       |       ${Det.sql2("min(value)")} AS min_value,
+       |       ${Det.sql2("max(value)")} AS max_value
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ------------------------------------------------------------------ s_late
 
   /** Watermark late-data semantics on a hand-planted two-batch stream:
@@ -370,6 +443,7 @@ object Streams extends QueryModule {
     "s_stateful_dedup" -> (sDedup _),
     "s_join_static" -> (sJoinStatic _),
     "s_custom_state" -> (sCustomState _),
+    "s_transform_state" -> (sTransformState _),
     "s_late" -> (sLate _),
   )
 
@@ -380,6 +454,7 @@ object Streams extends QueryModule {
     "s_stateful_dedup" -> sDedupSql,
     "s_join_static" -> sJoinStaticSql,
     "s_custom_state" -> sCustomStateSql,
+    "s_transform_state" -> sTransformStateSql,
     "s_late" -> sLateSql,
   )
 }
