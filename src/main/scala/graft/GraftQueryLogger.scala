@@ -52,3 +52,39 @@ object GraftQueryLogger {
     l
   }
 }
+
+/** The streaming counterpart (same A10 sink): one log4j2 line per
+  * streaming query start / progress / termination. Config-driven via
+  * `spark.sql.streaming.streamingQueryListeners=graft.GraftStreamingLogger`
+  * or programmatic via [[GraftStreamingLogger.install]]. */
+class GraftStreamingLogger
+    extends org.apache.spark.sql.streaming.StreamingQueryListener {
+  import org.apache.spark.sql.streaming.StreamingQueryListener._
+  private val log =
+    org.apache.logging.log4j.LogManager.getLogger("graft.queries")
+
+  override def onQueryStarted(e: QueryStartedEvent): Unit = {
+    GraftStreamingLogger.fired.incrementAndGet()
+    log.info(s"stream=${e.name} id=${e.id} status=started")
+  }
+  override def onQueryProgress(e: QueryProgressEvent): Unit = {
+    GraftStreamingLogger.fired.incrementAndGet()
+    log.info(s"stream=${e.progress.name} batch=${e.progress.batchId}" +
+      s" rows=${e.progress.numInputRows} status=progress")
+  }
+  override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
+    GraftStreamingLogger.fired.incrementAndGet()
+    log.info(s"stream id=${e.id} status=terminated" +
+      e.exception.map(x => s" error=$x").getOrElse(""))
+  }
+}
+
+object GraftStreamingLogger {
+  val fired = new AtomicLong()
+
+  def install(s: SparkSession): GraftStreamingLogger = {
+    val l = new GraftStreamingLogger
+    s.streams.addListener(l)
+    l
+  }
+}

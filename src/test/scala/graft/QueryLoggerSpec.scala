@@ -8,6 +8,29 @@ import org.scalatest.funsuite.AnyFunSuite
 class QueryLoggerSpec extends AnyFunSuite {
   private lazy val s = SparkTestBase.spark
 
+  test("streaming listener fires across a query lifecycle") {
+    val l = GraftStreamingLogger.install(s)
+    try {
+      val before = GraftStreamingLogger.fired.get()
+      // cheapest real streaming run: one rate-source-free MemoryStream batch
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Int]
+      val q = mem.toDF().writeStream.format("memory")
+        .queryName("slog_" + System.nanoTime()).outputMode("append").start()
+      mem.addData(1, 2, 3)
+      q.processAllAvailable()
+      q.stop()
+      val deadline = System.nanoTime() + 5_000_000_000L
+      while (GraftStreamingLogger.fired.get() < before + 3 &&
+             System.nanoTime() < deadline) Thread.sleep(50)
+      // started + >=1 progress + terminated
+      assert(GraftStreamingLogger.fired.get() >= before + 3,
+        "StreamingQueryListener did not see start/progress/termination")
+    } finally s.streams.removeListener(l)
+  }
+
   test("listener fires on query completion") {
     GraftQueryLogger.install(s)
     val before = GraftQueryLogger.fired.get()
