@@ -63,19 +63,29 @@ class GraftStreamingLogger
   private val log =
     org.apache.logging.log4j.LogManager.getLogger("graft.queries")
 
+  // unnamed queries have a null name — fall back to the stable id so
+  // log lines never carry a literal "null" token
   override def onQueryStarted(e: QueryStartedEvent): Unit = {
     GraftStreamingLogger.fired.incrementAndGet()
-    log.info(s"stream=${e.name} id=${e.id} status=started")
+    log.info(s"stream=${Option(e.name).getOrElse(e.id)} status=started")
   }
   override def onQueryProgress(e: QueryProgressEvent): Unit = {
     GraftStreamingLogger.fired.incrementAndGet()
-    log.info(s"stream=${e.progress.name} batch=${e.progress.batchId}" +
+    log.info(s"stream=${Option(e.progress.name).getOrElse(e.progress.id)}" +
+      s" batch=${e.progress.batchId}" +
       s" rows=${e.progress.numInputRows} status=progress")
   }
   override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
     GraftStreamingLogger.fired.incrementAndGet()
-    log.info(s"stream id=${e.id} status=terminated" +
-      e.exception.map(x => s" error=$x").getOrElse(""))
+    e.exception match {
+      // failures go to ERROR with a one-line message, matching the
+      // batch listener's convention (a raw stack trace would break the
+      // one-line-per-event shape of the rolling sink)
+      case Some(x) =>
+        log.error(s"stream id=${e.id} status=error" +
+          s" msg=${x.linesIterator.nextOption().getOrElse(x)}")
+      case None => log.info(s"stream id=${e.id} status=terminated")
+    }
   }
 }
 

@@ -245,7 +245,7 @@ object Relational extends QueryModule {
   private def joinRange(s: SparkSession, d: String): DataFrame = {
     val c = T.customer(s, d)
       .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
-      .withColumn("b", floor(col("c_acctbal") / BandWidth).cast("long"))
+      .withColumn("b", floor(col("c_acctbal") / BandWidth))
     val left = c.select(col("c_custkey").as("ca"),
       col("c_nationkey").as("nk"), col("c_acctbal").as("bala"), col("b"))
     val right = c.select(col("c_custkey").as("cb"),

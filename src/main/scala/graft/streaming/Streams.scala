@@ -95,11 +95,18 @@ object Streams extends QueryModule {
     * under a smaller setting (batch queries are unaffected — the conf
     * is restored immediately after start). At real scale this knob is
     * sized to state volume, not defaulted. */
-  private def withStreamPartitions[T](s: SparkSession)(f: => T): T = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  /** Scoped session-conf swap: `key`=`value` for the duration of `f`,
+    * previous value restored after (shared by the stream-partition and
+    * state-store-provider swaps — one copy of the try/finally idiom). */
+  private def withConf[T](s: SparkSession, key: String, value: String)
+                         (f: => T): T = {
+    val prev = s.conf.get(key)
+    s.conf.set(key, value)
+    try f finally s.conf.set(key, prev)
   }
+
+  private def withStreamPartitions[T](s: SparkSession)(f: => T): T =
+    withConf(s, "spark.sql.shuffle.partitions", "8")(f)
 
   /** Run a streaming frame into a memory sink, driving it with `drive`
     * (AvailableNow-to-completion for the file-source queries; manual
@@ -361,15 +368,10 @@ object Streams extends QueryModule {
       .transformWithState(new ExtremaProcessor,
         TimeMode.None(), OutputMode.Update())
       .toDF("user_id", "n_events", "min_value", "max_value")
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.get(key)
-    val sunk =
-      try {
-        s.conf.set(key,
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        runToBatch(s, updated, "update")
-      } finally s.conf.set(key, prev)
-    sunk
+    withConf(s, "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      runToBatch(s, updated, "update")
+    }
       .groupBy(col("user_id"))
       .agg(max(col("n_events")).as("n_events"),
         Det.r2(min(col("min_value"))).as("min_value"),

@@ -17,11 +17,13 @@ class QueryLoggerSpec extends AnyFunSuite {
       implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[Int]
+      val sinkName = "slog_" + System.nanoTime()
       val q = mem.toDF().writeStream.format("memory")
-        .queryName("slog_" + System.nanoTime()).outputMode("append").start()
+        .queryName(sinkName).outputMode("append").start()
       mem.addData(1, 2, 3)
       q.processAllAvailable()
       q.stop()
+      s.catalog.dropTempView(sinkName) // don't leak the sink table
       val deadline = System.nanoTime() + 5_000_000_000L
       while (GraftStreamingLogger.fired.get() < before + 3 &&
              System.nanoTime() < deadline) Thread.sleep(50)
