@@ -281,6 +281,48 @@ object Functions extends QueryModule {
       |  floor((least(c_acctbal, 5000.0)) * 100 + 0.5) / 100 AS bal_cap
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  // ---------------------------------------------------------- q_fn_struct
+
+  /** Struct family: named_struct construction, field access, struct
+    * equality, nested re-wrapping, and to_json serialization —
+    * the ops the normalize core (A15–A18 venue/photos reshaping)
+    * leans on, scored as their own family. The json column sticks to
+    * STRING/LONG fields: both engines render those identically, while
+    * double JSON formatting differs cross-engine. Struct equality
+    * compares field-wise in both engines. */
+  private def fnStruct(s: SparkSession, d: String): DataFrame =
+    T.orders(s, d)
+      .select(col("o_orderkey"),
+        struct(col("o_orderstatus").as("st"),
+          col("o_orderpriority").as("pr")).as("meta"),
+        struct(col("o_custkey").as("ck"),
+          struct(year(col("o_orderdate")).cast("long").as("yr")).as("inner"))
+          .as("nest"))
+      .select(
+        col("o_orderkey"),
+        col("meta.st").as("status"),
+        col("meta.pr").as("priority"),
+        (col("meta") === struct(lit("O").as("st"),
+          lit("1-URGENT").as("pr"))).as("is_open_urgent"),
+        col("nest.inner.yr").as("order_year"),
+        to_json(col("meta")).as("meta_json"))
+      .orderBy(col("o_orderkey"))
+      .limit(2000)
+
+  private val fnStructSql =
+    """SELECT o_orderkey,
+      |  meta.st AS status, meta.pr AS priority,
+      |  meta = struct_pack(st := 'O', pr := '1-URGENT') AS is_open_urgent,
+      |  nest.inner.yr AS order_year,
+      |  to_json(meta) AS meta_json
+      |FROM (
+      |  SELECT o_orderkey,
+      |    struct_pack(st := o_orderstatus, pr := o_orderpriority) AS meta,
+      |    struct_pack(ck := o_custkey,
+      |      inner := struct_pack(yr := year(o_orderdate)::BIGINT)) AS nest
+      |  FROM orders)
+      |ORDER BY o_orderkey LIMIT 2000""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -291,6 +333,7 @@ object Functions extends QueryModule {
     "q_fn_map" -> (fnMap _),
     "q_fn_json" -> (fnJson _),
     "q_fn_cond" -> (fnCond _),
+    "q_fn_struct" -> (fnStruct _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -301,5 +344,6 @@ object Functions extends QueryModule {
     "q_fn_map" -> fnMapSql,
     "q_fn_json" -> fnJsonSql,
     "q_fn_cond" -> fnCondSql,
+    "q_fn_struct" -> fnStructSql,
   )
 }
