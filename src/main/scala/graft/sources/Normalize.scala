@@ -199,7 +199,7 @@ object Normalize {
     * the row-level rendering of the reference's tagged union. */
   private def maskErrors(df: DataFrame): DataFrame = {
     val keep = Set("chapter", "error")
-    df.select(df.columns.map { c =>
+    df.select(df.columns.toIndexedSeq.map { c =>
       if (keep(c)) col(c)
       else when(col("error").isNull, col(c)).as(c)
     }: _*)
