@@ -32,7 +32,7 @@ object LlmQuality extends QueryModule {
     * source made the whole build ~6× cheaper). Distinct-on-hashes ==
     * distinct-on-grams up to a |vocab|²/2⁶⁵ ≈ 1e-9 collision chance,
     * the standard trade for exact set similarity at corpus scale. */
-  private def ngramHashes(text: Column, width: Int): Column = {
+  private[ops] def ngramHashes(text: Column, width: Int): Column = {
     val w = split(text, " ")
     val n = size(w)
     when(n >= width,

@@ -20,6 +20,28 @@ class BucketPairsSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L))) // b2 singleton drops
   }
 
+  test("property: gram count is distinct-bounded by n - width + 1") {
+    import s.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // small alphabet forces repeats, exercising array_distinct
+    val word = Gen.oneOf("aa", "bb", "cc")
+    val doc = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, word))
+    val p = Prop.forAll(doc) { words =>
+      val text = words.mkString(" ")
+      val grams = Seq(text).toDF("text")
+        .select(LlmQuality.ngramHashes(org.apache.spark.sql.functions.col("text"), 4)
+          .as("g"))
+        .collect()(0).getSeq[Long](0)
+      val n = if (text.isEmpty) 1 else words.length // split("") = [""]
+      val expectedMax = math.max(0, n - 3)
+      grams.length <= expectedMax &&
+        grams.distinct.length == grams.length &&
+        (expectedMax == 0) == grams.isEmpty
+    }
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), p)
+      .passed)
+  }
+
   test("ngram prefix blocking prunes the candidate space (AllPairs property)") {
     // the scale claim behind q_llm_dedup_ngram: the prefix-filter
     // buckets generate FAR fewer pairs than the n(n-1)/2 all-pairs
