@@ -17,6 +17,8 @@ object SparkEntry {
     graft.ops.Llm,
     graft.ops.LlmExt,
     graft.ops.LlmQuality,
+    graft.ops.LlmPipe,
+    graft.ops.Reshape,
     graft.sources.NormalizeQueries,
     graft.streaming.Streams,
   )

@@ -1,0 +1,204 @@
+package graft.ops
+
+import graft.{QueryModule, Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Reshaping / sampling / ordered-analytics operators that round out
+  * the relational surface (SURVEY §2B): pivot / unpivot, exact
+  * percentiles, deterministic hash sampling, and batch sessionization
+  * (the batch twin of the streaming session_window in Streams.scala —
+  * a training-data pipeline runs this shape over historical logs).
+  */
+object Reshape extends QueryModule {
+
+  // ---------------------------------------------------------------- q_pivot
+
+  /** Long→wide: order counts per priority pivoted over the three order
+    * statuses. `groupBy(...).pivot(col, values)` with EXPLICIT pivot
+    * values — at 100 TB the values list keeps Catalyst from running a
+    * distinct-scan planning pass over the fact table just to discover
+    * column names; the pivot itself is then one hash aggregation, no
+    * extra shuffle vs a plain groupBy. Missing cells surface as NULL
+    * counts → coalesced to 0 to match the oracle's FILTER counts. */
+  private def pivot(s: SparkSession, d: String): DataFrame =
+    T.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy(col("o_orderpriority"))
+
+  private val pivotSql =
+    """SELECT o_orderpriority,
+      |       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+      |       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+      |       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // -------------------------------------------------------------- q_unpivot
+
+  /** Wide→long: part measures melted to (metric, val) rows via the
+    * DataFrame `unpivot` (UNPIVOT/MELT). Value columns are pre-cast to
+    * one type (unpivot requires it); output is 2× the scan with no
+    * shuffle — at scale this is a pure map-side Expand, the same
+    * operator rollup/cube use. */
+  private def unpivot(s: SparkSession, d: String): DataFrame =
+    T.part(s, d)
+      .select(col("p_partkey"), col("p_brand"),
+        col("p_size").cast("double").as("p_size"), col("p_retailprice"))
+      .unpivot(
+        Array(col("p_partkey"), col("p_brand")),
+        Array(col("p_size"), col("p_retailprice")),
+        "metric", "val")
+      .orderBy(col("p_partkey"), col("metric"))
+
+  private val unpivotSql =
+    """SELECT p_partkey, p_brand, 'p_size' AS metric, p_size::DOUBLE AS val
+      |FROM part
+      |UNION ALL
+      |SELECT p_partkey, p_brand, 'p_retailprice', p_retailprice FROM part
+      |ORDER BY p_partkey, metric""".stripMargin
+
+  // ------------------------------------------------------- q_agg_percentile
+
+  /** EXACT percentiles (p25/p50/p75 + a second column's median) per
+    * group — `percentile()`, the sort-based exact aggregate, vs
+    * DuckDB's `quantile_cont` (both linearly interpolate at rank
+    * (n−1)·p, verified at the gate). One array-typed aggregation
+    * evaluates all three cut points in a single pass. Scale note:
+    * exact percentiles shuffle every value to its group — the right
+    * tool per-group at TPC-H group cardinalities; for corpus-wide
+    * quantiles at 100 TB use q_agg_approx's sketch instead. */
+  private def percentile(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("p"),
+        expr("percentile(l_quantity, 0.5D)").as("mq"))
+      .select(col("l_returnflag"),
+        Det.r4(element_at(col("p"), 1)).as("p25"),
+        Det.r4(element_at(col("p"), 2)).as("p50"),
+        Det.r4(element_at(col("p"), 3)).as("p75"),
+        Det.r4(col("mq")).as("median_qty"))
+      .orderBy(col("l_returnflag"))
+
+  private val percentileSql =
+    s"""SELECT l_returnflag,
+       |  ${Det.sql4("quantile_cont(l_extendedprice, 0.25)")} AS p25,
+       |  ${Det.sql4("quantile_cont(l_extendedprice, 0.5)")} AS p50,
+       |  ${Det.sql4("quantile_cont(l_extendedprice, 0.75)")} AS p75,
+       |  ${Det.sql4("quantile_cont(l_quantity, 0.5)")} AS median_qty
+       |FROM lineitem GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin
+
+  // ------------------------------------------------------------ q_sample_hash
+
+  /** Deterministic ~5% Bernoulli sample: keep rows whose portable
+    * 60-bit md5 key-hash ≡ 0 (mod 20), then summarize the sample per
+    * priority. Unlike `df.sample()` (seeded per-partition RNG — NOT
+    * reproducible across engines, partitionings or retries), a
+    * key-hash filter is a pure projection: re-runs, both engines, and
+    * any partitioning agree row-for-row. This is how a training
+    * pipeline carves held-out slices at 100 TB — embarrassingly
+    * parallel, pushdown-friendly, no coordination. */
+  private def sampleHash(s: SparkSession, d: String): DataFrame = {
+    val h = conv(substring(md5(col("o_orderkey").cast("string")), 1, 15),
+      16, 10).cast("long")
+    T.orders(s, d)
+      .filter(h % 20 === 0)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_sampled"),
+        Det.r2(sum(col("o_totalprice"))).as("sampled_total"),
+        Det.r2(avg(col("o_totalprice"))).as("sampled_avg"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val sampleHashSql =
+    s"""SELECT o_orderpriority, count(*) AS n_sampled,
+       |  ${Det.sql2("sum(o_totalprice)")} AS sampled_total,
+       |  ${Det.sql2("avg(o_totalprice)")} AS sampled_avg
+       |FROM orders
+       |WHERE ('0x' || substring(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT
+       |      % 20 = 0
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // -------------------------------------------------------- q_win_sessionize
+
+  /** Batch sessionization over the events log: a session breaks after
+    * ≥30 min of inactivity per user (lag + running sum of breaks — the
+    * classic gaps-and-islands shape), then per-session aggregates.
+    * Timestamps are compared in exact epoch MICROseconds (both engines
+    * hold identical µs after the ns→µs truncation, see Tables.events).
+    * One shuffle on user_id serves both the window pass and the
+    * session aggregation (same partitioning); at 100 TB user_id is a
+    * high-cardinality key, so partitions stay balanced — the same
+    * argument as q_win_frame's r1 fix. */
+  private def sessionize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val gapUs = 30L * 60 * 1000 * 1000
+    T.events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("tus"))
+      // break flag first (windows can't nest inside an aggregate)
+      .withColumn("brk", when(lag(col("tus"), 1).over(w).isNull ||
+        col("tus") - lag(col("tus"), 1).over(w) >= gapUs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("tus")).as("start_us"),
+        max(col("tus")).as("end_us"),
+        (max(col("tus")) - min(col("tus"))).as("duration_us"),
+        Det.r2(sum(col("value"))).as("total"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  private val sessionizeSql =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, value,
+       |         epoch_us(make_timestamp(epoch_us(ts))) AS tus
+       |  FROM events),
+       |o AS (
+       |  SELECT user_id, event_id, value, tus,
+       |         CASE WHEN lag(tus) OVER w IS NULL
+       |                OR tus - lag(tus) OVER w >= 1800000000
+       |              THEN 1 ELSE 0 END AS brk
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+       |s AS (
+       |  SELECT user_id, tus, value,
+       |         sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+       |                        ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+       |  FROM o)
+       |SELECT user_id, session_id, count(*) AS n_events,
+       |       min(tus) AS start_us, max(tus) AS end_us,
+       |       (max(tus) - min(tus)) AS duration_us,
+       |       ${Det.sql2("sum(value)")} AS total
+       |FROM s GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin
+
+  // -------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pivot" -> (pivot _),
+    "q_unpivot" -> (unpivot _),
+    "q_agg_percentile" -> (percentile _),
+    "q_sample_hash" -> (sampleHash _),
+    "q_win_sessionize" -> (sessionize _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_pivot" -> pivotSql,
+    "q_unpivot" -> unpivotSql,
+    "q_agg_percentile" -> percentileSql,
+    "q_sample_hash" -> sampleHashSql,
+    "q_win_sessionize" -> sessionizeSql,
+  )
+}

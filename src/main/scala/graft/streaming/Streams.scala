@@ -131,8 +131,13 @@ object Streams extends QueryModule {
     val rows = result.collect().toSeq
     val schema = result.schema
     s.catalog.dropTempView(qn)
+    // slice the re-localized sink so one task never carries the whole
+    // result (s_session at sf0.1 holds ~100k session rows — a single
+    // slice ships a >10 MB task binary and serializes the downstream
+    // sort on one core)
+    val slices = math.max(1, math.min(32, rows.size / 4096 + 1))
     s.createDataFrame(
-      s.sparkContext.parallelize(rows, 1).toJavaRDD(), schema)
+      s.sparkContext.parallelize(rows, slices).toJavaRDD(), schema)
   }
 
   /** Run a streaming frame to completion (AvailableNow). Unique sink
@@ -385,6 +390,60 @@ object Streams extends QueryModule {
        |       ${Det.sql2("max(value)")} AS max_value
        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ----------------------------------------------------------- s_join_stream
+
+  /** STREAM-STREAM inner join: purchases joined to the same user's
+    * clicks from the preceding 2 hours. Both sides carry watermarks
+    * and the join condition bounds event-time distance, so each
+    * side's buffered state is evictable the moment the other side's
+    * watermark passes the window — state is O(2 h of traffic), not
+    * O(stream), which is the entire trick of running this at 100 TB.
+    * Inner-join matches emit as soon as both rows have arrived;
+    * with the file source's single data batch the sink holds exactly
+    * the batch-join result, which is the oracle. Timestamps are
+    * emitted as exact epoch µs (ties in a formatted-seconds rendering
+    * would make the output order nondeterministic). */
+  private def sJoinStream(s: SparkSession, d: String): DataFrame = {
+    val clicks = eventsStream(s, d)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = eventsStream(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "10 minutes")
+    val joined = purchases.join(clicks,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 2 HOURS") &&
+        col("click_ts") <= col("purchase_ts"))
+    runToBatch(s, joined, "append")
+      .select(col("user_id"),
+        unix_micros(col("purchase_ts")).as("purchase_us"),
+        unix_micros(col("click_ts")).as("click_us"),
+        Det.r2(col("purchase_value")).as("purchase_value"),
+        Det.r2(col("click_value")).as("click_value"))
+      .orderBy(col("user_id"), col("purchase_us"), col("click_us"),
+        col("purchase_value"), col("click_value"))
+  }
+
+  private val sJoinStreamSql =
+    s"""WITH p AS (
+       |  SELECT user_id, make_timestamp(epoch_us(ts)) AS pt, value AS pv
+       |  FROM events WHERE event_type = 'purchase'),
+       |c AS (
+       |  SELECT user_id, make_timestamp(epoch_us(ts)) AS ct, value AS cv
+       |  FROM events WHERE event_type = 'click')
+       |SELECT p.user_id AS user_id,
+       |       epoch_us(pt) AS purchase_us, epoch_us(ct) AS click_us,
+       |       ${Det.sql2("pv")} AS purchase_value,
+       |       ${Det.sql2("cv")} AS click_value
+       |FROM p JOIN c ON p.user_id = c.user_id
+       |  AND ct >= pt - INTERVAL 2 HOUR AND ct <= pt
+       |ORDER BY user_id, purchase_us, click_us, purchase_value,
+       |         click_value""".stripMargin
+
   // ------------------------------------------------------------------ s_late
 
   /** Watermark late-data semantics on a hand-planted two-batch stream:
@@ -446,6 +505,7 @@ object Streams extends QueryModule {
     "s_join_static" -> (sJoinStatic _),
     "s_custom_state" -> (sCustomState _),
     "s_transform_state" -> (sTransformState _),
+    "s_join_stream" -> (sJoinStream _),
     "s_late" -> (sLate _),
   )
 
@@ -457,6 +517,7 @@ object Streams extends QueryModule {
     "s_join_static" -> sJoinStaticSql,
     "s_custom_state" -> sCustomStateSql,
     "s_transform_state" -> sTransformStateSql,
+    "s_join_stream" -> sJoinStreamSql,
     "s_late" -> sLateSql,
   )
 }

@@ -63,6 +63,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("s_join_stream equals the batch interval join") {
+    val streamed = SparkEntry.queries("s_join_stream")(s, d).collect().toSeq
+    val ev = Tables.events(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pt"), col("value").as("pv"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("ct"),
+        col("value").as("cv"))
+    val batch = p.join(c, col("user_id") === col("cu") &&
+        col("ct") >= col("pt") - expr("INTERVAL 2 HOURS") &&
+        col("ct") <= col("pt"))
+      .select(col("user_id"),
+        unix_micros(col("pt")).as("purchase_us"),
+        unix_micros(col("ct")).as("click_us"),
+        graft.ops.Det.r2(col("pv")).as("purchase_value"),
+        graft.ops.Det.r2(col("cv")).as("click_value"))
+      .orderBy(col("user_id"), col("purchase_us"), col("click_us"),
+        col("purchase_value"), col("click_value"))
+      .collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("s_late drops exactly the behind-watermark row") {
     val rows = SparkEntry.queries("s_late")(s, d)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
