@@ -69,26 +69,37 @@ object LlmExt extends QueryModule {
       .orderBy(col("da"), col("db"))
   }
 
-  private val dedupSimhashSql = {
+  /** The simhash pair set under its scored name — q_llm_dedup_cc
+    * (LlmPipe) clusters these edges, so both operators share one
+    * definition of "near-duplicate pair". */
+  private[ops] def simhashPairs(s: SparkSession, d: String): DataFrame =
+    dedupSimhash(s, d)
+
+  /** The fingerprint CTE chain (`tok`/`sums`/`fps`) shared by the
+    * simhash oracle and the connected-components oracle in LlmPipe. */
+  private[ops] val simhashFpsCtes: String = {
     val sums = (0 until SimBits).map(k =>
       s"sum(CASE WHEN (wh >> $k) & 1 = 1 THEN 1 ELSE -1 END) AS s$k")
       .mkString(",\n      ")
     val fp = (0 until SimBits).map(k =>
       s"CASE WHEN s$k >= 0 THEN ${1L << k} ELSE 0 END").mkString(" + ")
-    s"""WITH tok AS (
+    s"""tok AS (
        |  SELECT doc_id, ${h60Sql("unnest(string_split(text, ' '))")} AS wh
        |  FROM documents),
        |sums AS (
        |  SELECT doc_id,
        |      $sums
        |  FROM tok GROUP BY doc_id),
-       |fps AS (SELECT doc_id, $fp AS fp FROM sums)
+       |fps AS (SELECT doc_id, $fp AS fp FROM sums)""".stripMargin
+  }
+
+  private val dedupSimhashSql =
+    s"""WITH $simhashFpsCtes
        |SELECT a.doc_id AS da, b.doc_id AS db,
        |       bit_count(xor(a.fp, b.fp))::BIGINT AS hamming
        |FROM fps a JOIN fps b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.fp, b.fp)) <= 3
        |ORDER BY da, db""".stripMargin
-  }
 
   // --------------------------------------------------- shared IVF cell grid
 

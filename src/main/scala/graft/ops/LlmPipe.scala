@@ -100,15 +100,87 @@ object LlmPipe extends QueryModule {
        |FROM embeddings, range(1, 65) t(i)
        |GROUP BY label, i ORDER BY label, dim""".stripMargin
 
+  // -------------------------------------------------------- q_llm_dedup_cc
+
+  /** Connected components over the near-dup pair graph — the step
+    * that turns pairwise dedup output (simhash Hamming ≤ 3 edges,
+    * shared with q_llm_dedup_simhash) into KEEPER GROUPS: every doc
+    * in a component is a near-dup of the others via some chain, and
+    * a pipeline keeps min(doc_id) per component. Implementation is
+    * hash-min label propagation — each node's label converges to the
+    * component's min id in O(diameter) rounds, each round ONE shuffle
+    * join (labels → neighbors) + ONE min-aggregation, the same layout
+    * GraphX's connectedComponents deploys. Near-dup components have
+    * tiny diameter (dup chains, not paths), so 3–4 rounds close; the
+    * loop is capped and the cap is asserted. localCheckpoint after
+    * each round truncates lineage (iterative plans otherwise double
+    * per round); at cluster scale this is a reliable checkpoint to
+    * the DFS instead. The driver-side loop carries only a one-row
+    * convergence probe per round, never data.
+    *
+    * The oracle clusters the SAME edges by transitive closure in a
+    * recursive CTE (min reachable id per node) — tractable at oracle
+    * scale, exactly what hash-min avoids materializing at 100 TB. */
+  private def dedupCc(s: SparkSession, d: String): DataFrame = {
+    val pairs = LlmExt.simhashPairs(s, d).select(col("da"), col("db"))
+    val edges = pairs
+      .union(pairs.select(col("db"), col("da")))
+      .toDF("src", "dst")
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    val MaxRounds = 20
+    while (!converged && rounds < MaxRounds) {
+      val nbr = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("lbl"))
+      val next = labels.union(nbr)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
+        .filter(col("lbl") =!= col("prev")).limit(1).count()
+      labels = next
+      converged = changed == 0L
+      rounds += 1
+    }
+    require(converged, s"hash-min did not converge in $MaxRounds rounds")
+    val sizes = labels.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("id").as("doc_id"), col("lbl").as("cluster"),
+        col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dedupCcSql =
+    s"""WITH RECURSIVE ${LlmExt.simhashFpsCtes},
+       |e AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b
+       |  FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+       |u AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+       |r AS (
+       |  SELECT a AS id, a AS reach FROM u
+       |  UNION
+       |  SELECT r.id, u.b FROM r JOIN u ON r.reach = u.a),
+       |c AS (SELECT id, min(reach) AS cluster FROM r GROUP BY id)
+       |SELECT id AS doc_id, cluster,
+       |       count(*) OVER (PARTITION BY cluster)::BIGINT AS cluster_size
+       |FROM c ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_pii" -> (pii _),
     "q_llm_centroid" -> (centroid _),
+    "q_llm_dedup_cc" -> (dedupCc _),
   )
 
   val oracles: Map[String, String] = Map(
     "q_llm_pii" -> piiSql,
     "q_llm_centroid" -> centroidSql,
+    "q_llm_dedup_cc" -> dedupCcSql,
   )
 }

@@ -97,6 +97,38 @@ object Reshape extends QueryModule {
        |FROM lineitem GROUP BY l_returnflag
        |ORDER BY l_returnflag""".stripMargin
 
+  // -------------------------------------------------------------- q_agg_stats
+
+  /** Second-moment statistical aggregates — `corr`, `covar_samp`,
+    * `stddev_samp`, `var_samp` — per group. Both engines use the
+    * standard single-pass co-moment recurrences with SAMPLE (n−1)
+    * normalization, agreeing to ~1e-12 relative; discretized like the
+    * libm family. (Higher moments — skewness/kurtosis — are excluded:
+    * Spark computes population form, DuckDB sample form, a definition
+    * mismatch, not a numeric one.) Map-side partial aggregation makes
+    * this a constant-size-per-group shuffle at any corpus size. */
+  private def aggStats(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        Det.r6(corr(col("l_quantity"), col("l_extendedprice")))
+          .as("corr_qty_price"),
+        Det.r4(covar_samp(col("l_quantity"), col("l_extendedprice")))
+          .as("covar_qty_price"),
+        Det.r6(stddev_samp(col("l_discount"))).as("sd_discount"),
+        Det.r6(var_samp(col("l_tax"))).as("var_tax"))
+      .orderBy(col("l_linestatus"))
+
+  private val aggStatsSql =
+    s"""SELECT l_linestatus,
+       |  ${Det.sql6("corr(l_quantity, l_extendedprice)")} AS corr_qty_price,
+       |  ${Det.sql4("covar_samp(l_quantity, l_extendedprice)")}
+       |    AS covar_qty_price,
+       |  ${Det.sql6("stddev_samp(l_discount)")} AS sd_discount,
+       |  ${Det.sql6("var_samp(l_tax)")} AS var_tax
+       |FROM lineitem GROUP BY l_linestatus
+       |ORDER BY l_linestatus""".stripMargin
+
   // ------------------------------------------------------------ q_sample_hash
 
   /** Deterministic ~5% Bernoulli sample: keep rows whose portable
@@ -190,6 +222,7 @@ object Reshape extends QueryModule {
     "q_pivot" -> (pivot _),
     "q_unpivot" -> (unpivot _),
     "q_agg_percentile" -> (percentile _),
+    "q_agg_stats" -> (aggStats _),
     "q_sample_hash" -> (sampleHash _),
     "q_win_sessionize" -> (sessionize _),
   )
@@ -198,6 +231,7 @@ object Reshape extends QueryModule {
     "q_pivot" -> pivotSql,
     "q_unpivot" -> unpivotSql,
     "q_agg_percentile" -> percentileSql,
+    "q_agg_stats" -> aggStatsSql,
     "q_sample_hash" -> sampleHashSql,
     "q_win_sessionize" -> sessionizeSql,
   )

@@ -71,6 +71,41 @@ class ReshapeSpec extends AnyFunSuite {
     assert(overlaps.isEmpty, "session gap invariant violated")
   }
 
+  test("agg_stats: corr bounded, variance non-negative") {
+    val r = SparkEntry.queries("q_agg_stats")(s, SparkTestBase.sfDir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(math.abs(row.getAs[Double]("corr_qty_price")) <= 1.0)
+      assert(row.getAs[Double]("sd_discount") >= 0.0)
+      assert(row.getAs[Double]("var_tax") >= 0.0)
+    }
+  }
+
+  test("dedup_cc: components are consistent with the simhash edges") {
+    val cc = SparkEntry.queries("q_llm_dedup_cc")(s, SparkTestBase.sfDir)
+    val edges = SparkEntry.queries("q_llm_dedup_simhash")(s, SparkTestBase.sfDir)
+      .select($"da", $"db")
+    // every edge's endpoints share a component
+    val lbl = cc.select($"doc_id", $"cluster")
+    val split = edges
+      .join(lbl.withColumnRenamed("doc_id", "da")
+        .withColumnRenamed("cluster", "ca"), "da")
+      .join(lbl.withColumnRenamed("doc_id", "db")
+        .withColumnRenamed("cluster", "cb"), "db")
+      .filter($"ca" =!= $"cb")
+    assert(split.isEmpty, "an edge crosses two components")
+    // the component id is the min doc_id of its members
+    val badRoot = cc.groupBy($"cluster")
+      .agg(min($"doc_id").as("lo"), count(lit(1)).as("n"))
+      .filter($"cluster" =!= $"lo" || $"n" < 2)
+    assert(badRoot.isEmpty,
+      "component label must be its min member; singletons have no edges")
+    // cluster_size agrees with the actual member count
+    val badSize = cc.groupBy($"cluster", $"cluster_size")
+      .agg(count(lit(1)).as("n")).filter($"cluster_size" =!= $"n")
+    assert(badSize.isEmpty)
+  }
+
   test("pii: every doc redacted, counts match planted addresses") {
     val q = SparkEntry.queries("q_llm_pii")(s, SparkTestBase.sfDir)
     val bad = q.filter(
