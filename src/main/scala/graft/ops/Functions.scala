@@ -323,6 +323,54 @@ object Functions extends QueryModule {
       |  FROM orders)
       |ORDER BY o_orderkey LIMIT 2000""".stripMargin
 
+  // ---------------------------------------------------------- q_fn_bitwise
+
+  /** Bitwise family: AND/OR/XOR, shifts, bit_count, and a packed-flags
+    * round-trip (set bits → mask test) — the ops fingerprinting and
+    * bitmap-index style predicates build on (q_llm_dedup_simhash's
+    * banding is exactly `shiftright + & 0xffff`). All codegen'd
+    * integer ops, map-side only. Shift semantics agree for the
+    * in-range amounts used here (Java masks the amount mod 64, DuckDB
+    * doesn't — keep shifts < 64). */
+  private def fnBitwise(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber"))
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("l_orderkey").bitwiseAND(col("l_partkey")).as("k_and"),
+        col("l_orderkey").bitwiseOR(col("l_partkey")).as("k_or"),
+        col("l_orderkey").bitwiseXOR(col("l_partkey")).as("k_xor"),
+        bit_count(col("l_orderkey")).cast("long").as("k_bits"),
+        shiftleft(col("l_suppkey"), 4).as("supp_sl4"),
+        shiftright(col("l_partkey"), 2).as("part_sr2"),
+        // packed flags: bit 0 = odd orderkey, bit 1 = odd partkey,
+        // bit 2 = linenumber > 3; then a mask test on bit 1
+        (col("l_orderkey") % 2 +
+          (col("l_partkey") % 2) * 2 +
+          when(col("l_linenumber") > 3, 4L).otherwise(0L)).as("flags"),
+        ((col("l_orderkey") % 2 +
+          (col("l_partkey") % 2) * 2 +
+          when(col("l_linenumber") > 3, 4L).otherwise(0L))
+          .bitwiseAND(lit(2L)) =!= 0L).as("partkey_odd"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private val fnBitwiseSql =
+    """SELECT l_orderkey, l_linenumber,
+      |  l_orderkey & l_partkey AS k_and,
+      |  l_orderkey | l_partkey AS k_or,
+      |  xor(l_orderkey, l_partkey) AS k_xor,
+      |  bit_count(l_orderkey)::BIGINT AS k_bits,
+      |  (l_suppkey << 4) AS supp_sl4,
+      |  (l_partkey >> 2) AS part_sr2,
+      |  (l_orderkey % 2 + (l_partkey % 2) * 2 +
+      |   CASE WHEN l_linenumber > 3 THEN 4 ELSE 0 END) AS flags,
+      |  ((l_orderkey % 2 + (l_partkey % 2) * 2 +
+      |    CASE WHEN l_linenumber > 3 THEN 4 ELSE 0 END) & 2) <> 0
+      |    AS partkey_odd
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -334,6 +382,7 @@ object Functions extends QueryModule {
     "q_fn_json" -> (fnJson _),
     "q_fn_cond" -> (fnCond _),
     "q_fn_struct" -> (fnStruct _),
+    "q_fn_bitwise" -> (fnBitwise _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -345,5 +394,6 @@ object Functions extends QueryModule {
     "q_fn_json" -> fnJsonSql,
     "q_fn_cond" -> fnCondSql,
     "q_fn_struct" -> fnStructSql,
+    "q_fn_bitwise" -> fnBitwiseSql,
   )
 }

@@ -171,11 +171,56 @@ object NormalizeQueries extends QueryModule {
        |ORDER BY chapter, event_id ASC NULLS FIRST, error ASC NULLS FIRST""".stripMargin
   }
 
+  // ------------------------------------------------------------- q_scan_csv
+
+  /** CSV source with an EXPLICIT schema (production rule, same as the
+    * JSON scans — inference is a second full read and a schema-drift
+    * hazard) over a fixture exercising the parser edges: quoted
+    * embedded commas, empty → NULL scalars, ISO dates. Typed derived
+    * columns on top so the oracle checks conversion, not just
+    * splitting. CSV at 100 TB: splittable (uncompressed/bzip2), scans
+    * parallelize per file chunk; the schema keeps the fast univocity
+    * path with PERMISSIVE corrupt-row capture available — but land
+    * columnar (parquet) at ingest, CSV is a wire format, not storage. */
+  private def scanCsv(s: SparkSession, d: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "chapter STRING, venue_name STRING, capacity INT, " +
+        "lat DOUBLE, lon DOUBLE, opened DATE")
+    s.read.schema(schema).option("header", "true")
+      .csv(s"$fixturesDir/venues.csv")
+      .select(col("chapter"), col("venue_name"),
+        col("capacity").cast("long").as("capacity"),
+        col("lat"), col("lon"), col("opened"),
+        year(col("opened")).cast("long").as("opened_year"),
+        when(col("capacity").isNull, lit(null).cast("string"))
+          .when(col("capacity") >= 200, "large")
+          .when(col("capacity") >= 100, "mid")
+          .otherwise("small").as("size_class"))
+      .orderBy(col("chapter"))
+  }
+
+  private val scanCsvSql = {
+    val fx = fixturesDir
+    s"""SELECT chapter, venue_name, capacity::BIGINT AS capacity,
+       |       lat, lon, opened, year(opened)::BIGINT AS opened_year,
+       |       CASE WHEN capacity IS NULL THEN NULL
+       |            WHEN capacity >= 200 THEN 'large'
+       |            WHEN capacity >= 100 THEN 'mid'
+       |            ELSE 'small' END AS size_class
+       |FROM read_csv('$fx/venues.csv', header=true, columns={
+       |  'chapter': 'VARCHAR', 'venue_name': 'VARCHAR',
+       |  'capacity': 'INTEGER', 'lat': 'DOUBLE', 'lon': 'DOUBLE',
+       |  'opened': 'DATE'})
+       |ORDER BY chapter""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_json" -> (scanJson _),
+    "q_scan_csv" -> (scanCsv _),
   )
 
   val oracles: Map[String, String] = Map(
     "q_scan_json" -> scanJsonSql,
+    "q_scan_csv" -> scanCsvSql,
   )
 }

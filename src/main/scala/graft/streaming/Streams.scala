@@ -121,10 +121,32 @@ object Streams extends QueryModule {
       trigger: Option[Trigger],
       drive: org.apache.spark.sql.streaming.StreamingQuery => Unit): DataFrame = {
     val qn = "s_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    withStreamPartitions(s) {
-      var w = df.writeStream.format("memory").queryName(qn).outputMode(mode)
-      trigger.foreach(t => w = w.trigger(t))
-      drive(w.start())
+    // Explicit RAM-backed checkpoint, deleted after the run. Two
+    // reasons: Spark does NOT delete auto-created temp checkpoints on
+    // stop() (forceDeleteTempCheckpointLocation defaults false), so
+    // repeated bench/test runs would leak offset/commit logs into
+    // /tmp; and a volatile checkpoint matches the volatile memory
+    // sink (no recovery story is lost — a production file/kafka sink
+    // points this at durable DFS storage instead). Measured ~neutral
+    // on wall time here: the per-query floor is micro-batch planning,
+    // not checkpoint fsync.
+    val shm = new java.io.File("/dev/shm")
+    val ckptBase = if (shm.isDirectory && shm.canWrite) "/dev/shm"
+      else sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    val ckpt = s"$ckptBase/graft-ckpt/$qn"
+    try {
+      withStreamPartitions(s) {
+        var w = df.writeStream.format("memory").queryName(qn)
+          .outputMode(mode).option("checkpointLocation", ckpt)
+        trigger.foreach(t => w = w.trigger(t))
+        drive(w.start())
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(ckpt))
     }
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     val result = s.table(qn)
