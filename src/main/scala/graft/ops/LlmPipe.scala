@@ -4,11 +4,14 @@ import graft.{QueryModule, Tables => T}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Two more training-data pipeline stages: PII detection/redaction
-  * (the pre-training scrub every public corpus pipeline runs — C4,
-  * Dolma and RefinedWeb all regex-scrub emails/phones) and per-label
-  * embedding centroids (the k-means "update" step that trains the IVF
-  * codebook q_llm_sim_ann probes).
+/** Training-data pipeline stages beyond the pairwise dedups: PII
+  * detection/redaction (the pre-training scrub every public corpus
+  * pipeline runs — C4, Dolma and RefinedWeb all regex-scrub
+  * emails/phones), per-label embedding centroids (the k-means
+  * "update" step that trains the IVF codebook q_llm_sim_ann probes),
+  * connected-components clustering of near-dup pairs into keeper
+  * groups, and cross-document repeated-span detection (Lee et al.
+  * 2022 ExactSubstr, approximated at 20-token-window granularity).
   */
 object LlmPipe extends QueryModule {
 
@@ -145,7 +148,9 @@ object LlmPipe extends QueryModule {
     }
   }
 
-  private def dedupCcLoop(s: SparkSession, pairs: DataFrame): DataFrame = {
+  /** Package-visible so the property test can drive the contraction
+    * over arbitrary random graphs against a reference union-find. */
+  private[graft] def dedupCcLoop(s: SparkSession, pairs: DataFrame): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("db"), col("da")))
       .toDF("src", "dst")
@@ -221,17 +226,74 @@ object LlmPipe extends QueryModule {
        |       count(*) OVER (PARTITION BY cluster)::BIGINT AS cluster_size
        |FROM c ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------- q_llm_dedup_substr
+
+  /** Cross-document repeated-span detection — the ExactSubstr dedup
+    * stage of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better"), approximated at span granularity:
+    * a 20-token window occurring verbatim in ≥2 documents marks a
+    * duplicated span. Per document: window count, cross-duplicated
+    * window count, duplicated fraction, and a flag. Windows are
+    * xxhash64'd longs (ngramHashes; the oracle compares the strings —
+    * identical up to ~1e-9 collisions). Shape at 100 TB: one
+    * map-side-combined count over window hashes builds the shared-
+    * window index (vocabulary-bounded, like a word count), one
+    * shuffle joins it back — no pairwise comparison ever happens,
+    * unlike the suffix-array formulation this approximates. */
+  private def dedupSubstr(s: SparkSession, d: String): DataFrame = {
+    val toks = Llm.docs(s, d)
+      .filter(size(split(col("text"), " ")) >= 20)
+      .select(col("doc_id"),
+        explode(LlmQuality.ngramHashes(col("text"), 20)).as("h"))
+    val shared = toks.groupBy(col("h"))
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"), lit(1).as("is_shared"))
+    val frac = col("n_shared_spans").cast("double") /
+      col("n_spans").cast("double")
+    toks.join(shared, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        count(col("is_shared")).as("n_shared_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_shared_spans"),
+        Det.r4(frac).as("shared_frac"),
+        (Det.r4(frac) >= 0.05).as("has_cross_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dedupSubstrSql = {
+    val gram = (0 until 20).map(o => s"w[i+$o]").mkString(" || ' ' || ")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 20),
+       |g AS (
+       |  SELECT doc_id,
+       |         unnest(list_distinct(list_transform(range(1, len(w) - 18),
+       |           i -> $gram))) AS gr
+       |  FROM t),
+       |sh AS (SELECT gr FROM g GROUP BY gr HAVING count(*) >= 2)
+       |SELECT doc_id, count(*) AS n_spans,
+       |       count(sh.gr) AS n_shared_spans,
+       |       ${Det.sql4("count(sh.gr)::DOUBLE / count(*)")} AS shared_frac,
+       |       ${Det.sql4("count(sh.gr)::DOUBLE / count(*)")} >= 0.05
+       |         AS has_cross_dup
+       |FROM g LEFT JOIN sh ON g.gr = sh.gr
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_pii" -> (pii _),
     "q_llm_centroid" -> (centroid _),
     "q_llm_dedup_cc" -> (dedupCc _),
+    "q_llm_dedup_substr" -> (dedupSubstr _),
   )
 
   val oracles: Map[String, String] = Map(
     "q_llm_pii" -> piiSql,
     "q_llm_centroid" -> centroidSql,
     "q_llm_dedup_cc" -> dedupCcSql,
+    "q_llm_dedup_substr" -> dedupSubstrSql,
   )
 }

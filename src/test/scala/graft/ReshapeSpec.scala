@@ -106,6 +106,44 @@ class ReshapeSpec extends AnyFunSuite {
     assert(badSize.isEmpty)
   }
 
+  test("property: star contraction equals union-find on random graphs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      n <- Gen.chooseNum(2, 28)
+      m <- Gen.chooseNum(1, 40)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0, n - 1)
+        b <- Gen.chooseNum(0, n - 1) if a != b
+      } yield (a.toLong, b.toLong))
+      if edges.nonEmpty
+    } yield edges
+    val prop = Prop.forAll(gen) { edges =>
+      // reference: classic union-find with path compression
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // min id per component is the expected label
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = {
+        val byRoot = nodes.groupBy(find)
+        nodes.map(v => v -> byRoot(find(v)).min).toMap
+      }
+      val pairs = edges.toDF("da", "db")
+      val got = graft.ops.LlmPipe.dedupCcLoop(s, pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12),
+      prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("pii: every doc redacted, counts match planted addresses") {
     val q = SparkEntry.queries("q_llm_pii")(s, SparkTestBase.sfDir)
     val bad = q.filter(
