@@ -216,6 +216,39 @@ object Reshape extends QueryModule {
        |FROM s GROUP BY user_id, session_id
        |ORDER BY user_id, session_id""".stripMargin
 
+  // ------------------------------------------------------------- q_win_dist
+
+  /** Distribution window functions — `percent_rank`, `cume_dist`,
+    * `ntile` — per brand over retail price. The ORDER BY carries a
+    * unique tie-break (p_partkey): ntile assigns by ROW position, so
+    * a tie in the sort key alone would make bucket membership
+    * nondeterministic across engines/partitionings; with a total
+    * order all three functions are pure functions of the data. Same
+    * single-shuffle shape as the other window families (partition
+    * key is ~25-value p_brand at bounded per-group size; the 100×
+    * scale path re-keys like q_win_frame if groups grow unbounded). */
+  private def winDist(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice"), col("p_partkey"))
+    T.part(s, d)
+      .select(col("p_partkey"), col("p_brand"),
+        col("p_retailprice"),
+        Det.r6(percent_rank().over(w)).as("pct_rank"),
+        Det.r6(cume_dist().over(w)).as("cume"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy(col("p_partkey"))
+  }
+
+  private val winDistSql =
+    s"""SELECT p_partkey, p_brand, p_retailprice,
+       |  ${Det.sql6("percent_rank() OVER w")} AS pct_rank,
+       |  ${Det.sql6("cume_dist() OVER w")} AS cume,
+       |  ntile(4) OVER w AS quartile
+       |FROM part
+       |WINDOW w AS (PARTITION BY p_brand
+       |             ORDER BY p_retailprice, p_partkey)
+       |ORDER BY p_partkey""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -225,6 +258,7 @@ object Reshape extends QueryModule {
     "q_agg_stats" -> (aggStats _),
     "q_sample_hash" -> (sampleHash _),
     "q_win_sessionize" -> (sessionize _),
+    "q_win_dist" -> (winDist _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -234,5 +268,6 @@ object Reshape extends QueryModule {
     "q_agg_stats" -> aggStatsSql,
     "q_sample_hash" -> sampleHashSql,
     "q_win_sessionize" -> sessionizeSql,
+    "q_win_dist" -> winDistSql,
   )
 }
