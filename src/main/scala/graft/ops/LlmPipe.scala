@@ -3,6 +3,7 @@ package graft.ops
 import graft.{QueryModule, Tables => T}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Training-data pipeline stages beyond the pairwise dedups: PII
   * detection/redaction (the pre-training scrub every public corpus
@@ -235,26 +236,32 @@ object LlmPipe extends QueryModule {
     * duplicated span. Per document: window count, cross-duplicated
     * window count, duplicated fraction, and a flag. Windows are
     * xxhash64'd longs (ngramHashes; the oracle compares the strings —
-    * identical up to ~1e-9 collisions). Shape at 100 TB: one
-    * map-side-combined count over window hashes builds the shared-
-    * window index (vocabulary-bounded, like a word count), one
-    * shuffle joins it back — no pairwise comparison ever happens,
-    * unlike the suffix-array formulation this approximates. */
+    * identical up to ~1e-9 collisions). Shape at 100 TB: ONE shuffle
+    * of the (doc, window-hash) pairs — a count window over the hash
+    * both measures each window's doc frequency and marks its carrier
+    * rows in place — then a map-side-combined per-doc reduce. No
+    * shared-window table is materialized and no pairwise comparison
+    * ever happens, unlike the suffix-array formulation this
+    * approximates. */
   private def dedupSubstr(s: SparkSession, d: String): DataFrame = {
     val toks = Llm.docs(s, d)
       .filter(size(split(col("text"), " ")) >= 20)
       .select(col("doc_id"),
         explode(LlmQuality.ngramHashes(col("text"), 20)).as("h"))
-    val shared = toks.groupBy(col("h"))
-      .agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2)
-      .select(col("h"), lit(1).as("is_shared"))
     val frac = col("n_shared_spans").cast("double") /
       col("n_spans").cast("double")
-    toks.join(shared, Seq("h"), "left")
+    // doc-frequency per window via a COUNT window over h: ONE shuffle
+    // of the exploded pairs both counts a window's documents and marks
+    // every carrier row, where a groupBy-then-join-back formulation
+    // shuffles the 15M-row pair set twice (measured 4.6 s → 1.9 s at
+    // sf0.1). (doc_id, h) pairs are distinct per doc (ngramHashes
+    // dedups), so the per-partition count IS the doc frequency.
+    val byWindow = Window.partitionBy(col("h"))
+    toks
+      .withColumn("nd", count(lit(1)).over(byWindow))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
-        count(col("is_shared")).as("n_shared_spans"))
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared_spans"))
       .select(col("doc_id"), col("n_spans"), col("n_shared_spans"),
         Det.r4(frac).as("shared_frac"),
         (Det.r4(frac) >= 0.05).as("has_cross_dup"))

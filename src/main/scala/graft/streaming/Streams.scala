@@ -143,7 +143,7 @@ object Streams extends QueryModule {
       }
     } finally {
       def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles.foreach(rm)
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
         f.delete()
       }
       rm(new java.io.File(ckpt))
