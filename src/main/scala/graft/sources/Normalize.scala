@@ -145,9 +145,9 @@ object Normalize {
     * with Spark (SURVEY §7 risk 5), so this renders the subset real
     * event descriptions use: HTML escape, `` `code` `` spans,
     * `[text](url)` links, `**bold**`, `*emphasis*`, ATX headers
-    * (`# `–`###### `, single-line blocks), `- ` unordered lists
-    * (blocks where every line is an item), and double-newline
-    * paragraph blocks. Pass order matters: code → links → bold → em,
+    * (`# `–`###### `, single-line blocks), `- ` unordered and
+    * `1. ` ordered lists (blocks where every line is an item), and
+    * double-newline paragraph blocks. Pass order matters: code → links → bold → em,
     * so a `*` inside a URL or link text isn't split by the emphasis
     * pass and `**x**` isn't half-eaten by the single-star rule.
     * KNOWN LIMIT of the regex-pass design: earlier passes do not
@@ -177,6 +177,9 @@ object Normalize {
           case _ if lines.forall(_.startsWith("- ")) =>
             lines.map(l => s"<li>${l.stripPrefix("- ")}</li>")
               .mkString("<ul>", "", "</ul>")
+          case _ if lines.forall(_.matches("^[0-9]+\\. .*")) =>
+            lines.map(l => s"<li>${l.replaceFirst("^[0-9]+\\. ", "")}</li>")
+              .mkString("<ol>", "", "</ol>")
           case _ => s"<p>$p</p>"
         }
       }.mkString

@@ -47,7 +47,8 @@ object NormalizeQueries extends QueryModule {
     // links, *em*, then per-block header / list / paragraph, div wrap —
     // same pass order and block rules as the UDF (links before
     // emphasis; a header is a single-line block of 1-6 #'s + space; a
-    // list is a block where EVERY line starts with "- ").
+    // list is a block where EVERY line starts with "- "; an ordered
+    // list is a block where every line matches '^[0-9]+\. ').
     val esc = "replace(replace(replace(description, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
     val code = s"regexp_replace($esc, '`([^`]+)`', '<code>\\1</code>', 'g')"
     val links = s"regexp_replace($code, " +
@@ -68,6 +69,12 @@ object NormalizeQueries extends QueryModule {
         "THEN '<ul>' || array_to_string(list_transform(" +
         "string_split(p, chr(10)), l -> '<li>' || l[3:] || '</li>'), '') " +
         "|| '</ul>' " +
+        "WHEN len(list_filter(string_split(p, chr(10)), " +
+        """l -> NOT regexp_matches(l, '^[0-9]+\. '))) = 0 """ +
+        "THEN '<ol>' || array_to_string(list_transform(" +
+        "string_split(p, chr(10)), " +
+        """l -> '<li>' || regexp_replace(l, '^[0-9]+\. ', '') || '</li>'), '') """ +
+        "|| '</ol>' " +
         "ELSE '<p>' || p || '</p>' END"
     "'<div class=\"event-api-content\">' || array_to_string(" +
       s"list_transform(string_split($em, chr(10) || chr(10)), " +

@@ -57,6 +57,15 @@ class MarkdownSpec extends AnyFunSuite {
     assert(renderMarkdown("- one\ntwo").contains("<p>- one\ntwo</p>"))
   }
 
+  test("all-numbered blocks render as ordered lists") {
+    assert(renderMarkdown("1. one\n2. two\n10. ten") ==
+      "<div class=\"event-api-content\"><ol><li>one</li><li>two</li>" +
+        "<li>ten</li></ol></div>")
+    // a mixed block is NOT a list; a number without ". " is not an item
+    assert(renderMarkdown("1. one\ntwo").contains("<p>1. one\ntwo</p>"))
+    assert(renderMarkdown("1.one").contains("<p>1.one</p>"))
+  }
+
   test("escapes HTML before rendering") {
     assert(renderMarkdown("<script>&") ==
       "<div class=\"event-api-content\"><p>&lt;script&gt;&amp;</p></div>")
@@ -78,7 +87,7 @@ class MarkdownSpec extends AnyFunSuite {
       val inner = renderMarkdown(s)
         .stripPrefix("<div class=\"event-api-content\">").stripSuffix("</div>")
       val stripped = inner
-        .replaceAll("</?(p|em|strong|code|ul|li|h[1-6]|a)>", "")
+        .replaceAll("</?(p|em|strong|code|ul|ol|li|h[1-6]|a)>", "")
         .replaceAll("<a href=\"[^\"]*\">", "")
       !stripped.contains('<')
     })
