@@ -32,4 +32,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 76 queries × 3 bench passes of whole-stage-codegen classes can
+  // fill the default 240 MB JIT code cache; once "CodeCache is full.
+  // Compiler has been disabled" fires, every hot loop runs interpreted
+  // and the CPU-dense gram-hash queries degrade ~10× while IO-bound
+  // ones look normal. Headroom + flushing keeps the JIT alive for the
+  // whole run.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )

@@ -28,5 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_dot"),
       (exprs: Seq[Expression]) =>
         graft.functions.DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_ngrams"),
+      new ExpressionInfo(classOf[graft.functions.NgramHash].getName,
+        "graft_ngrams"),
+      (exprs: Seq[Expression]) => graft.functions.NgramHash.fromExprs(exprs)))
   }
 }

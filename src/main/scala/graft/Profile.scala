@@ -22,15 +22,18 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val stages = ArrayBuffer[(Int, String, Long, Int)]()
+    val stages = ArrayBuffer[(Int, String, Long, Int, Long)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         val i = e.stageInfo
         val ms = (for {s <- i.submissionTime; c <- i.completionTime}
           yield c - s).getOrElse(-1L)
+        // executor CPU-seconds: what the query costs a contended box,
+        // independent of how many idle cores happened to be available
+        val cpuMs = i.taskMetrics.executorCpuTime / 1000000
         stages.synchronized {
           stages += ((i.stageId, i.name.takeWhile(_ != '\n').take(90), ms,
-            i.numTasks))
+            i.numTasks, cpuMs))
         }
       }
     })
@@ -43,10 +46,11 @@ object Profile {
       .foreach(_ => ())
     val total = (System.nanoTime() - t0) / 1e9
     Thread.sleep(300) // let listener drain
-    println(f"TOTAL $name: $total%.2f s")
     stages.synchronized {
-      stages.sortBy(-_._3).take(15).foreach { case (id, nm, ms, tasks) =>
-        println(f"  stage $id%-4d ${ms}%6d ms  $tasks%3d tasks  $nm")
+      val cpuTotal = stages.map(_._5).sum / 1e3
+      println(f"TOTAL $name: $total%.2f s wall, $cpuTotal%.1f executor-CPU-s")
+      stages.sortBy(-_._3).take(15).foreach { case (id, nm, ms, tasks, cpu) =>
+        println(f"  stage $id%-4d ${ms}%6d ms  ${cpu}%6d cpu-ms  $tasks%3d tasks  $nm")
       }
     }
     spark.stop()

@@ -70,7 +70,10 @@ case class DotProduct(left: Expression, right: Expression)
   * called by query builders that use them. (A library deployment would
   * do this once via SparkSessionExtensions.injectFunction.) */
 object GraftFunctions {
-  def register(s: SparkSession): Unit =
+  def register(s: SparkSession): Unit = {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ngrams", NgramHash.fromExprs, "built-in")
+  }
 }

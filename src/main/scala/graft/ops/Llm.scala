@@ -88,20 +88,17 @@ object Llm extends QueryModule {
       .select(col("p.x"), col("p.y"))
       .distinct()
 
-  /** Distinct word-3-shingles of a text column (min 10 tokens in data;
-    * guarded anyway — sequence(1, n) with n<1 would count DOWN). Docs
-    * with < 3 tokens yield an EMPTY set, matching the DuckDB oracle's
-    * range(1, len-1) (a non-empty fallback would let two short docs
-    * match each other on the Spark side only). */
-  private def shingles3(text: Column): Column = {
-    val w = words(text)
-    val n = size(w)
-    when(n >= 3,
-      array_distinct(transform(sequence(lit(1), n - 2), i =>
-        concat_ws(" ", element_at(w, i), element_at(w, i + 1),
-          element_at(w, i + 2)))))
-      .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))
-  }
+  /** Distinct word-3-shingle HASHES of a text column, via the native
+    * codegen [[graft.functions.NgramHash]] expression (one pass, no
+    * shingle strings materialized, primitive long[] out — the
+    * higher-order-function string formulation was the CPU floor of
+    * both fuzzy-dedup scans). Docs with < 3 tokens yield an EMPTY
+    * set, matching the DuckDB oracle's range(1, len-1) (a non-empty
+    * fallback would let two short docs match each other on the Spark
+    * side only). Shingle-set Jaccard on hashes == on strings up to a
+    * ~1e-9 collision, the documented corpus-scale trade. */
+  private def shingles3(textCol: String): Column =
+    expr(s"graft_ngrams($textCol, 3, true)")
 
   // ----------------------------------------------------- q_llm_dedup_exact
 
@@ -147,17 +144,16 @@ object Llm extends QueryModule {
     * scale, which is exactly what LSH avoids at 100 TB. */
   private def dedupFuzzy(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d)
-      .select(col("doc_id"), shingles3(col("text")).as("g"))
+      .select(col("doc_id"), shingles3("text").as("g"))
     val nBands = 4
-    // Explode → hash each shingle ONCE (xxhash64 of the string), then
-    // derive all 12 seeded minhashes by re-hashing the 8-byte value —
-    // a single map-side-combined aggregation. The tempting per-column
+    // Explode the (already-hashed) shingle set, then derive all 12
+    // seeded minhashes by re-hashing the 8-byte value — a single
+    // map-side-combined aggregation. The tempting per-column
     // array_min(transform(g, ...)) formulation gets projection-collapsed
     // by Catalyst into 12 copies of the shingle construction (measured
     // 9.3s → 2.4s at sf0.1). One shuffle of (doc_id, 12 longs).
     val sigs = docs(s, d)
-      .select(col("doc_id"), explode(shingles3(col("text"))).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      .select(col("doc_id"), explode(shingles3("text")).as("h"))
       .groupBy(col("doc_id"))
       .agg(min(xxhash64(lit(0), col("h"))).as("mh0"),
         (1 until 3 * nBands).map(k =>

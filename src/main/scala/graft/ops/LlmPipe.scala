@@ -162,8 +162,11 @@ object LlmPipe extends QueryModule {
     // convergence witness: labels only ever DECREASE, so the label sum
     // strictly decreases until the fixpoint — comparing two scalar
     // sums replaces a per-round labels⨝labels diff join.
+    // sum() over zero rows is NULL (edge-free graph — a clean corpus
+    // has no simhash dup edges at all), so read it null-safely
     def lblSum(df: DataFrame): Long =
-      df.agg(sum(col("lbl"))).first().getLong(0)
+      Option(df.agg(sum(col("lbl"))).first().getAs[java.lang.Long](0))
+        .fold(0L)(_.toLong)
     var prevSum = lblSum(labels)
     var converged = false
     var rounds = 0
@@ -247,7 +250,7 @@ object LlmPipe extends QueryModule {
     val toks = Llm.docs(s, d)
       .filter(size(split(col("text"), " ")) >= 20)
       .select(col("doc_id"),
-        explode(LlmQuality.ngramHashes(col("text"), 20)).as("h"))
+        explode(LlmQuality.ngramHashes("text", 20)).as("h"))
     val frac = col("n_shared_spans").cast("double") /
       col("n_spans").cast("double")
     // doc-frequency per window via a COUNT window over h: ONE shuffle

@@ -26,34 +26,31 @@ object LlmQuality extends QueryModule {
     * vocabulary to ~210k with max doc-frequency 6, so prefix buckets
     * hold ≤ a handful of docs (~5k candidate pairs).
     *
-    * Each gram is xxhash64'd from its 4 words IN the lambda — the
-    * 40-char gram string is never materialized (the r3 version built
-    * string grams and carried them through every stage; hashing at the
-    * source made the whole build ~6× cheaper). Distinct-on-hashes ==
-    * distinct-on-grams up to a |vocab|²/2⁶⁵ ≈ 1e-9 collision chance,
-    * the standard trade for exact set similarity at corpus scale. */
-  private[ops] def ngramHashes(text: Column, width: Int): Column = {
-    val w = split(text, " ")
-    val n = size(w)
-    when(n >= width,
-      array_distinct(transform(sequence(lit(1), n - (width - 1)), i =>
-        xxhash64((0 until width).map(o => element_at(w, i + o)): _*))))
-      .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)"))
-  }
-
-  private def ngramHashes4(text: Column): Column = ngramHashes(text, 4)
+    * The gram build is the native codegen [[graft.functions.NgramHash]]
+    * expression — one pass over the string bytes, each word hashed
+    * once, primitive long[] out (the r3 version carried 40-char gram
+    * strings through every stage; the r5 higher-order-function version
+    * still cost ~6 µs/gram on the interpreted path).
+    * Distinct-on-hashes == distinct-on-grams up to a |vocab|²/2⁶⁵
+    * ≈ 1e-9 collision chance, the standard trade for exact set
+    * similarity at corpus scale. */
+  private[ops] def ngramHashes(textCol: String, width: Int,
+                               distinct: Boolean = true): Column =
+    expr(s"graft_ngrams($textCol, $width, $distinct)")
 
   /** (doc, gram-hash) pairs; hashes are distinct per doc. */
   private def ngramToks(s: SparkSession, d: String): DataFrame =
     Llm.docs(s, d)
-      .select(col("doc_id"), explode(ngramHashes4(col("text"))).as("h"))
+      .select(col("doc_id"), explode(ngramHashes("text", 4)).as("h"))
 
   /** The blocking stage alone: candidate (da, db) pairs from the
     * prefix buckets. Package-visible so BucketPairsSpec can assert
     * the pruning ratio vs all-pairs — the property the whole
     * AllPairs design stands on. */
-  private[ops] def ngramCandidates(s: SparkSession, d: String): DataFrame = {
-    val toks = ngramToks(s, d)
+  private[ops] def ngramCandidates(s: SparkSession, d: String): DataFrame =
+    ngramCandidatesFrom(ngramToks(s, d))
+
+  private def ngramCandidatesFrom(toks: DataFrame): DataFrame = {
     val freq = toks.groupBy(col("h")).agg(count(lit(1)).as("freq"))
     val ord = Window.partitionBy(col("doc_id"))
       .orderBy(col("freq"), col("h"))
@@ -102,8 +99,14 @@ object LlmQuality extends QueryModule {
     *    rounding up across the boundary. The slack makes the prefix
     *    one gram longer only when ⌈t'·n⌉ < ⌈t·n⌉ (n ≳ 4000). */
   private def dedupNgram(s: SparkSession, d: String): DataFrame = {
-    val toks = ngramToks(s, d)
-    val cand = ngramCandidates(s, d)
+    // materialize the gram build ONCE: toks feeds three join branches
+    // (frequency table, prefix selection, verification), and without a
+    // checkpoint each branch re-runs the split+hash+explode — the
+    // dominant CPU of the whole query — from the scan. This is the
+    // "tokenize once" stage a 100 TB pipeline would persist to DFS;
+    // localCheckpoint is its single-JVM equivalent (~16 bytes/gram).
+    val toks = ngramToks(s, d).localCheckpoint()
+    val cand = ngramCandidatesFrom(toks)
     cand
       .select(col("da"), col("db"),
         explode(array(col("da"), col("db"))).as("doc_id"))
@@ -212,13 +215,12 @@ object LlmQuality extends QueryModule {
     * fractions so both engines agree at the boundary. */
   private def repetition(s: SparkSession, d: String): DataFrame = {
     val base = Llm.docs(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), col("text"))
+      .filter(size(split(col("text"), " ")) >= 3)
     def gramFracs(width: Int): DataFrame = {
-      val gram = expr(
-        s"transform(sequence(1, size(w) - ${width - 1}), i -> " +
-          s"xxhash64(${(0 until width).map(o => s"w[i + ${o - 1}]").mkString(", ")}))")
-      base.select(col("doc_id"), explode(gram).as("h"))
+      // distinct = false: occurrence counts, not the gram set
+      base.select(col("doc_id"),
+          explode(ngramHashes("text", width, distinct = false)).as("h"))
         .groupBy(col("doc_id"), col("h"))
         .agg(count(lit(1)).as("n"))
         .groupBy(col("doc_id"))
@@ -322,17 +324,24 @@ object LlmQuality extends QueryModule {
     * slice (mod 7, ~14% of docs) standing in for a benchmark suite;
     * report every (train, eval) pair with its shared-8-gram count.
     * Physical shape is the canonical one at 100 TB: benchmarks are
-    * tiny, so the eval-set gram index BROADCASTS (built from its own
-    * eval-only scan — Catalyst pushes the mod filter below the gram
-    * explode) and the full training corpus is scanned once map-side
-    * against it — no shuffle touches the training set (the
-    * (train,eval,h) join output is |collisions|, not |corpus|).
+    * tiny, so the eval-set gram index BROADCASTS and the full training
+    * corpus streams once map-side against it — no shuffle touches the
+    * training set (the (train,eval,h) join output is |collisions|,
+    * not |corpus|). Here eval and train are carved from ONE corpus by
+    * the mod-7 split (a test artifact — in production the eval suite
+    * is its own small table), so the gram build is checkpointed once
+    * rather than re-run per side; with separate tables each side is
+    * scanned exactly once and no materialization is needed.
     * Grams are xxhash64 longs as in dedupNgram; the oracle joins the
     * string grams directly. */
   private def decontaminate(s: SparkSession, d: String): DataFrame = {
+    // checkpoint the exploded gram table: eval and train sides both
+    // read it, and without materialization each side re-runs the
+    // 8-gram hash build over the full corpus scan (2× the query's CPU)
     val grams = Llm.docs(s, d)
       .select(col("doc_id"), col("doc_id").mod(7).as("m"),
-        explode(ngramHashes(col("text"), 8)).as("h"))
+        explode(ngramHashes("text", 8)).as("h"))
+      .localCheckpoint()
     val evalG = grams.filter(col("m") === 0)
       .select(col("doc_id").as("eval_id"), col("h"))
     val trainG = grams.filter(col("m") =!= 0)

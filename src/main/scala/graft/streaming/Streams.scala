@@ -142,6 +142,11 @@ object Streams extends QueryModule {
         drive(w.start())
       }
     } finally {
+      // if drive() threw mid-run the query may still be live; stop it
+      // BEFORE deleting its checkpoint, or the checkpoint-IO failure
+      // buries the original exception
+      s.streams.active.filter(_.name == qn)
+        .foreach(q => try q.stop() catch { case _: Throwable => () })
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
         f.delete()

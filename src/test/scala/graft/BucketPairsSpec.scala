@@ -29,8 +29,7 @@ class BucketPairsSpec extends AnyFunSuite {
     val p = Prop.forAll(doc) { words =>
       val text = words.mkString(" ")
       val grams = Seq(text).toDF("text")
-        .select(LlmQuality.ngramHashes(org.apache.spark.sql.functions.col("text"), 4)
-          .as("g"))
+        .select(LlmQuality.ngramHashes("text", 4).as("g"))
         .collect()(0).getSeq[Long](0)
       val n = if (text.isEmpty) 1 else words.length // split("") = [""]
       val expectedMax = math.max(0, n - 3)
