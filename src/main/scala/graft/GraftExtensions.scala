@@ -33,5 +33,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.NgramHash].getName,
         "graft_ngrams"),
       (exprs: Seq[Expression]) => graft.functions.NgramHash.fromExprs(exprs)))
+    // Spark ships bloom-filter build/probe as INTERNAL expressions
+    // (used by its own runtime join filters, not in the public
+    // registry); expose them as first-class pipeline functions — the
+    // Dolma-style decontamination pre-filter needs exactly this pair.
+    e.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        "org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate",
+        "graft_bloom_agg"),
+      (exprs: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs(0), exprs(1), exprs(2))))
+    e.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(
+        "org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain",
+        "graft_bloom_contains"),
+      (exprs: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs(0), exprs(1))))
   }
 }

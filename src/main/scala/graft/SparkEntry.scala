@@ -18,6 +18,7 @@ object SparkEntry {
     graft.ops.LlmExt,
     graft.ops.LlmQuality,
     graft.ops.LlmPipe,
+    graft.ops.LlmTrain,
     graft.ops.Reshape,
     graft.sources.NormalizeQueries,
     graft.streaming.Streams,

@@ -75,5 +75,13 @@ object GraftFunctions {
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_ngrams", NgramHash.fromExprs, "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg", exprs =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs(0), exprs(1), exprs(2)), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_contains", exprs =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs(0), exprs(1)), "built-in")
   }
 }

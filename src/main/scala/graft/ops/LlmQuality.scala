@@ -352,6 +352,10 @@ object LlmQuality extends QueryModule {
       .orderBy(col("train_id"), col("eval_id"))
   }
 
+  /** Shared with q_llm_decontaminate_bloom (LlmTrain): the bloom
+    * variant is exact, so its ground truth is this same SQL. */
+  private[ops] def decontaminateSqlShared: String = decontaminateSql
+
   private val decontaminateSql =
     """WITH g AS (
       |  SELECT doc_id, doc_id % 7 AS m,

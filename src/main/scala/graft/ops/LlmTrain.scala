@@ -1,0 +1,169 @@
+package graft.ops
+
+import graft.QueryModule
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-set assembly operators — the stages BETWEEN a cleaned
+  * corpus and a training run: sequence packing into fixed context
+  * windows, temperature-based language mixture weighting, and
+  * bloom-filter decontamination (the scalable form of the exact
+  * 8-gram pass in [[LlmQuality]]).
+  */
+object LlmTrain extends QueryModule {
+
+  // ------------------------------------------------------------ q_llm_pack
+
+  private val ChunkTokens = 2048
+  private val PackShards = 8
+
+  /** GPT-style sequence packing: concatenate documents in order and
+    * cut the token stream every [[ChunkTokens]] tokens; a document's
+    * chunk is the one holding its first token. Packing is inherently
+    * sequential (each doc's position depends on every predecessor), so
+    * the scalable unit is the SHARD: docs are bucketed into
+    * (lang, doc_id mod [[PackShards]]) streams packed independently —
+    * at 100 TB each shard's prefix-sum window runs in parallel and no
+    * single task ever sees a whole language (a bare
+    * `Window.partitionBy(lang)` would put all of English on one
+    * executor; production would size shards to ~partition volume).
+    * Output: per-chunk document count, token count, and doc-id span —
+    * the manifest a packer job would hand the tokenizer. */
+  private def pack(s: SparkSession, d: String): DataFrame = {
+    val toks = Llm.docs(s, d)
+      .select(col("doc_id"), col("lang"),
+        pmod(col("doc_id"), lit(PackShards)).cast("long").as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    // exclusive running prefix = tokens before this doc in its stream
+    val w = Window.partitionBy(col("lang"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("chunk",
+        floor(col("start") / lit(ChunkTokens)).cast("long"))
+      .groupBy(col("lang"), col("shard"), col("chunk"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("chunk_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang"), col("shard"), col("chunk"))
+  }
+
+  private val packSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, doc_id % $PackShards AS shard,
+       |         len(string_split(text, ' '))::BIGINT AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT *, coalesce(sum(n_tokens) OVER (
+       |      PARTITION BY lang, shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+       |  FROM t)
+       |SELECT lang, shard, floor(strt / $ChunkTokens)::BIGINT AS chunk,
+       |       count(*) AS n_docs, sum(n_tokens)::BIGINT AS chunk_tokens,
+       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM c GROUP BY lang, shard, chunk
+       |ORDER BY lang, shard, chunk""".stripMargin
+
+  // --------------------------------------------------------- q_llm_mixture
+
+  private val Temperature = 0.3
+
+  /** Temperature-based language mixture weighting (the multilingual
+    * sampling rule of mBERT/XLM-R/mT5: p_l ∝ f_l^α with α < 1 to
+    * up-sample low-resource languages). Input is one aggregated row
+    * per language — the window normalizations run over a
+    * |languages|-row frame, so the unpartitioned window is fine HERE
+    * (it would be a scale bug over row-level data). Boost is the
+    * effective over/under-sampling factor the data loader applies. */
+  private def mixture(s: SparkSession, d: String): DataFrame = {
+    val all = Window.partitionBy()
+    Llm.docs(s, d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
+      .withColumn("nf",
+        col("n_docs").cast("double") / sum(col("n_docs")).over(all))
+      .withColumn("wr", pow(col("nf"), lit(Temperature)))
+      .withColumn("sw", col("wr") / sum(col("wr")).over(all))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        Det.r6(col("nf")).as("nat_frac"),
+        Det.r6(col("sw")).as("samp_weight"),
+        Det.r4(col("sw") / col("nf")).as("boost"))
+      .orderBy(col("lang"))
+  }
+
+  private val mixtureSql =
+    s"""WITH c AS (
+       |  SELECT lang, count(*) AS n_docs,
+       |         sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+       |  FROM documents GROUP BY lang),
+       |f AS (
+       |  SELECT *, n_docs::DOUBLE / sum(n_docs) OVER () AS nf,
+       |         pow(n_docs::DOUBLE / sum(n_docs) OVER (), $Temperature) AS wr
+       |  FROM c),
+       |g AS (SELECT *, wr / sum(wr) OVER () AS sw FROM f)
+       |SELECT lang, n_docs, n_tokens,
+       |       ${Det.sql6("nf")} AS nat_frac,
+       |       ${Det.sql6("sw")} AS samp_weight,
+       |       ${Det.sql4("sw / nf")} AS boost
+       |FROM g ORDER BY lang""".stripMargin
+
+  // ------------------------------------------- q_llm_decontaminate_bloom
+
+  /** Bloom-filter decontamination — the 100 TB form of
+    * [[LlmQuality]]'s exact 8-gram pass (Dolma/Gopher build a bloom
+    * over the benchmark grams and stream the corpus through it).
+    * The eval-side gram set builds ONE bloom filter (Spark's own
+    * internal BloomFilterAggregate, exposed as `graft_bloom_agg`),
+    * which ships to every task as a ~0.5 MB binary literal; the
+    * training corpus is then filtered map-side (`graft_bloom_contains`
+    * = BloomFilterMightContain) so the exact join only ever sees the
+    * ~|collisions| surviving rows, not |corpus| grams. No false
+    * negatives (bloom guarantee) + exact residual join ⇒ output is
+    * IDENTICAL to q_llm_decontaminate — the oracle is literally the
+    * same SQL — while the shuffled volume drops from every training
+    * gram to the bloom's ~1% false-positive leak. */
+  private def decontaminateBloom(s: SparkSession, d: String): DataFrame = {
+    val grams = Llm.docs(s, d)
+      .select(col("doc_id"), col("doc_id").mod(7).as("m"),
+        explode(LlmQuality.ngramHashes("text", 8)).as("h"))
+      .localCheckpoint()
+    val evalG = grams.filter(col("m") === 0)
+      .select(col("doc_id").as("eval_id"), col("h"))
+    val trainG = grams.filter(col("m") =!= 0)
+      .select(col("doc_id").as("train_id"), col("h"))
+    // build the bloom once, driver-side (it IS the distributable
+    // artifact — ~0.5 MB for 500k estimated grams at ~1% fpp)
+    val bf = evalG
+      .agg(expr("graft_bloom_agg(h, CAST(500000 AS BIGINT), " +
+        "CAST(4000000 AS BIGINT))").as("bf"))
+      .first().getAs[Array[Byte]]("bf")
+    val pre =
+      if (bf == null) trainG.filter(lit(false)) // empty eval set
+      else trainG.filter(
+        call_function("graft_bloom_contains", lit(bf), col("h")))
+    pre.join(broadcast(evalG), "h")
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("train_id"), col("eval_id"))
+  }
+
+  // -------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_pack" -> (pack _),
+    "q_llm_mixture" -> (mixture _),
+    "q_llm_decontaminate_bloom" -> (decontaminateBloom _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_llm_pack" -> packSql,
+    "q_llm_mixture" -> mixtureSql,
+    // exactness: the bloom is a pre-filter, not an approximation —
+    // ground truth is the same exact-join SQL as q_llm_decontaminate
+    "q_llm_decontaminate_bloom" -> LlmQuality.decontaminateSqlShared,
+  )
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the training-set assembly operators that the
+  * row-hash oracle can't express directly. */
+class LlmTrainSpec extends AnyFunSuite {
+  private lazy val s = SparkTestBase.spark
+  private val sf = SparkTestBase.sfDir
+
+  test("bloom decontamination output is IDENTICAL to the exact pass") {
+    // the bloom is a pre-filter with no false negatives; the residual
+    // exact join removes its false positives — same rows, same counts
+    val exact = SparkEntry.queries("q_llm_decontaminate")(s, sf)
+      .collect().toSeq
+    val bloom = SparkEntry.queries("q_llm_decontaminate_bloom")(s, sf)
+      .collect().toSeq
+    assert(exact.nonEmpty && exact == bloom)
+  }
+
+  test("pack conserves documents and tokens, chunks start within bound") {
+    val docs = SparkEntry.queries("q_llm_pack")(s, sf)
+    val tot = docs.agg(sum("n_docs").as("d"), sum("chunk_tokens").as("t"))
+      .collect()(0)
+    val base = s.read.parquet(s"$sf/documents.parquet")
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(count(lit(1)), sum(col("n"))).collect()(0)
+    assert(tot.getLong(0) == base.getLong(0), "every doc packed exactly once")
+    assert(tot.getLong(1) == base.getLong(1), "every token packed exactly once")
+    // chunk ids are dense per (lang, shard): max chunk < ceil(total/2048)
+    val bad = docs.groupBy(col("lang"), col("shard"))
+      .agg(max(col("chunk")).as("mx"), sum(col("chunk_tokens")).as("st"))
+      .filter(col("mx") > ceil(col("st") / 2048))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("mixture weights are a distribution and temperature up-samples tails") {
+    val m = SparkEntry.queries("q_llm_mixture")(s, sf).collect()
+    val sw = m.map(_.getAs[Double]("samp_weight")).sum
+    assert(math.abs(sw - 1.0) < 1e-3, s"weights sum to 1, got $sw")
+    // α < 1 ⇒ smallest language gets boost > 1, largest < 1 (or all
+    // equal-sized); on this corpus langs are unbalanced enough
+    val byN = m.sortBy(_.getAs[Long]("n_docs"))
+    assert(byN.head.getAs[Double]("boost") >=
+      byN.last.getAs[Double]("boost"))
+  }
+}
