@@ -155,6 +155,12 @@ object LlmPipe extends QueryModule {
     val edges = pairs
       .union(pairs.select(col("db"), col("da")))
       .toDF("src", "dst")
+      // pin to the loop's partition count: a checkpoint inherits its
+      // parent's partitioning (32 from the corpus scan), and every
+      // per-round join would then dispatch 32 near-empty tasks per
+      // stage — ~2 stages × rounds of pure scheduling overhead on a
+      // KB-sized frame
+      .repartition(8, col("src"))
       .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
