@@ -106,7 +106,7 @@ object Streams extends QueryModule {
   }
 
   private def withStreamPartitions[T](s: SparkSession)(f: => T): T =
-    withConf(s, "spark.sql.shuffle.partitions", "8")(f)
+    withConf(s, "spark.sql.shuffle.partitions", "4")(f)
 
   /** Run a streaming frame into a memory sink, driving it with `drive`
     * (AvailableNow-to-completion for the file-source queries; manual
