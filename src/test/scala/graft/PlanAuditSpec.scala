@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression gate: the scale-killer operators must never
+  * appear in a scored batch plan. A CartesianProduct or a
+  * BroadcastNestedLoopJoin over fact-sized inputs is the difference
+  * between "works at sf0.1" and "melts at 100 TB" — and both can
+  * sneak in silently when a join predicate stops being an equi-key
+  * (e.g. a refactor drops the equality half of a theta join). The
+  * correctness oracle cannot catch that (the answer stays right), so
+  * the plan itself is the tested surface here.
+  *
+  * Streaming queries are excluded — building their frame RUNS the
+  * stream to completion; their shapes are pinned by StreamingSpec.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val s = SparkTestBase.spark
+  private val sf = SparkTestBase.sfDir
+
+  private val banned = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
+
+  /** q_llm_sim_search is the DELIBERATE brute-force-exact baseline:
+    * a bounded ≤50-row query set broadcast against one corpus scan —
+    * the nested-loop there multiplies a constant, not a corpus, and
+    * the declared scale path is q_llm_sim_ann's IVF cells. Everything
+    * else must justify itself here before joining this list. */
+  private val allowlisted = Set("q_llm_sim_search")
+
+  for (name <- SparkEntry.queries.keys.toSeq.sorted
+       if name.startsWith("q_") && !allowlisted(name)) {
+    test(s"$name plans without cartesian/nested-loop joins") {
+      val plan = SparkEntry.queries(name)(s, sf)
+        .queryExecution.executedPlan.toString
+      for (b <- banned)
+        assert(!plan.contains(b), s"$b in $name plan:\n$plan")
+    }
+  }
+}
