@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.QueryModule
+import graft.{QueryModule, Tables => T}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -151,12 +151,78 @@ object LlmTrain extends QueryModule {
       .orderBy(col("train_id"), col("eval_id"))
   }
 
+  // ---------------------------------------------------------- q_llm_kmeans
+
+  /** One Lloyd iteration over the embedding corpus — the iterative-ML
+    * primitive behind IVF codebook training (q_llm_sim_ann's cells)
+    * and embedding-space clustering: current centroids (per-label
+    * means, the q_llm_centroid aggregation) BROADCAST to every task,
+    * each vector assigned to its nearest centroid by squared L2
+    * (argmin over the 10-row centroid table), then the reassignment
+    * matrix (label → assigned, counts + mean distance) summarizes the
+    * step. Scale shape: |k|·dims broadcast + ONE corpus scan + one
+    * |k|²-bounded aggregation — the corpus never shuffles; a full
+    * k-means run is this step iterated, each materializing only new
+    * centroids.
+    *
+    * Cross-engine determinism: centroid components are r6-discretized
+    * on BOTH sides before any distance math, so the d² inputs are
+    * bit-identical; d² uses the dot-product expansion (graft_dot /
+    * list_dot_product, both sequential 64-element loops); argmin
+    * tie-breaks on (d2, clabel). */
+  private def kmeansStep(s: SparkSession, d: String): DataFrame = {
+    val emb = T.par(s, T.embeddings(s, d))
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("e"))
+    val cent = emb
+      .select(col("label").as("clabel"), posexplode(col("e")))
+      .groupBy(col("clabel"), col("pos"))
+      .agg(Det.r6(avg(col("col"))).as("m"))
+      .groupBy(col("clabel"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        _.getField("m")).as("cv"))
+    val d2 = expr("graft_dot(e, e) - 2 * graft_dot(e, cv) + graft_dot(cv, cv)")
+    // argmin as min(struct(d2, clabel)): field-wise struct ordering =
+    // nearest centroid with deterministic clabel tie-break, in a
+    // map-side-combined hash agg — no per-vector sort window
+    emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"), col("clabel"), d2.as("d2"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(min(struct(col("d2"), col("clabel"))).as("best"))
+      .groupBy(col("label"), col("best.clabel").as("assigned"))
+      .agg(count(lit(1)).as("n_vecs"),
+        Det.r6(avg(col("best.d2"))).as("avg_d2"))
+      .orderBy(col("label"), col("assigned"))
+  }
+
+  private val kmeansSql =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |c AS (
+       |  SELECT label AS clabel, i AS dim,
+       |         ${Det.sql6("avg(v[i])")} AS m
+       |  FROM e, range(1, 65) t(i) GROUP BY clabel, i),
+       |cl AS (SELECT clabel, list(m ORDER BY dim) AS cv FROM c GROUP BY clabel),
+       |d AS (
+       |  SELECT e.vec_id, e.label, cl.clabel,
+       |         list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, cl.cv)
+       |           + list_dot_product(cl.cv, cl.cv) AS d2
+       |  FROM e CROSS JOIN cl),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                   ORDER BY d2, clabel) AS rn
+       |      FROM d)
+       |SELECT label, clabel AS assigned, count(*) AS n_vecs,
+       |       ${Det.sql6("avg(d2)")} AS avg_d2
+       |FROM r WHERE rn = 1
+       |GROUP BY label, assigned ORDER BY label, assigned""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_pack" -> (pack _),
     "q_llm_mixture" -> (mixture _),
     "q_llm_decontaminate_bloom" -> (decontaminateBloom _),
+    "q_llm_kmeans" -> (kmeansStep _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -165,5 +231,6 @@ object LlmTrain extends QueryModule {
     // exactness: the bloom is a pre-filter, not an approximation —
     // ground truth is the same exact-join SQL as q_llm_decontaminate
     "q_llm_decontaminate_bloom" -> LlmQuality.decontaminateSqlShared,
+    "q_llm_kmeans" -> kmeansSql,
   )
 }

@@ -36,6 +36,15 @@ class LlmTrainSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("kmeans step assigns every vector exactly once") {
+    val m = SparkEntry.queries("q_llm_kmeans")(s, sf)
+    val assigned = m.agg(sum("n_vecs")).collect()(0).getLong(0)
+    val vecs = s.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(assigned == vecs)
+    // distances are squared L2 — never negative
+    assert(m.filter(col("avg_d2") < 0).count() == 0)
+  }
+
   test("mixture weights are a distribution and temperature up-samples tails") {
     val m = SparkEntry.queries("q_llm_mixture")(s, sf).collect()
     val sw = m.map(_.getAs[Double]("samp_weight")).sum

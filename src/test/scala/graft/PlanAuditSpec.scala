@@ -23,9 +23,11 @@ class PlanAuditSpec extends AnyFunSuite {
   /** q_llm_sim_search is the DELIBERATE brute-force-exact baseline:
     * a bounded ≤50-row query set broadcast against one corpus scan —
     * the nested-loop there multiplies a constant, not a corpus, and
-    * the declared scale path is q_llm_sim_ann's IVF cells. Everything
-    * else must justify itself here before joining this list. */
-  private val allowlisted = Set("q_llm_sim_search")
+    * the declared scale path is q_llm_sim_ann's IVF cells.
+    * q_llm_kmeans likewise: 10 centroid rows broadcast against one
+    * corpus scan — the nested loop multiplies k, not the corpus.
+    * Everything else must justify itself here before joining. */
+  private val allowlisted = Set("q_llm_sim_search", "q_llm_kmeans")
 
   for (name <- SparkEntry.queries.keys.toSeq.sorted
        if name.startsWith("q_") && !allowlisted(name)) {
