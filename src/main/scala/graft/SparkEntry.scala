@@ -19,6 +19,7 @@ object SparkEntry {
     graft.ops.LlmQuality,
     graft.ops.LlmPipe,
     graft.ops.LlmTrain,
+    graft.ops.Lakehouse,
     graft.ops.Reshape,
     graft.sources.NormalizeQueries,
     graft.streaming.Streams,

@@ -1,0 +1,177 @@
+package graft.ops
+
+import graft.{QueryModule, Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Table-maintenance and time-series operators a lakehouse deployment
+  * of the engine runs daily: MERGE-style upsert (the shuffle-join core
+  * of Delta/Iceberg MERGE INTO), time-series gap fill with forward
+  * fill (resampling event logs onto a regular grid), and a salted
+  * join — the standard skew-mitigation rewrite, oracle-checked to be
+  * result-identical to the plain join it replaces.
+  */
+object Lakehouse extends QueryModule {
+
+  // --------------------------------------------------------- q_merge_upsert
+
+  /** MERGE INTO semantics over the orders table: a 10% update batch
+    * (re-priced rows) plus a 1% insert batch (new keys) merged into
+    * the base in ONE full-outer shuffle join on the key — matched
+    * rows take the update's values, unmatched-right rows insert,
+    * unmatched-left rows pass through. This is exactly the join Delta
+    * Lake's MERGE plans after file pruning; at 100 TB the base side
+    * prunes to the files whose key ranges overlap the batch (storage
+    * concern, orthogonal to the join), AQE broadcasts the batch when
+    * it is small, and the action column is the audit trail a writer
+    * would use to split copy-unchanged from rewrite work. */
+  private def mergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val base = T.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    // update batch: every 10th key, 5% price bump (r2-discretized so
+    // both engines carry identical doubles into the merge)
+    val upd = base.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey").as("k"),
+        lit(null).cast("string").as("u_status"),
+        Det.r2(col("o_totalprice") * 1.05).as("u_price"))
+    // insert batch: every 100th key re-keyed past the base key space
+    val ins = base.filter(col("o_orderkey") % 100 === 0)
+      .select((col("o_orderkey") + 10000000L).as("k"),
+        lit("N").as("u_status"), lit(42.42).as("u_price"))
+    val batch = upd.unionByName(ins)
+    base.join(batch, col("o_orderkey") === col("k"), "full_outer")
+      .select(
+        coalesce(col("o_orderkey"), col("k")).as("key"),
+        coalesce(col("u_status"), col("o_orderstatus")).as("status"),
+        coalesce(col("u_price"), col("o_totalprice")).as("price"),
+        when(col("o_orderkey").isNull, "insert")
+          .when(col("k").isNull, "keep")
+          .otherwise("update").as("action"))
+      .orderBy(col("key"))
+  }
+
+  private val mergeUpsertSql =
+    s"""WITH batch AS (
+       |  SELECT o_orderkey AS k, NULL::VARCHAR AS u_status,
+       |         ${Det.sql2("o_totalprice * 1.05")} AS u_price
+       |  FROM orders WHERE o_orderkey % 10 = 0
+       |  UNION ALL
+       |  SELECT o_orderkey + 10000000, 'N', 42.42
+       |  FROM orders WHERE o_orderkey % 100 = 0)
+       |SELECT coalesce(b.o_orderkey, u.k) AS key,
+       |       coalesce(u.u_status, b.o_orderstatus) AS status,
+       |       coalesce(u.u_price, b.o_totalprice) AS price,
+       |       CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+       |            WHEN u.k IS NULL THEN 'keep'
+       |            ELSE 'update' END AS action
+       |FROM orders b FULL JOIN batch u ON b.o_orderkey = u.k
+       |ORDER BY key""".stripMargin
+
+  // ----------------------------------------------------------- q_ts_gapfill
+
+  /** Resample the events log onto a regular hourly grid per event
+    * type: aggregate to (type, hour), build each series' complete
+    * hour spine with `sequence(min, max, 1 hour)` + explode (no
+    * cartesian — the spine derives from the series' own bounds row),
+    * left-join observations back, and forward-fill gaps with the
+    * window `last(value, ignoreNulls)`. Timestamps are exact epoch
+    * microseconds on output (the portable events contract, see
+    * Tables.events). Scale shape: the heavy input collapses to
+    * |types × hours| rows at the FIRST aggregation; everything after
+    * runs on the tiny grid, and the fill window partitions by series
+    * so a 1000-series × 10-year grid is still ~88k rows per task at
+    * worst. */
+  private def tsGapfill(s: SparkSession, d: String): DataFrame = {
+    val hourly = T.events(s, d)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"),
+        col("value"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("n_events"), Det.r4(avg(col("value"))).as("avg_val"))
+    val spine = hourly
+      .groupBy(col("event_type"))
+      .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR")))
+          .as("hr"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("event_type", "hr"), "left")
+      .select(col("event_type"), unix_micros(col("hr")).as("hour_us"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("avg_val"),
+        last(col("avg_val"), ignoreNulls = true).over(w).as("ff_val"))
+      .orderBy(col("event_type"), col("hour_us"))
+  }
+
+  private val tsGapfillSql =
+    s"""WITH h AS (
+       |  SELECT event_type,
+       |         date_trunc('hour', make_timestamp(epoch_us(ts))) AS hr,
+       |         count(*) AS n_events, ${Det.sql4("avg(value)")} AS avg_val
+       |  FROM events GROUP BY event_type, hr),
+       |b AS (SELECT event_type, min(hr) AS h0, max(hr) AS h1
+       |      FROM h GROUP BY event_type),
+       |sp AS (SELECT event_type,
+       |              unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+       |       FROM b)
+       |SELECT sp.event_type, epoch_us(sp.hr) AS hour_us,
+       |       coalesce(h.n_events, 0) AS n_events, h.avg_val,
+       |       last_value(h.avg_val IGNORE NULLS) OVER (
+       |         PARTITION BY sp.event_type ORDER BY sp.hr
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff_val
+       |FROM sp LEFT JOIN h ON sp.event_type = h.event_type AND sp.hr = h.hr
+       |ORDER BY sp.event_type, hour_us""".stripMargin
+
+  // ------------------------------------------------------ q_join_skew_salted
+
+  private val NSalt = 8
+
+  /** The salting rewrite for skewed join keys, oracle-checked against
+    * the PLAIN join it replaces (identical result is the whole
+    * point): the fact side gets a deterministic salt in [0, NSalt)
+    * hashed from its row identity; the dimension side replicates each
+    * row NSalt times (explode over the salt range); the join key
+    * becomes (key, salt) so one hot key's rows spread across NSalt
+    * reducers instead of one. At 100 TB this is the manual fallback
+    * when AQE's skew split can't help (e.g. a skewed key feeding an
+    * aggregation that needs the join's partitioning); the dimension
+    * inflation is ×NSalt on the SMALL side only. */
+  private def joinSkewSalted(s: SparkSession, d: String): DataFrame = {
+    val li = T.lineitem(s, d)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
+      .withColumn("salt",
+        pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(NSalt)))
+    val sup = T.supplier(s, d)
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .withColumn("salt", explode(sequence(lit(0L), lit(NSalt - 1L))))
+    li.join(sup,
+        li("l_suppkey") === sup("s_suppkey") && li("salt") === sup("salt"))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_items"),
+        Det.r2(sum(col("l_extendedprice"))).as("revenue"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  private val joinSkewSaltedSql =
+    s"""SELECT s_nationkey, count(*) AS n_items,
+       |       ${Det.sql2("sum(l_extendedprice)")} AS revenue
+       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
+  // -------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_merge_upsert" -> (mergeUpsert _),
+    "q_ts_gapfill" -> (tsGapfill _),
+    "q_join_skew_salted" -> (joinSkewSalted _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_merge_upsert" -> mergeUpsertSql,
+    "q_ts_gapfill" -> tsGapfillSql,
+    // deliberately the UNSALTED join: salting must not change results
+    "q_join_skew_salted" -> joinSkewSaltedSql,
+  )
+}

@@ -200,6 +200,48 @@ object LlmQuality extends QueryModule {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------- q_llm_entropy
+
+  /** Character-level Shannon entropy per document (nats) plus the
+    * distinct-character count and top-character mass — the
+    * randomness/degeneracy axis of quality filtering that the ratio
+    * heuristics in q_llm_quality can't see (boilerplate, base64 blobs
+    * and keyboard-mash all have distinctive entropy signatures).
+    * Shape: explode to (doc, char) → count (map-side combined) →
+    * per-doc aggregation of the c·ln(c) terms — two bounded shuffles.
+    * At 100 TB the explode is |chars| rows; production would fold the
+    * histogram into a fixed-width byte-count expression (one pass, no
+    * explode), but the aggregation algebra — H = ln(n) − Σc·ln(c)/n —
+    * is identical. ln (not log2) keeps both engines on the same libm
+    * call, r6-discretized like the rest of the libm family. */
+  private def entropy(s: SparkSession, d: String): DataFrame =
+    Llm.docs(s, d)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("len_chars"),
+        count(lit(1)).as("n_distinct"),
+        Det.r6(log(sum(col("c"))) -
+          sum(col("c") * log(col("c"))) / sum(col("c"))).as("entropy_nats"),
+        Det.r6(max(col("c")) / sum(col("c"))).as("top_char_frac"))
+      .orderBy(col("doc_id"))
+
+  private val entropySql =
+    s"""WITH ch AS (
+       |  SELECT doc_id, unnest(string_split(text, '')) AS ch
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, ch, count(*) AS c FROM ch
+       |  WHERE ch <> '' GROUP BY doc_id, ch)
+       |SELECT doc_id, sum(c)::BIGINT AS len_chars,
+       |       count(*) AS n_distinct,
+       |       ${Det.sql6("ln(sum(c)) - sum(c * ln(c)) / sum(c)")}
+       |         AS entropy_nats,
+       |       ${Det.sql6("max(c) / sum(c)")} AS top_char_frac
+       |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------ q_llm_repetition
 
   /** Gopher-style within-document repetition signals (Rae et al. 2021
@@ -377,6 +419,7 @@ object LlmQuality extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_dedup_ngram" -> (dedupNgram _),
     "q_llm_quality" -> (quality _),
+    "q_llm_entropy" -> (entropy _),
     "q_llm_repetition" -> (repetition _),
     "q_llm_dedup_apply" -> (dedupApply _),
     "q_llm_decontaminate" -> (decontaminate _),
@@ -385,6 +428,7 @@ object LlmQuality extends QueryModule {
   val oracles: Map[String, String] = Map(
     "q_llm_dedup_ngram" -> dedupNgramSql,
     "q_llm_quality" -> qualitySql,
+    "q_llm_entropy" -> entropySql,
     "q_llm_repetition" -> repetitionSql,
     "q_llm_dedup_apply" -> dedupApplySql,
     "q_llm_decontaminate" -> decontaminateSql,

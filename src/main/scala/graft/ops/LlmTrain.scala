@@ -151,6 +151,51 @@ object LlmTrain extends QueryModule {
       .orderBy(col("train_id"), col("eval_id"))
   }
 
+  // ----------------------------------------------------------- q_llm_chunk
+
+  private val ChunkSize = 32
+  private val ChunkStride = 24
+
+  /** RAG/context-window chunking: slice each document's token stream
+    * into overlapping windows of [[ChunkSize]] tokens every
+    * [[ChunkStride]] (8-token overlap), emitting the chunk manifest
+    * (index, start, length, content digest) a downstream embedder
+    * consumes. Pure map-side: tokenize → explode the start offsets →
+    * `slice` — no shuffle at all before the output sort, so it scales
+    * as a single corpus scan. Complements q_llm_pack (packing
+    * concatenates docs INTO windows; chunking splits docs ACROSS
+    * windows). */
+  private def chunk(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    Llm.docs(s, d)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0),
+          greatest(size(col("toks")) - 1, lit(0)), lit(ChunkStride))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        col("col").cast("long").as("strt"),
+        slice(col("toks"), col("col") + 1, lit(ChunkSize)).as("ct"))
+      .select(col("doc_id"), col("chunk_idx"), col("strt"),
+        size(col("ct")).cast("long").as("chunk_len"),
+        md5(array_join(col("ct"), " ")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  private val chunkSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |s AS (
+       |  SELECT doc_id, toks, i AS chunk_idx, i * $ChunkStride AS strt
+       |  FROM t, range(0, 16) r(i)
+       |  WHERE i * $ChunkStride <= greatest(len(toks) - 1, 0))
+       |SELECT doc_id, chunk_idx, strt,
+       |       len(list_slice(toks, strt + 1, strt + $ChunkSize))::BIGINT
+       |         AS chunk_len,
+       |       md5(array_to_string(
+       |         list_slice(toks, strt + 1, strt + $ChunkSize), ' '))
+       |         AS chunk_md5
+       |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
+
   // ---------------------------------------------------------- q_llm_kmeans
 
   /** One Lloyd iteration over the embedding corpus — the iterative-ML
@@ -221,6 +266,7 @@ object LlmTrain extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_pack" -> (pack _),
     "q_llm_mixture" -> (mixture _),
+    "q_llm_chunk" -> (chunk _),
     "q_llm_decontaminate_bloom" -> (decontaminateBloom _),
     "q_llm_kmeans" -> (kmeansStep _),
   )
@@ -228,6 +274,7 @@ object LlmTrain extends QueryModule {
   val oracles: Map[String, String] = Map(
     "q_llm_pack" -> packSql,
     "q_llm_mixture" -> mixtureSql,
+    "q_llm_chunk" -> chunkSql,
     // exactness: the bloom is a pre-filter, not an approximation —
     // ground truth is the same exact-join SQL as q_llm_decontaminate
     "q_llm_decontaminate_bloom" -> LlmQuality.decontaminateSqlShared,

@@ -45,6 +45,25 @@ class LlmTrainSpec extends AnyFunSuite {
     assert(m.filter(col("avg_d2") < 0).count() == 0)
   }
 
+  test("chunking covers every token with the stride/size geometry") {
+    val c = SparkEntry.queries("q_llm_chunk")(s, sf)
+      .select(col("doc_id"), col("chunk_idx"), col("strt"), col("chunk_len"))
+    val docs = s.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+    val j = c.join(docs, "doc_id")
+    // chunk length is exactly min(ChunkSize, n - strt)
+    assert(j.filter(col("chunk_len") =!=
+      least(lit(32L), col("n") - col("strt"))).count() == 0)
+    // starts are the exact stride lattice: idx*24, last start < n
+    assert(j.filter(col("strt") =!= col("chunk_idx") * 24).count() == 0)
+    assert(j.filter(col("strt") >= col("n")).count() == 0)
+    // every doc chunked; last chunk reaches the end of the doc
+    val perDoc = j.groupBy(col("doc_id"), col("n"))
+      .agg(max(col("strt") + col("chunk_len")).as("covered"))
+    assert(perDoc.filter(col("covered") =!= col("n")).count() == 0)
+    assert(perDoc.count() == docs.count())
+  }
+
   test("mixture weights are a distribution and temperature up-samples tails") {
     val m = SparkEntry.queries("q_llm_mixture")(s, sf).collect()
     val sw = m.map(_.getAs[Double]("samp_weight")).sum

@@ -97,4 +97,49 @@ class OperatorSpec extends AnyFunSuite {
       .filter(unix_timestamp($"ts") <= 0).count()
     assert(n == 0)
   }
+
+  test("entropy is bounded by ln(distinct chars) and lengths reconcile") {
+    val e = SparkEntry.queries("q_llm_entropy")(s, SparkTestBase.sfDir)
+    val docs = Tables.documents(s, SparkTestBase.sfDir)
+      .select($"doc_id", length($"text").cast("long").as("txt_len"))
+    val j = e.join(docs, "doc_id")
+    assert(j.filter($"len_chars" =!= $"txt_len").count() == 0,
+      "char histogram mass equals code-point length")
+    // 0 ≤ H ≤ ln(k), with equality at the uniform distribution
+    assert(j.filter($"entropy_nats" < 0 ||
+      $"entropy_nats" > log($"n_distinct") + 1e-6).count() == 0)
+    assert(j.filter($"top_char_frac" * $"n_distinct" < 1 - 1e-9).count() == 0,
+      "max frequency at least the uniform share")
+  }
+
+  test("gap fill leaves no holes: grid dense, fill total, observed intact") {
+    val g = SparkEntry.queries("q_ts_gapfill")(s, SparkTestBase.sfDir)
+    assert(g.filter($"ff_val".isNull).count() == 0,
+      "forward fill covers every grid row (spine starts at first datum)")
+    assert(g.filter($"n_events" > 0 && !($"avg_val" === $"ff_val"))
+      .count() == 0, "observed rows keep their own value")
+    assert(g.filter($"n_events" === 0 && $"avg_val".isNotNull).count() == 0)
+    // the hour grid is gapless: per series, rows == span/1h + 1
+    val dense = g.groupBy($"event_type")
+      .agg(count(lit(1)).as("rows"),
+        ((max($"hour_us") - min($"hour_us")) / 3600000000L + 1).as("want"))
+      .filter($"rows" =!= $"want").count()
+    assert(dense == 0)
+  }
+
+  test("merge upsert: actions partition the key space as derived") {
+    val m = SparkEntry.queries("q_merge_upsert")(s, SparkTestBase.sfDir)
+    val base = Tables.orders(s, SparkTestBase.sfDir)
+    val n = base.count()
+    val byAction = m.groupBy($"action").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val updates = base.filter($"o_orderkey" % 10 === 0).count()
+    val inserts = base.filter($"o_orderkey" % 100 === 0).count()
+    assert(byAction("update") == updates)
+    assert(byAction("insert") == inserts)
+    assert(byAction("keep") == n - updates)
+    // inserted keys live past the base key space with the batch price
+    assert(m.filter($"action" === "insert" &&
+      ($"key" < 10000000L || !($"price" === 42.42))).count() == 0)
+  }
 }

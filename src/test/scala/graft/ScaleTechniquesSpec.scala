@@ -35,6 +35,20 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("salted join query equals the plain join it rewrites") {
+    // q_join_skew_salted's oracle is the UNSALTED SQL; assert the same
+    // equivalence inside Spark so the invariant doesn't depend on the
+    // DuckDB gate alone
+    val salted = SparkEntry.queries("q_join_skew_salted")(s, d).collect().toSeq
+    val plain = Tables.lineitem(s, d)
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_items"),
+        graft.ops.Det.r2(sum(col("l_extendedprice"))).as("revenue"))
+      .orderBy(col("s_nationkey")).collect().toSeq
+    assert(salted.nonEmpty && salted == plain)
+  }
+
   test("salted two-phase aggregation equals direct aggregation on skewed keys") {
     import s.implicits._
     // one hot key carrying 90% of rows — the shape where a plain
