@@ -371,6 +371,45 @@ object Functions extends QueryModule {
       |    AS partkey_odd
       |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  // ---------------------------------------------------------- q_fn_binary
+
+  /** Binary / digest family: md5, sha-256, hex and base64 encoding,
+    * byte length, and an encode→decode round-trip check — the
+    * content-addressing primitives a lakehouse pipeline keys blobs,
+    * dedup rows and cache entries with (q_llm_chunk's manifests and
+    * q_llm_fingerprint's winnowing both ride on md5). All codegen'd
+    * expressions over the UTF-8 bytes of the string; digests are
+    * engine-portable by definition, so the DuckDB oracle matches
+    * byte-for-byte. Pure map-side projection — no shuffle before the
+    * output sort, scales as a single scan. */
+  private def fnBinary(s: SparkSession, d: String): DataFrame =
+    T.supplier(s, d)
+      .select(
+        col("s_suppkey"),
+        md5(col("s_name")).as("name_md5"),
+        sha2(col("s_name"), 256).as("name_sha256"),
+        hex(col("s_name").cast("binary")).as("name_hex"),
+        base64(col("s_name").cast("binary")).as("name_b64"),
+        octet_length(col("s_name")).cast("long").as("name_bytes"),
+        (unbase64(base64(col("s_name").cast("binary"))).cast("string")
+          === col("s_name")).as("roundtrip_ok"),
+        // digest-prefix bucketing: first byte of md5 as an int — the
+        // uniform 0-255 partition key content-addressed stores shard on
+        conv(substring(md5(col("s_name")), 1, 2), 16, 10)
+          .cast("long").as("md5_bucket"))
+      .orderBy(col("s_suppkey"))
+
+  private val fnBinarySql =
+    """SELECT s_suppkey,
+      |  md5(s_name) AS name_md5,
+      |  sha256(s_name) AS name_sha256,
+      |  hex(s_name) AS name_hex,
+      |  base64(s_name::BLOB) AS name_b64,
+      |  octet_length(s_name::BLOB)::BIGINT AS name_bytes,
+      |  decode(from_base64(base64(s_name::BLOB))) = s_name AS roundtrip_ok,
+      |  ('0x' || substring(md5(s_name), 1, 2))::BIGINT AS md5_bucket
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -383,6 +422,7 @@ object Functions extends QueryModule {
     "q_fn_cond" -> (fnCond _),
     "q_fn_struct" -> (fnStruct _),
     "q_fn_bitwise" -> (fnBitwise _),
+    "q_fn_binary" -> (fnBinary _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -395,5 +435,6 @@ object Functions extends QueryModule {
     "q_fn_cond" -> fnCondSql,
     "q_fn_struct" -> fnStructSql,
     "q_fn_bitwise" -> fnBitwiseSql,
+    "q_fn_binary" -> fnBinarySql,
   )
 }

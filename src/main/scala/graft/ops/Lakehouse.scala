@@ -160,12 +160,68 @@ object Lakehouse extends QueryModule {
        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
 
+  // -------------------------------------------------------------- q_lake_scd2
+
+  /** Slowly-changing-dimension type 2 built from the raw event log:
+    * each user's event_type is treated as a mutable attribute, and
+    * every CHANGE in the (ts, event_id)-ordered stream opens a new
+    * version row with [valid_from, valid_to) bounds — `valid_to` =
+    * next version's start via `lead`, NULL marking the current row.
+    * This is the history-table build every warehouse dimension load
+    * runs; the total order (unique event_id tie-break) is what makes
+    * the versioning deterministic under any partitioning. ONE shuffle
+    * on user_id serves the change-detection lag, the version
+    * row_number and the closing lead (same window partitioning);
+    * change rows are a fraction of the log, so the second window pass
+    * runs on the collapsed frame. Timestamps are exact epoch µs (the
+    * portable events contract, see Tables.events). */
+  private def lakeScd2(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val changes = T.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+    changes
+      .select(col("user_id"),
+        row_number().over(w).cast("long").as("version"),
+        col("event_type").as("state"),
+        col("tus").as("valid_from_us"),
+        lead(col("tus"), 1).over(w).as("valid_to_us"),
+        lead(col("tus"), 1).over(w).isNull.as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  private val lakeScd2Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |         epoch_us(make_timestamp(epoch_us(ts))) AS tus
+      |  FROM events),
+      |c AS (
+      |  SELECT user_id, event_id, event_type, tus,
+      |         lag(event_type) OVER (PARTITION BY user_id
+      |                               ORDER BY tus, event_id) AS prev
+      |  FROM e),
+      |v AS (
+      |  SELECT user_id, event_id, event_type, tus FROM c
+      |  WHERE prev IS NULL OR prev <> event_type)
+      |SELECT user_id,
+      |       row_number() OVER w AS version,
+      |       event_type AS state,
+      |       tus AS valid_from_us,
+      |       lead(tus) OVER w AS valid_to_us,
+      |       lead(tus) OVER w IS NULL AS is_current
+      |FROM v WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+      |ORDER BY user_id, version""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_merge_upsert" -> (mergeUpsert _),
     "q_ts_gapfill" -> (tsGapfill _),
     "q_join_skew_salted" -> (joinSkewSalted _),
+    "q_lake_scd2" -> (lakeScd2 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -173,5 +229,6 @@ object Lakehouse extends QueryModule {
     "q_ts_gapfill" -> tsGapfillSql,
     // deliberately the UNSALTED join: salting must not change results
     "q_join_skew_salted" -> joinSkewSaltedSql,
+    "q_lake_scd2" -> lakeScd2Sql,
   )
 }

@@ -414,6 +414,64 @@ object LlmQuality extends QueryModule {
       |GROUP BY t.doc_id, e.doc_id
       |ORDER BY train_id, eval_id""".stripMargin
 
+  // ------------------------------------------------------------ q_llm_tfidf
+
+  /** TF-IDF top-3 terms per document — the topicality / keyword
+    * signal quality-filter stacks and cluster-labelers use (salient
+    * terms also feed dedup triage: near-dups share them). Shape is
+    * three reuses of ONE exploded token pass: (doc, term) counts via
+    * hash agg, document frequency as a `count over (partition term)`
+    * window on the SAME frame (no groupBy+join back — one shuffle on
+    * term replaces two), then a per-doc row_number for the top-3 cut.
+    * The ORDER is total (score DESC, term ASC): score is a pure
+    * function of integer (tf, df, N) through libm `ln` — identical
+    * doubles on both engines — and the term tie-break pins equal
+    * scores, so ranks are deterministic under any partitioning. N
+    * rides in as a broadcast 1-row frame, never a driver collect. */
+  private def tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = Llm.docs(s, d)
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val wTerm = Window.partitionBy(col("term"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.withColumn("df", count(lit(1)).over(wTerm))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rank", row_number().over(wDoc).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+        col("df"), Det.r6(col("score")).as("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  private val tfidfSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM toks
+       |  WHERE term <> '' GROUP BY doc_id, term),
+       |sc AS (
+       |  SELECT doc_id, term, tf,
+       |         count(*) OVER (PARTITION BY term) AS df,
+       |         tf * ln((SELECT count(*) FROM documents)::DOUBLE /
+       |                 count(*) OVER (PARTITION BY term)) AS score
+       |  FROM tf),
+       |r AS (
+       |  SELECT doc_id, term, tf, df, score,
+       |         row_number() OVER (PARTITION BY doc_id
+       |                            ORDER BY score DESC, term) AS rank
+       |  FROM sc)
+       |SELECT doc_id, rank, term, tf, df,
+       |       ${Det.sql6("score")} AS tfidf
+       |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -423,6 +481,7 @@ object LlmQuality extends QueryModule {
     "q_llm_repetition" -> (repetition _),
     "q_llm_dedup_apply" -> (dedupApply _),
     "q_llm_decontaminate" -> (decontaminate _),
+    "q_llm_tfidf" -> (tfidf _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -432,5 +491,6 @@ object LlmQuality extends QueryModule {
     "q_llm_repetition" -> repetitionSql,
     "q_llm_dedup_apply" -> dedupApplySql,
     "q_llm_decontaminate" -> decontaminateSql,
+    "q_llm_tfidf" -> tfidfSql,
   )
 }

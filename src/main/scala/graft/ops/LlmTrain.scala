@@ -261,6 +261,57 @@ object LlmTrain extends QueryModule {
        |FROM r WHERE rn = 1
        |GROUP BY label, assigned ORDER BY label, assigned""".stripMargin
 
+  // ---------------------------------------------------- q_sample_stratified
+
+  /** Language-rebalancing stratified sample — the downsampling half of
+    * what q_llm_mixture's temperature weights prescribe: cap every
+    * language at ~50 docs by keeping each doc iff its portable 60-bit
+    * md5 key-hash lands under floor(cap·10⁶ / n_lang) out of 10⁶.
+    * Per-stratum Bernoulli by KEY HASH, not `df.sample()` — the same
+    * reproducibility argument as q_sample_hash (re-runs, engines and
+    * partitionings agree row-for-row), done per group. The stratum
+    * rate table is a |languages|-row broadcast; the corpus side is one
+    * scan + map-side filter — nothing about the heavy side shuffles,
+    * which is the whole point at 100 TB (rebalancing must not cost a
+    * repartition). Expected sample size ≈ cap per language (hash
+    * binomial, not exact-k: exact-k would need a per-stratum top-k
+    * shuffle; the binomial spread is ±√cap, irrelevant at corpus
+    * scale and deterministic here). */
+  private def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    val cap = 50L
+    val docs = T.documents(s, d)
+    val rates = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_lang"))
+      .withColumn("thr",
+        least(lit(1000000.0), floor(lit(cap * 1000000.0) / col("n_lang"))))
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+      16, 10).cast("long") % 1000000L
+    docs.join(broadcast(rates), "lang")
+      .filter(h < col("thr"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"),
+        min(col("n_lang")).as("n_total"),
+        sum(col("n_chars")).as("sampled_chars"))
+      .withColumn("kept_ratio",
+        Det.r6(col("n_sampled").cast("double") / col("n_total")))
+      .orderBy(col("lang"))
+  }
+
+  private val sampleStratifiedSql =
+    s"""WITH rates AS (
+       |  SELECT lang, count(*) AS n_lang,
+       |         least(1000000.0, floor(50000000.0 / count(*))) AS thr
+       |  FROM documents GROUP BY lang),
+       |kept AS (
+       |  SELECT d.lang, d.n_chars, r.n_lang
+       |  FROM documents d JOIN rates r USING (lang)
+       |  WHERE ('0x' || substring(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT
+       |        % 1000000 < r.thr)
+       |SELECT lang, count(*) AS n_sampled, min(n_lang) AS n_total,
+       |       sum(n_chars)::BIGINT AS sampled_chars,
+       |       ${Det.sql6("count(*)::DOUBLE / min(n_lang)")} AS kept_ratio
+       |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -269,6 +320,7 @@ object LlmTrain extends QueryModule {
     "q_llm_chunk" -> (chunk _),
     "q_llm_decontaminate_bloom" -> (decontaminateBloom _),
     "q_llm_kmeans" -> (kmeansStep _),
+    "q_sample_stratified" -> (sampleStratified _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -279,5 +331,6 @@ object LlmTrain extends QueryModule {
     // ground truth is the same exact-join SQL as q_llm_decontaminate
     "q_llm_decontaminate_bloom" -> LlmQuality.decontaminateSqlShared,
     "q_llm_kmeans" -> kmeansSql,
+    "q_sample_stratified" -> sampleStratifiedSql,
   )
 }

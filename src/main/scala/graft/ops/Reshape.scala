@@ -284,6 +284,95 @@ object Reshape extends QueryModule {
        |             ORDER BY p_retailprice, p_partkey)
        |ORDER BY p_partkey""".stripMargin
 
+  // ------------------------------------------------------------- q_agg_mode
+
+  /** Per-group mode with a SPECIFIED tie-break: each user's most
+    * frequent event_type, ties resolved to the lexicographically
+    * smallest type. Built-in `mode()` (both engines) leaves ties
+    * unspecified — nondeterministic across partitionings, useless
+    * under a hash gate — so both sides compute it as count-then-rank
+    * with a total order (cnt DESC, type ASC). Two keyed shuffles:
+    * (user, type) count, then a user-partitioned row_number over the
+    * ≤|event types| rows per user; both keys are high-cardinality /
+    * bounded-group, the q_win_frame scale shape. */
+  private def aggMode(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("cnt").desc, col("event_type"))
+    T.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("mode_type"),
+        col("cnt").as("mode_cnt"))
+      .orderBy(col("user_id"))
+  }
+
+  private val aggModeSql =
+    """WITH c AS (
+      |  SELECT user_id, event_type, count(*) AS cnt
+      |  FROM events GROUP BY user_id, event_type),
+      |r AS (
+      |  SELECT user_id, event_type, cnt,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY cnt DESC, event_type) AS rn
+      |  FROM c)
+      |SELECT user_id, event_type AS mode_type, cnt AS mode_cnt
+      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  // -------------------------------------------------------- q_win_retention
+
+  /** Weekly cohort retention — the product-analytics matrix every
+    * event warehouse computes: cohort = a user's first active ISO
+    * week, cell = distinct users from that cohort active k weeks
+    * later, rate = cell / cohort size. Shapes: one distinct over
+    * (user, week) — map-side combined, the raw log never reshuffles —
+    * then min-per-user, a user-keyed join (both sides already hashed
+    * on user_id, no extra exchange), a (cohort, offset) aggregate
+    * over the tiny weeks×cohorts grid, and a broadcast of the
+    * |cohorts|-row size dimension. At 100 TB only the first distinct
+    * touches full data; everything after is per-user rows. */
+  private def winRetention(s: SparkSession, d: String): DataFrame = {
+    val weeks = T.events(s, d)
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("wk"))
+      .distinct()
+    val coh = weeks.groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort"))
+    val sizes = coh.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("cohort_users"))
+    weeks.join(coh, "user_id")
+      .select(col("cohort"),
+        (datediff(col("wk"), col("cohort")) / 7).cast("long")
+          .as("week_offset"))
+      .groupBy(col("cohort"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .join(broadcast(sizes), "cohort")
+      .select(col("cohort"), col("week_offset"), col("n_users"),
+        Det.r6(col("n_users").cast("double") / col("cohort_users"))
+          .as("retention"))
+      .orderBy(col("cohort"), col("week_offset"))
+  }
+
+  private val winRetentionSql =
+    s"""WITH weeks AS (
+       |  SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS wk
+       |  FROM events),
+       |coh AS (
+       |  SELECT user_id, min(wk) AS cohort FROM weeks GROUP BY user_id),
+       |sizes AS (
+       |  SELECT cohort, count(*) AS cohort_users FROM coh GROUP BY cohort),
+       |cells AS (
+       |  SELECT c.cohort,
+       |         (date_diff('day', c.cohort, w.wk) // 7)::BIGINT AS week_offset,
+       |         count(*) AS n_users
+       |  FROM weeks w JOIN coh c USING (user_id)
+       |  GROUP BY 1, 2)
+       |SELECT cohort, week_offset, n_users,
+       |       ${Det.sql6("n_users::DOUBLE / cohort_users")} AS retention
+       |FROM cells JOIN sizes USING (cohort)
+       |ORDER BY cohort, week_offset""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -294,6 +383,8 @@ object Reshape extends QueryModule {
     "q_sample_hash" -> (sampleHash _),
     "q_win_sessionize" -> (sessionize _),
     "q_win_dist" -> (winDist _),
+    "q_agg_mode" -> (aggMode _),
+    "q_win_retention" -> (winRetention _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -304,5 +395,7 @@ object Reshape extends QueryModule {
     "q_sample_hash" -> sampleHashSql,
     "q_win_sessionize" -> sessionizeSql,
     "q_win_dist" -> winDistSql,
+    "q_agg_mode" -> aggModeSql,
+    "q_win_retention" -> winRetentionSql,
   )
 }

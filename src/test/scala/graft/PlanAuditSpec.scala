@@ -26,8 +26,13 @@ class PlanAuditSpec extends AnyFunSuite {
     * the declared scale path is q_llm_sim_ann's IVF cells.
     * q_llm_kmeans likewise: 10 centroid rows broadcast against one
     * corpus scan — the nested loop multiplies k, not the corpus.
+    * q_llm_tfidf: the corpus-size scalar N rides in as a broadcast
+    * 1-ROW aggregate frame (the alternative — a partition-less
+    * window — serializes the whole frame onto one task); the nested
+    * loop multiplies by exactly one row.
     * Everything else must justify itself here before joining. */
-  private val allowlisted = Set("q_llm_sim_search", "q_llm_kmeans")
+  private val allowlisted =
+    Set("q_llm_sim_search", "q_llm_kmeans", "q_llm_tfidf")
 
   for (name <- SparkEntry.queries.keys.toSeq.sorted
        if name.startsWith("q_") && !allowlisted(name)) {

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant tests for the round-6 additions: the binary/digest
+  * function family, deterministic mode, cohort retention, SCD2
+  * history build, TF-IDF keywords and the stratified language
+  * sample — properties the DuckDB hash gate can't express (internal
+  * consistency, conservation, monotonicity).
+  */
+class Round6OpsSpec extends AnyFunSuite {
+  private lazy val s = SparkTestBase.spark
+  import s.implicits._
+
+  test("fn_binary: digests well-formed, round-trip holds, buckets in range") {
+    val q = SparkEntry.queries("q_fn_binary")(s, SparkTestBase.sfDir)
+    val bad = q.filter(
+      length($"name_md5") =!= 32 || length($"name_sha256") =!= 64 ||
+        !$"roundtrip_ok" || $"md5_bucket" < 0 || $"md5_bucket" > 255)
+    assert(bad.isEmpty, "digest lengths, base64 round-trip, bucket range")
+    // bucket must equal the md5's real first byte
+    val mismatch = q.filter(
+      conv(substring($"name_md5", 1, 2), 16, 10).cast("long") =!= $"md5_bucket")
+    assert(mismatch.isEmpty)
+  }
+
+  test("agg_mode: winner's count is the max count for that user") {
+    val mode = SparkEntry.queries("q_agg_mode")(s, SparkTestBase.sfDir)
+    val counts = Tables.events(s, SparkTestBase.sfDir)
+      .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("cnt"))
+      .groupBy($"user_id").agg(max($"cnt").as("max_cnt"))
+    val bad = mode.join(counts, "user_id").filter($"mode_cnt" =!= $"max_cnt")
+    assert(bad.isEmpty, "mode_cnt must be the per-user maximum")
+    assert(mode.groupBy($"user_id").count().filter($"count" > 1).isEmpty,
+      "exactly one mode row per user")
+  }
+
+  test("win_retention: week 0 retains everyone, rates never exceed 1") {
+    val r = SparkEntry.queries("q_win_retention")(s, SparkTestBase.sfDir)
+    val w0 = r.filter($"week_offset" === 0 && $"retention" =!= 1.0)
+    assert(w0.isEmpty, "cohort week 0 must have retention exactly 1")
+    assert(r.filter($"retention" > 1.0 || $"week_offset" < 0).isEmpty)
+  }
+
+  test("lake_scd2: intervals chain per user and exactly one current row") {
+    val v = SparkEntry.queries("q_lake_scd2")(s, SparkTestBase.sfDir)
+    // each user's versions: valid_to of version k = valid_from of k+1
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"version")
+    val chained = v.withColumn("next_from", lead($"valid_from_us", 1).over(w))
+      .filter($"next_from".isNotNull && $"valid_to_us" =!= $"next_from")
+    assert(chained.isEmpty, "valid_to must equal the next version's valid_from")
+    val curr = v.groupBy($"user_id")
+      .agg(sum(when($"is_current", 1L).otherwise(0L)).as("n_curr"))
+      .filter($"n_curr" =!= 1L)
+    assert(curr.isEmpty, "exactly one open (current) version per user")
+    // no zero-length or negative intervals
+    assert(v.filter($"valid_to_us".isNotNull &&
+      $"valid_to_us" <= $"valid_from_us").isEmpty)
+  }
+
+  test("llm_tfidf: ranks dense 1..k, scores non-increasing within a doc") {
+    val t = SparkEntry.queries("q_llm_tfidf")(s, SparkTestBase.sfDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"rank")
+    val bad = t
+      .withColumn("prev_rank", lag($"rank", 1).over(w))
+      .withColumn("prev_score", lag($"tfidf", 1).over(w))
+      .filter(
+        ($"prev_rank".isNull && $"rank" =!= 1L) ||
+          ($"prev_rank".isNotNull && $"rank" =!= $"prev_rank" + 1L) ||
+          ($"prev_score".isNotNull && $"tfidf" > $"prev_score"))
+    assert(bad.isEmpty, "ranks 1..k dense, discretized scores monotone")
+    assert(t.filter($"rank" > 3L || $"df" < 1L || $"tf" < 1L).isEmpty)
+  }
+
+  test("stratified sample caps languages and stays a subset per stratum") {
+    val r = SparkEntry.queries("q_sample_stratified")(s, SparkTestBase.sfDir)
+      .collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (sampled, total) =
+        (row.getAs[Long]("n_sampled"), row.getAs[Long]("n_total"))
+      assert(sampled <= total, "sample is a subset")
+      // binomial around cap=50: generous 4σ bound, deterministic data
+      assert(sampled <= 50 + 4 * math.sqrt(50).toLong + 1,
+        s"language capped near 50, got $sampled of $total")
+      val ratio = row.getAs[Double]("kept_ratio")
+      assert(ratio > 0.0 && ratio <= 1.0)
+    }
+  }
+}
