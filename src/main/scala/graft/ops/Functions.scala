@@ -410,6 +410,42 @@ object Functions extends QueryModule {
       |  ('0x' || substring(md5(s_name), 1, 2))::BIGINT AS md5_bucket
       |FROM supplier ORDER BY s_suppkey""".stripMargin
 
+  // ------------------------------------------------------------ q_fn_regex
+
+  /** Regexp family: extract (group capture), replace-all, match test,
+    * occurrence count, and an anchored tail capture — the pattern
+    * toolkit every text-normalization stage leans on (the reference's
+    * URL/photo slicing in normalize.rkt is regexp slicing of exactly
+    * this kind). Patterns stay in the RE2-compatible subset (character
+    * classes, alternation, anchors — no backrefs/lookaround) so Java
+    * regex and DuckDB/RE2 agree; DuckDB's regexp_replace needs the
+    * explicit 'g' flag to match Spark's replace-ALL default. All
+    * codegen'd map-side expressions; one scan, no shuffle before the
+    * output sort. */
+  private def fnRegex(s: SparkSession, d: String): DataFrame =
+    T.part(s, d)
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("no_vowels"),
+        col("p_name").rlike("(red|blue|green)").as("has_rgb"),
+        regexp_count(col("p_name"), lit("[aeiou]")).cast("long")
+          .as("n_vowels"),
+        regexp_extract(col("p_type"), "([A-Z]+)$", 1).as("type_tail"),
+        regexp_extract(col("p_brand"), "([0-9]+)$", 1).cast("long")
+          .as("brand_num"))
+      .orderBy(col("p_partkey"))
+
+  private val fnRegexSql =
+    """SELECT p_partkey,
+      |  regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+      |  regexp_replace(p_name, '[aeiou]', '', 'g') AS no_vowels,
+      |  regexp_matches(p_name, '(red|blue|green)') AS has_rgb,
+      |  len(regexp_extract_all(p_name, '[aeiou]'))::BIGINT AS n_vowels,
+      |  regexp_extract(p_type, '([A-Z]+)$', 1) AS type_tail,
+      |  regexp_extract(p_brand, '([0-9]+)$', 1)::BIGINT AS brand_num
+      |FROM part ORDER BY p_partkey""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -423,6 +459,7 @@ object Functions extends QueryModule {
     "q_fn_struct" -> (fnStruct _),
     "q_fn_bitwise" -> (fnBitwise _),
     "q_fn_binary" -> (fnBinary _),
+    "q_fn_regex" -> (fnRegex _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -436,5 +473,6 @@ object Functions extends QueryModule {
     "q_fn_struct" -> fnStructSql,
     "q_fn_bitwise" -> fnBitwiseSql,
     "q_fn_binary" -> fnBinarySql,
+    "q_fn_regex" -> fnRegexSql,
   )
 }

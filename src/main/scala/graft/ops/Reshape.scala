@@ -373,6 +373,54 @@ object Reshape extends QueryModule {
        |FROM cells JOIN sizes USING (cohort)
        |ORDER BY cohort, week_offset""".stripMargin
 
+  // -------------------------------------------------------- q_agg_histogram
+
+  /** Equi-width numeric histogram + cumulative distribution over
+    * extended price: bucket = floor(x / 5000)·5000 (every step an
+    * exact IEEE-754 double op, so both engines bucket identically —
+    * the same argument as Det.rN), per-bucket count/min/max/mean,
+    * then a running total and cumulative fraction via a window over
+    * the |buckets|-row aggregate. The full scan collapses to ≤ a few
+    * dozen rows at the FIRST hash aggregation (map-side combined);
+    * the unpartitioned window is fine because it runs on the bucket
+    * frame, never the fact table. This is the profiling primitive
+    * behind quantile sketches and skew diagnosis at 100 TB — one
+    * pass, no sort of the data itself. */
+  private def aggHistogram(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("bucket_lo"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    T.lineitem(s, d)
+      .groupBy((floor(col("l_extendedprice") / 5000.0) * 5000.0)
+        .cast("long").as("bucket_lo"))
+      .agg(count(lit(1)).as("n_items"),
+        Det.r2(min(col("l_extendedprice"))).as("lo"),
+        Det.r2(max(col("l_extendedprice"))).as("hi"),
+        Det.r2(avg(col("l_extendedprice"))).as("mean"))
+      .withColumn("cum_items", sum(col("n_items")).over(w))
+      .withColumn("cum_frac",
+        Det.r6(col("cum_items").cast("double") /
+          sum(col("n_items")).over(Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))))
+      .orderBy(col("bucket_lo"))
+  }
+
+  private val aggHistogramSql =
+    s"""WITH b AS (
+       |  SELECT (floor(l_extendedprice / 5000.0) * 5000.0)::BIGINT
+       |           AS bucket_lo,
+       |         count(*) AS n_items,
+       |         ${Det.sql2("min(l_extendedprice)")} AS lo,
+       |         ${Det.sql2("max(l_extendedprice)")} AS hi,
+       |         ${Det.sql2("avg(l_extendedprice)")} AS mean
+       |  FROM lineitem GROUP BY 1)
+       |SELECT bucket_lo, n_items, lo, hi, mean,
+       |       sum(n_items) OVER (ORDER BY bucket_lo
+       |         ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_items,
+       |       ${Det.sql6(
+            "(sum(n_items) OVER (ORDER BY bucket_lo ROWS UNBOUNDED " +
+            "PRECEDING))::DOUBLE / (sum(n_items) OVER ())")} AS cum_frac
+       |FROM b ORDER BY bucket_lo""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -385,6 +433,7 @@ object Reshape extends QueryModule {
     "q_win_dist" -> (winDist _),
     "q_agg_mode" -> (aggMode _),
     "q_win_retention" -> (winRetention _),
+    "q_agg_histogram" -> (aggHistogram _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -397,5 +446,6 @@ object Reshape extends QueryModule {
     "q_win_dist" -> winDistSql,
     "q_agg_mode" -> aggModeSql,
     "q_win_retention" -> winRetentionSql,
+    "q_agg_histogram" -> aggHistogramSql,
   )
 }

@@ -75,6 +75,34 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(t.filter($"rank" > 3L || $"df" < 1L || $"tf" < 1L).isEmpty)
   }
 
+  test("fn_regex: captures well-formed, counts consistent with replace") {
+    val q = SparkEntry.queries("q_fn_regex")(s, SparkTestBase.sfDir)
+    val part = Tables.part(s, SparkTestBase.sfDir)
+      .select($"p_partkey", $"p_name")
+    // n_vowels must equal the length drop from stripping vowels
+    val bad = q.join(part, "p_partkey").filter(
+      $"n_vowels" =!= length($"p_name") - length($"no_vowels"))
+    assert(bad.isEmpty, "vowel count vs replace-all length delta")
+    assert(q.filter($"first_word" === "" || $"brand_num".isNull).isEmpty,
+      "p_name starts with a word; p_brand ends with digits")
+  }
+
+  test("agg_histogram: buckets partition the table, cum_frac ends at 1") {
+    val h = SparkEntry.queries("q_agg_histogram")(s, SparkTestBase.sfDir)
+      .orderBy($"bucket_lo").collect()
+    val total = Tables.lineitem(s, SparkTestBase.sfDir).count()
+    assert(h.map(_.getAs[Long]("n_items")).sum == total,
+      "every row lands in exactly one bucket")
+    assert(h.last.getAs[Double]("cum_frac") == 1.0)
+    h.foreach { r =>
+      assert(r.getAs[Double]("lo") >= r.getAs[Long]("bucket_lo").toDouble)
+      assert(r.getAs[Double]("hi") < r.getAs[Long]("bucket_lo") + 5000.0)
+    }
+    // cumulative counts strictly increase
+    val cums = h.map(_.getAs[Long]("cum_items"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a < b })
+  }
+
   test("stratified sample caps languages and stays a subset per stratum") {
     val r = SparkEntry.queries("q_sample_stratified")(s, SparkTestBase.sfDir)
       .collect()
