@@ -421,6 +421,95 @@ object Reshape extends QueryModule {
             "PRECEDING))::DOUBLE / (sum(n_items) OVER ())")} AS cum_frac
        |FROM b ORDER BY bucket_lo""".stripMargin
 
+  // ------------------------------------------------------------ q_win_funnel
+
+  /** Ordered-sequence funnel (view → click → purchase): a user counts
+    * at step k only if step k's FIRST qualifying event comes strictly
+    * after their step-(k-1) anchor — the event-analytics operator
+    * behind conversion dashboards, and a genuinely different semantic
+    * from plain conditional counts (order matters). Each stage is a
+    * user-keyed min-aggregate joined to the previous anchor — all
+    * hash joins on the same high-cardinality user_id key, each stage's
+    * frame no bigger than |users at that step|; the final depth
+    * classification and cumulative reach run on a ≤3-row aggregate.
+    * At 100 TB the per-stage filter (event_type pushdown) prunes each
+    * scan before any shuffle. */
+  private def winFunnel(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+    val a = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("tus")).as("ta"))
+    val b = ev.filter(col("event_type") === "click")
+      .join(a, "user_id").filter(col("tus") > col("ta"))
+      .groupBy(col("user_id")).agg(min(col("tus")).as("tb"))
+    val c = ev.filter(col("event_type") === "purchase")
+      .join(b, "user_id").filter(col("tus") > col("tb"))
+      .groupBy(col("user_id")).agg(min(col("tus")).as("tc"))
+    val depths = a
+      .join(b.select(col("user_id"), col("tb")), Seq("user_id"), "left")
+      .join(c.select(col("user_id"), col("tc")), Seq("user_id"), "left")
+      .select(when(col("tc").isNotNull, 3L)
+        .when(col("tb").isNotNull, 2L).otherwise(1L).as("depth"))
+      .groupBy(col("depth")).agg(count(lit(1)).as("n_users"))
+    val wReach = Window.orderBy(col("depth").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    depths
+      .withColumn("n_reached", sum(col("n_users")).over(wReach))
+      .withColumn("conversion",
+        Det.r6(col("n_reached").cast("double") /
+          sum(col("n_users")).over(wAll)))
+      .orderBy(col("depth"))
+  }
+
+  private val winFunnelSql =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type,
+       |         epoch_us(make_timestamp(epoch_us(ts))) AS tus
+       |  FROM events),
+       |a AS (SELECT user_id, min(tus) AS ta FROM e
+       |      WHERE event_type = 'view' GROUP BY user_id),
+       |b AS (SELECT e.user_id, min(tus) AS tb FROM e JOIN a USING (user_id)
+       |      WHERE event_type = 'click' AND tus > ta GROUP BY e.user_id),
+       |c AS (SELECT e.user_id, min(tus) AS tc FROM e JOIN b USING (user_id)
+       |      WHERE event_type = 'purchase' AND tus > tb GROUP BY e.user_id),
+       |d AS (
+       |  SELECT CASE WHEN c.user_id IS NOT NULL THEN 3::BIGINT
+       |              WHEN b.user_id IS NOT NULL THEN 2::BIGINT
+       |              ELSE 1::BIGINT END AS depth
+       |  FROM a LEFT JOIN b USING (user_id) LEFT JOIN c USING (user_id)),
+       |g AS (SELECT depth, count(*) AS n_users FROM d GROUP BY depth)
+       |SELECT depth, n_users,
+       |       sum(n_users) OVER (ORDER BY depth DESC
+       |         ROWS UNBOUNDED PRECEDING)::BIGINT AS n_reached,
+       |       ${Det.sql6(
+            "(sum(n_users) OVER (ORDER BY depth DESC ROWS UNBOUNDED " +
+            "PRECEDING))::DOUBLE / (sum(n_users) OVER ())")} AS conversion
+       |FROM g ORDER BY depth""".stripMargin
+
+  // --------------------------------------------------------- q_agg_approx_pct
+
+  /** Approximate percentiles via `approx_percentile` (GK sketch) —
+    * the mergeable-sketch path for quantiles at 100 TB, where the
+    * exact order-statistics pass (q_agg_percentile) needs a sort and
+    * the sketch needs one map-side-combined aggregation. No DuckDB
+    * oracle (sketch internals are engine-specific); the spec asserts
+    * each approximate value brackets within the accuracy bound of the
+    * exact q_agg_percentile answer — the same verification pattern as
+    * q_agg_approx. */
+  private def aggApproxPct(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("p50_approx"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000))
+          .as("p95_approx"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -434,6 +523,8 @@ object Reshape extends QueryModule {
     "q_agg_mode" -> (aggMode _),
     "q_win_retention" -> (winRetention _),
     "q_agg_histogram" -> (aggHistogram _),
+    "q_win_funnel" -> (winFunnel _),
+    "q_agg_approx_pct" -> (aggApproxPct _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -447,5 +538,8 @@ object Reshape extends QueryModule {
     "q_agg_mode" -> aggModeSql,
     "q_win_retention" -> winRetentionSql,
     "q_agg_histogram" -> aggHistogramSql,
+    "q_win_funnel" -> winFunnelSql,
+    // q_agg_approx_pct: no oracle by design — sketch internals are
+    // engine-specific; bounds vs q_agg_percentile asserted in spec
   )
 }

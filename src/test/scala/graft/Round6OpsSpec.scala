@@ -103,6 +103,40 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(cums.zip(cums.tail).forall { case (a, b) => a < b })
   }
 
+  test("win_funnel: reach is monotone and matches ordered-sequence recount") {
+    val f = SparkEntry.queries("q_win_funnel")(s, SparkTestBase.sfDir)
+      .orderBy($"depth").collect()
+    assert(f.nonEmpty && f.head.getAs[Long]("depth") >= 1L)
+    // n_reached non-increasing with depth; conversion starts at 1
+    val reach = f.map(_.getAs[Long]("n_reached"))
+    assert(reach.zip(reach.tail).forall { case (s1, s2) => s1 >= s2 },
+      "users can only drop out as the funnel deepens")
+    assert(f.head.getAs[Double]("conversion") == 1.0)
+    // independent recount of step-1 users
+    val nView = Tables.events(s, SparkTestBase.sfDir)
+      .filter($"event_type" === "view")
+      .select($"user_id").distinct().count()
+    assert(reach.head == nView, "step 1 = users with any view event")
+  }
+
+  test("approx percentile lands within rank tolerance of the exact answer") {
+    val approx = SparkEntry.queries("q_agg_approx_pct")(s, SparkTestBase.sfDir)
+      .collect().map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Double]("p50_approx"), r.getAs[Double]("p95_approx"))).toMap
+    val vals = Tables.lineitem(s, SparkTestBase.sfDir)
+      .select($"l_returnflag", $"l_extendedprice").collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getDouble(1)).sorted).toMap
+    for ((flag, (p50, p95)) <- approx; xs = vals(flag); n = xs.length) {
+      // GK with accuracy 10000: rank error <= n/10000 (< 1 here), but
+      // allow a generous +-2% + 2 ranks so the test isn't brittle
+      def rankOf(v: Double) = xs.count(_ <= v)
+      val tol = n * 0.02 + 2
+      assert(math.abs(rankOf(p50) - 0.5 * n) <= tol, s"$flag p50")
+      assert(math.abs(rankOf(p95) - 0.95 * n) <= tol, s"$flag p95")
+    }
+  }
+
   test("stratified sample caps languages and stays a subset per stratum") {
     val r = SparkEntry.queries("q_sample_stratified")(s, SparkTestBase.sfDir)
       .collect()
