@@ -21,6 +21,7 @@ object SparkEntry {
     graft.ops.LlmTrain,
     graft.ops.Lakehouse,
     graft.ops.Reshape,
+    graft.ops.TimeSeries,
     graft.sources.NormalizeQueries,
     graft.streaming.Streams,
   )

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant tests for the time-series operators: OHLC internal
+  * consistency and conservation, rolling-z-score frame semantics —
+  * properties the hash gate can't express.
+  */
+class TimeSeriesSpec extends AnyFunSuite {
+  private lazy val s = SparkTestBase.spark
+  import s.implicits._
+
+  test("downsample precondition: event timestamps are unique") {
+    // min_by/max_by(value, ts) is only deterministic if ts never ties
+    val ev = Tables.events(s, SparkTestBase.sfDir)
+    assert(ev.count() == ev.select($"ts").distinct().count())
+  }
+
+  test("downsample: OHLC bounds hold and counts conserve the input") {
+    val bars = SparkEntry.queries("q_ts_downsample")(s, SparkTestBase.sfDir)
+    val bad = bars.filter(
+      $"low" > $"high" || $"open" < $"low" || $"open" > $"high" ||
+        $"close" < $"low" || $"close" > $"high" || $"n_events" <= 0)
+    assert(bad.isEmpty, "low <= open/close <= high within every bar")
+    val total = bars.agg(sum($"n_events")).first().getLong(0)
+    assert(total == Tables.events(s, SparkTestBase.sfDir).count(),
+      "every event lands in exactly one bar")
+  }
+
+  test("downsample: open/close match the first/last event of a bar") {
+    val ev = Tables.events(s, SparkTestBase.sfDir)
+      .select($"event_type", date_trunc("hour", $"ts").as("hr"),
+        $"ts", $"value")
+    // independent recompute via window row_number instead of min_by
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type", $"hr").orderBy($"ts")
+    val firsts = ev
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"event_type", unix_micros($"hr").as("hour_us"),
+        $"value".as("open2"))
+    val joined = SparkEntry.queries("q_ts_downsample")(s, SparkTestBase.sfDir)
+      .join(firsts, Seq("event_type", "hour_us"))
+    assert(joined.filter($"open" =!= $"open2").isEmpty)
+  }
+
+  test("anomaly: flagged rows exceed the threshold, warm-up respected") {
+    val anom = SparkEntry.queries("q_ts_anomaly")(s, SparkTestBase.sfDir)
+      .collect()
+    // Det.r4 rounding can pull a true |z|>3 down to at most 3.0 - 5e-5
+    assert(anom.forall(r => math.abs(r.getAs[Double]("z")) > 2.99),
+      "every flagged row has |z| > 3 up to output rounding")
+    // warm-up: the first 30 events of each series can never be flagged
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"ts")
+    val early = Tables.events(s, SparkTestBase.sfDir)
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= 30)
+      .select($"event_id").collect().map(_.getLong(0)).toSet
+    assert(anom.forall(r => !early.contains(r.getAs[Long]("event_id"))))
+  }
+}
