@@ -446,6 +446,53 @@ object Functions extends QueryModule {
       |  regexp_extract(p_brand, '([0-9]+)$', 1)::BIGINT AS brand_num
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  // ------------------------------------------------------------- q_fn_url
+
+  /** URL family over synthesized order URLs (reference A24 builds
+    * event URLs by string synthesis — normalize.rkt's URL slicing is
+    * the inverse): `parse_url` component extraction — protocol, host,
+    * path, one query parameter. Spark's parse_url is a native
+    * expression wrapping java.net.URI; the oracle re-derives each
+    * component with independent regexes rather than a URL parser, so
+    * agreement checks the SEMANTICS, not a shared implementation.
+    * Web-corpus pipelines run exactly this shape (canonical host /
+    * path extraction before URL-level dedup) over trillions of rows —
+    * all map-side codegen, one scan, no shuffle before the output
+    * sort. */
+  private def fnUrl(s: SparkSession, d: String): DataFrame =
+    T.orders(s, d)
+      .select(col("o_orderkey"),
+        concat(lit("https://shop.example.com/o/"),
+          col("o_orderkey").cast("string"),
+          lit("?cust="), col("o_custkey").cast("string"),
+          lit("&prio="),
+          regexp_replace(col("o_orderpriority"), "[^0-9A-Za-z-]", ""))
+          .as("url"))
+      .select(col("o_orderkey"), col("url"),
+        parse_url(col("url"), lit("PROTOCOL")).as("scheme"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY"), lit("cust")).as("q_cust"),
+        parse_url(col("url"), lit("QUERY"), lit("prio")).as("q_prio"))
+      .orderBy(col("o_orderkey"))
+
+  private val fnUrlSql =
+    """WITH u AS (
+      |  SELECT o_orderkey,
+      |         'https://shop.example.com/o/' || o_orderkey::VARCHAR ||
+      |         '?cust=' || o_custkey::VARCHAR || '&prio=' ||
+      |         regexp_replace(o_orderpriority, '[^0-9A-Za-z-]', '', 'g')
+      |           AS url
+      |  FROM orders)
+      |SELECT o_orderkey, url,
+      |  regexp_extract(url, '^([a-z][a-z0-9+.-]*)://', 1) AS scheme,
+      |  regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+      |  regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1)
+      |    AS path,
+      |  regexp_extract(url, '[?&]cust=([^&#]*)', 1) AS q_cust,
+      |  regexp_extract(url, '[?&]prio=([^&#]*)', 1) AS q_prio
+      |FROM u ORDER BY o_orderkey""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -460,6 +507,7 @@ object Functions extends QueryModule {
     "q_fn_bitwise" -> (fnBitwise _),
     "q_fn_binary" -> (fnBinary _),
     "q_fn_regex" -> (fnRegex _),
+    "q_fn_url" -> (fnUrl _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -474,5 +522,6 @@ object Functions extends QueryModule {
     "q_fn_bitwise" -> fnBitwiseSql,
     "q_fn_binary" -> fnBinarySql,
     "q_fn_regex" -> fnRegexSql,
+    "q_fn_url" -> fnUrlSql,
   )
 }

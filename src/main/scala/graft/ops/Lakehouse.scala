@@ -215,6 +215,102 @@ object Lakehouse extends QueryModule {
       |FROM v WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
       |ORDER BY user_id, version""".stripMargin
 
+  // -------------------------------------------------------------- q_dq_audit
+
+  /** Data-quality audit — the pre-ingest gate a lakehouse pipeline
+    * runs before promoting a batch: row counts, domain violations,
+    * null checks, duplicate keys and referential-integrity orphans,
+    * emitted as (table, check, n) metric rows. Scale shape: checks on
+    * the SAME table fuse into one conditional-aggregate scan (one
+    * pass over lineitem covers count + domain; one pass over events
+    * covers null + range), and the two lineitem↔orders checks share
+    * ONE left join (orphans = null probe side, date-sanity = predicate
+    * on matched rows) — so the audit costs two wide-table scans, one
+    * shuffle join and three dimension-sized passes, not one scan per
+    * check. Each aggregate is map-side combined; the unioned output is
+    * |checks| rows. */
+  private def dqAudit(s: SparkSession, d: String): DataFrame = {
+    def metrics(tbl: String, agg: DataFrame): DataFrame = {
+      val pairs = agg.columns.flatMap(c => Seq(lit(c), col(c)))
+      agg.select(explode(map(pairs.toIndexedSeq: _*)))
+        .select(lit(tbl).as("table_name"), col("key").as("check_name"),
+          col("value").as("n"))
+    }
+    // one fused scan per table: conditional aggregates, not one
+    // scan per check
+    val li = metrics("lineitem", T.lineitem(s, d).agg(
+      count(lit(1)).as("row_count"),
+      sum(when(col("l_quantity") <= 0, 1L).otherwise(0L))
+        .as("nonpositive_qty")))
+    val ev = metrics("events", T.events(s, d).agg(
+      sum(when(col("props").isNull, 1L).otherwise(0L)).as("null_props"),
+      sum(when(col("value") < 0 || col("value") > 1000, 1L).otherwise(0L))
+        .as("value_out_of_range")))
+    val doc = metrics("documents", T.documents(s, d).agg(
+      sum(when(length(trim(col("text"))) === 0, 1L).otherwise(0L))
+        .as("empty_text")))
+    // both fact↔dim checks ride ONE left join: unmatched rows are the
+    // orphans, matched rows carry the date-sanity predicate
+    val liOrd = T.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(T.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"), "left")
+    val liJoin = metrics("lineitem", liOrd.agg(
+      sum(when(col("o_orderkey").isNull, 1L).otherwise(0L))
+        .as("orphan_orderkey"),
+      sum(when(col("o_orderkey").isNotNull &&
+        col("l_shipdate") < col("o_orderdate"), 1L).otherwise(0L))
+        .as("ship_before_order")))
+    val ordCust = metrics("orders", T.orders(s, d)
+      .join(T.customer(s, d),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("orphan_custkey")))
+    val dupCust = metrics("customer", T.customer(s, d)
+      .groupBy(col("c_custkey")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .agg(count(lit(1)).as("dup_custkey")))
+    li.union(ev).union(doc).union(liJoin).union(ordCust).union(dupCust)
+      .orderBy(col("table_name"), col("check_name"))
+  }
+
+  private val dqAuditSql =
+    """SELECT * FROM (
+      |  SELECT 'lineitem' AS table_name, 'row_count' AS check_name,
+      |         count(*)::BIGINT AS n FROM lineitem
+      |  UNION ALL
+      |  SELECT 'lineitem', 'nonpositive_qty',
+      |         coalesce(sum(CASE WHEN l_quantity <= 0 THEN 1 END), 0)::BIGINT
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'events', 'null_props',
+      |         coalesce(sum(CASE WHEN props IS NULL THEN 1 END), 0)::BIGINT
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'events', 'value_out_of_range',
+      |         coalesce(sum(CASE WHEN value < 0 OR value > 1000 THEN 1 END), 0)::BIGINT
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'documents', 'empty_text',
+      |         coalesce(sum(CASE WHEN length(trim(text)) = 0 THEN 1 END), 0)::BIGINT
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'lineitem', 'orphan_orderkey', count(*)::BIGINT
+      |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE o.o_orderkey IS NULL
+      |  UNION ALL
+      |  SELECT 'lineitem', 'ship_before_order', count(*)::BIGINT
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE l.l_shipdate < o.o_orderdate
+      |  UNION ALL
+      |  SELECT 'orders', 'orphan_custkey', count(*)::BIGINT
+      |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      |  WHERE c.c_custkey IS NULL
+      |  UNION ALL
+      |  SELECT 'customer', 'dup_custkey', count(*)::BIGINT
+      |  FROM (SELECT c_custkey FROM customer
+      |        GROUP BY c_custkey HAVING count(*) > 1)
+      |) ORDER BY table_name, check_name""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -222,6 +318,7 @@ object Lakehouse extends QueryModule {
     "q_ts_gapfill" -> (tsGapfill _),
     "q_join_skew_salted" -> (joinSkewSalted _),
     "q_lake_scd2" -> (lakeScd2 _),
+    "q_dq_audit" -> (dqAudit _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -230,5 +327,6 @@ object Lakehouse extends QueryModule {
     // deliberately the UNSALTED join: salting must not change results
     "q_join_skew_salted" -> joinSkewSaltedSql,
     "q_lake_scd2" -> lakeScd2Sql,
+    "q_dq_audit" -> dqAuditSql,
   )
 }

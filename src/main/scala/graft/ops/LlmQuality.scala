@@ -472,6 +472,51 @@ object LlmQuality extends QueryModule {
        |       ${Det.sql6("score")} AS tfidf
        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  // -------------------------------------------------------- q_llm_perplexity
+
+  /** Unigram-LM cross-entropy scoring — the perplexity-filter stage of
+    * CCNet/Gopher-style corpus cleaning, with the corpus itself as the
+    * language model: P(w) = corpus count / corpus total, each doc
+    * scored by avg −ln P(w) over its tokens plus the exp() of that
+    * (the perplexity proxy a filter would threshold on). Scale shape:
+    * the token explode is the standard corpus-linear pass; the LM is a
+    * map-side-combined count aggregation whose result is VOCABULARY-
+    * sized (Heaps' law keeps it broadcastable at any corpus size for
+    * word-level models — a production pipeline caps the vocab and
+    * backs off to UNK, same join shape), so scoring is a broadcast
+    * join + one reduce by doc. The corpus-total is attached to the
+    * tiny LM frame by an unpartitioned window — |vocab| rows through
+    * one task, never the corpus. */
+  private def llmPerplexity(s: SparkSession, d: String): DataFrame = {
+    val words = Llm.docs(s, d)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val lm = words.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .withColumn("n_total",
+        sum(col("cnt")).over(Window.partitionBy()))
+    val nll = -log(col("cnt").cast("double") / col("n_total"))
+    words.join(broadcast(lm), "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        Det.r4(avg(nll)).as("xent"),
+        Det.r4(exp(avg(nll))).as("ppl"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val llmPerplexitySql =
+    s"""WITH w AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+       |    FROM documents)
+       |  WHERE length(w) > 0),
+       |c AS (SELECT w, count(*) AS cnt FROM w GROUP BY w),
+       |lm AS (SELECT w, cnt, sum(cnt) OVER () AS n_total FROM c)
+       |SELECT doc_id, count(*) AS n_words,
+       |       ${Det.sql4("avg(-ln(cnt::DOUBLE / n_total))")} AS xent,
+       |       ${Det.sql4("exp(avg(-ln(cnt::DOUBLE / n_total)))")} AS ppl
+       |FROM w JOIN lm USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -482,6 +527,7 @@ object LlmQuality extends QueryModule {
     "q_llm_dedup_apply" -> (dedupApply _),
     "q_llm_decontaminate" -> (decontaminate _),
     "q_llm_tfidf" -> (tfidf _),
+    "q_llm_perplexity" -> (llmPerplexity _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -492,5 +538,6 @@ object LlmQuality extends QueryModule {
     "q_llm_dedup_apply" -> dedupApplySql,
     "q_llm_decontaminate" -> decontaminateSql,
     "q_llm_tfidf" -> tfidfSql,
+    "q_llm_perplexity" -> llmPerplexitySql,
   )
 }

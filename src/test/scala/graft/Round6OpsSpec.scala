@@ -152,4 +152,49 @@ class Round6OpsSpec extends AnyFunSuite {
       assert(ratio > 0.0 && ratio <= 1.0)
     }
   }
+
+  test("dq_audit: expected check set, row_count matches, counts sane") {
+    val a = SparkEntry.queries("q_dq_audit")(s, SparkTestBase.sfDir).collect()
+    val byKey = a.map(r => (r.getAs[String]("table_name"),
+      r.getAs[String]("check_name")) -> r.getAs[Long]("n")).toMap
+    assert(byKey.keySet == Set(
+      ("lineitem", "row_count"), ("lineitem", "nonpositive_qty"),
+      ("lineitem", "orphan_orderkey"), ("lineitem", "ship_before_order"),
+      ("events", "null_props"), ("events", "value_out_of_range"),
+      ("documents", "empty_text"), ("orders", "orphan_custkey"),
+      ("customer", "dup_custkey")))
+    assert(byKey(("lineitem", "row_count")) ==
+      Tables.lineitem(s, SparkTestBase.sfDir).count())
+    assert(byKey.values.forall(_ >= 0L))
+    // violation counts can never exceed the audited table's size
+    assert(byKey(("lineitem", "ship_before_order")) <=
+      byKey(("lineitem", "row_count")))
+  }
+
+  test("fn_url: parsed components round-trip the synthesized URL") {
+    val u = SparkEntry.queries("q_fn_url")(s, SparkTestBase.sfDir)
+    val bad = u.filter(
+      $"scheme" =!= "https" || $"host" =!= "shop.example.com" ||
+        $"path" =!= concat(lit("/o/"), $"o_orderkey".cast("string")) ||
+        $"q_cust".cast("long").isNull)
+    assert(bad.isEmpty, "scheme/host/path/query parse back to the inputs")
+  }
+
+  test("llm_perplexity: ppl consistent with xent, tokens conserved") {
+    val p = SparkEntry.queries("q_llm_perplexity")(s, SparkTestBase.sfDir)
+      .collect()
+    assert(p.nonEmpty)
+    p.foreach { r =>
+      val (xent, ppl) = (r.getAs[Double]("xent"), r.getAs[Double]("ppl"))
+      assert(xent > 0.0 && ppl > 1.0)
+      // both are r4-rounded from the same raw average
+      assert(math.abs(ppl - math.exp(xent)) < math.exp(xent) * 1e-3,
+        s"ppl $ppl vs exp(xent) ${math.exp(xent)}")
+    }
+    val totalWords = p.map(_.getAs[Long]("n_words")).sum
+    val recount = Tables.documents(s, SparkTestBase.sfDir)
+      .select(explode(split(lower($"text"), " ")).as("w"))
+      .filter(length($"w") > 0).count()
+    assert(totalWords == recount, "every token scored exactly once")
+  }
 }
