@@ -522,6 +522,105 @@ object Streams extends QueryModule {
       |  AS t(wstart, k, n)
       |ORDER BY wstart, k""".stripMargin
 
+  // --------------------------------------------------------- s_foreach_upsert
+
+  /** Streaming MERGE ingest via foreachBatch — the standard lakehouse
+    * pattern for sinks Structured Streaming has no native writer for:
+    * each micro-batch is first collapsed to one row per key
+    * (max_by on event time), then merged into the target with
+    * WHEN-MATCHED-AND-NEWER semantics — a stale row (older event time
+    * than the target's) must NOT overwrite, only bump the audit
+    * count. Three hand-planted batches exercise insert, in-order
+    * update, and out-of-order stale rows in both directions.
+    *
+    * The target here is a driver-held frame re-materialized per batch
+    * (localCheckpoint = the durable write a Delta/Iceberg MERGE
+    * commit performs); at 100 TB the body is one `DeltaTable.merge`
+    * call and the shape is identical — per-batch key-collapse, then
+    * one shuffle join against the (file-pruned) target. The oracle
+    * replays ALL planted rows as a single batch aggregate — upsert
+    * semantics must be arrival-order independent, which is exactly
+    * what the stale-rejection predicate buys. */
+  private def sForeachUpsert(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    def t(iso: String): Timestamp = Timestamp.from(Instant.parse(iso))
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    var target = Seq.empty[(Long, Long, Double, Long)]
+      .toDF("user_id", "last_ts_us", "last_value", "n_seen")
+    def mergeBatch(batch: DataFrame): Unit = {
+      val bAgg = batch.groupBy(col("user_id")).agg(
+        unix_micros(max(col("ts"))).as("b_ts_us"),
+        max_by(col("value"), col("ts")).as("b_value"),
+        count(lit(1)).as("b_n"))
+      val newer = col("b_ts_us").isNotNull &&
+        (col("last_ts_us").isNull || col("b_ts_us") > col("last_ts_us"))
+      target = target.join(bAgg, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          when(newer, col("b_ts_us")).otherwise(col("last_ts_us"))
+            .as("last_ts_us"),
+          when(newer, col("b_value")).otherwise(col("last_value"))
+            .as("last_value"),
+          (coalesce(col("n_seen"), lit(0L)) + coalesce(col("b_n"), lit(0L)))
+            .as("n_seen"))
+        .localCheckpoint() // the per-batch commit a real MERGE performs
+    }
+    val qn = "s_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val shm = new java.io.File("/dev/shm")
+    val ckptBase = if (shm.isDirectory && shm.canWrite) "/dev/shm"
+      else sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    val ckpt = s"$ckptBase/graft-ckpt/$qn"
+    try {
+      withStreamPartitions(s) {
+        val q = mem.toDF().toDF("user_id", "ts", "value")
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch((batch: DataFrame, _: Long) => mergeBatch(batch))
+          .start()
+        // batch 1: two inserts
+        mem.addData((1L, t("2024-01-01T10:00:00Z"), 10.0),
+          (2L, t("2024-01-01T10:05:00Z"), 20.0))
+        q.processAllAvailable()
+        // batch 2: newer update (u1), insert (u3), STALE row (u2 at
+        // 09:50 < 10:05 — must not overwrite, only count)
+        mem.addData((1L, t("2024-01-01T10:30:00Z"), 30.0),
+          (3L, t("2024-01-01T10:10:00Z"), 5.0),
+          (2L, t("2024-01-01T09:50:00Z"), 99.0))
+        q.processAllAvailable()
+        // batch 3: newer update (u3), stale (u1 at 09:00)
+        mem.addData((3L, t("2024-01-01T10:40:00Z"), 7.0),
+          (1L, t("2024-01-01T09:00:00Z"), 111.0))
+        q.processAllAvailable()
+        q.stop()
+      }
+    } finally {
+      s.streams.active.filter(_.name == qn)
+        .foreach(q => try q.stop() catch { case _: Throwable => () })
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(ckpt))
+    }
+    target.orderBy(col("user_id"))
+  }
+
+  // the same rows as ONE batch aggregate: the upsert must be
+  // arrival-order independent
+  private val sForeachUpsertSql =
+    """WITH inp(user_id, ts, value) AS (VALUES
+      |  (1::BIGINT, TIMESTAMP '2024-01-01 10:00:00', 10.0::DOUBLE),
+      |  (2::BIGINT, TIMESTAMP '2024-01-01 10:05:00', 20.0::DOUBLE),
+      |  (1::BIGINT, TIMESTAMP '2024-01-01 10:30:00', 30.0::DOUBLE),
+      |  (3::BIGINT, TIMESTAMP '2024-01-01 10:10:00',  5.0::DOUBLE),
+      |  (2::BIGINT, TIMESTAMP '2024-01-01 09:50:00', 99.0::DOUBLE),
+      |  (3::BIGINT, TIMESTAMP '2024-01-01 10:40:00',  7.0::DOUBLE),
+      |  (1::BIGINT, TIMESTAMP '2024-01-01 09:00:00', 111.0::DOUBLE))
+      |SELECT user_id, epoch_us(max(ts)) AS last_ts_us,
+      |       arg_max(value, ts) AS last_value,
+      |       count(*) AS n_seen
+      |FROM inp GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -534,6 +633,7 @@ object Streams extends QueryModule {
     "s_transform_state" -> (sTransformState _),
     "s_join_stream" -> (sJoinStream _),
     "s_late" -> (sLate _),
+    "s_foreach_upsert" -> (sForeachUpsert _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -546,5 +646,6 @@ object Streams extends QueryModule {
     "s_transform_state" -> sTransformStateSql,
     "s_join_stream" -> sJoinStreamSql,
     "s_late" -> sLateSql,
+    "s_foreach_upsert" -> sForeachUpsertSql,
   )
 }

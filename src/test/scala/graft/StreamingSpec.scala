@@ -94,4 +94,19 @@ class StreamingSpec extends AnyFunSuite {
       ("2024-01-01 10:00:00", "A", 2L), ("2024-01-01 10:00:00", "B", 1L),
       ("2024-01-01 10:30:00", "A", 2L), ("2024-01-01 10:30:00", "B", 1L)))
   }
+
+  test("s_foreach_upsert: stale rows never overwrite, every row audited") {
+    val rows = SparkEntry.queries("s_foreach_upsert")(s, d)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    // u2's batch-2 row (09:50, 99.0) is OLDER than its target state
+    // (10:05, 20.0): value must survive, audit count must include it
+    assert(rows(2L) == ((1704103500000000L, 20.0, 2L)),
+      "stale update rejected but counted")
+    // u1: batch-2 advanced it, batch-3's 09:00 row is stale
+    assert(rows(1L)._2 == 30.0 && rows(1L)._3 == 3L)
+    // u3: inserted then updated in order
+    assert(rows(3L)._2 == 7.0 && rows(3L)._3 == 2L)
+  }
 }
