@@ -236,6 +236,58 @@ object LlmPipe extends QueryModule {
        |       count(*) OVER (PARTITION BY cluster)::BIGINT AS cluster_size
        |FROM c ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------ q_graph_pagerank
+
+  /** One PageRank power iteration over the near-dup pair graph (the
+    * same simhash edges q_llm_dedup_cc clusters) from the uniform
+    * start: rank₁(v) = 0.15/n + 0.85·Σ_{u→v} rank₀(u)/outdeg(u) —
+    * the "centrality of a duplicate" signal a curation pipeline uses
+    * to pick which copy of a near-dup cluster to keep (the hub of the
+    * cluster, not an arbitrary min-id). Undirected graph → every node
+    * has outdeg ≥ 1, so there is no dangling-mass term. Shape: the
+    * degree table is one map-side-combined aggregation; contributions
+    * are one shuffle join edges⨝degrees + one reduce by dst — a
+    * single iteration is exactly two shuffles no matter the graph
+    * size, and the n scalar rides in as a broadcast 1-row aggregate
+    * (never a window over the node set). Further iterations repeat
+    * the same two shuffles off the previous rank table — the loop
+    * harness is dedupCcLoop's (checkpoint + convergence probe),
+    * deliberately not duplicated here. */
+  private def graphPagerank(s: SparkSession, d: String): DataFrame = {
+    val pairs = LlmExt.simhashPairs(s, d).select(col("da"), col("db"))
+    val edges = pairs
+      .union(pairs.select(col("db"), col("da")))
+      .toDF("src", "dst")
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val n = deg.agg(count(lit(1)).as("n"))
+    edges.join(deg, "src")
+      .crossJoin(broadcast(n))
+      .select(col("dst"),
+        (lit(1.0) / col("n") / col("outdeg")).as("contrib"), col("n"))
+      .groupBy(col("dst"))
+      .agg(sum(col("contrib")).as("inmass"), max(col("n")).as("nn"))
+      .select(col("dst").as("doc_id"),
+        Det.r6(lit(0.15) / col("nn") + lit(0.85) * col("inmass"))
+          .as("rank"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val graphPagerankSql =
+    s"""WITH ${LlmExt.simhashFpsCtes},
+       |e AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b
+       |  FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+       |u AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+       |deg AS (SELECT src, count(*) AS outdeg FROM u GROUP BY src),
+       |nn AS (SELECT count(*) AS n FROM deg)
+       |SELECT u.dst AS doc_id,
+       |       ${Det.sql6(
+            "0.15 / any_value(nn.n) + " +
+            "0.85 * sum((1.0 / nn.n) / deg.outdeg)")} AS rank
+       |FROM u JOIN deg ON u.src = deg.src CROSS JOIN nn
+       |GROUP BY u.dst ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------- q_llm_dedup_substr
 
   /** Cross-document repeated-span detection — the ExactSubstr dedup
@@ -304,6 +356,7 @@ object LlmPipe extends QueryModule {
     "q_llm_centroid" -> (centroid _),
     "q_llm_dedup_cc" -> (dedupCc _),
     "q_llm_dedup_substr" -> (dedupSubstr _),
+    "q_graph_pagerank" -> (graphPagerank _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -311,5 +364,6 @@ object LlmPipe extends QueryModule {
     "q_llm_centroid" -> centroidSql,
     "q_llm_dedup_cc" -> dedupCcSql,
     "q_llm_dedup_substr" -> dedupSubstrSql,
+    "q_graph_pagerank" -> graphPagerankSql,
   )
 }

@@ -105,15 +105,153 @@ object TimeSeries extends QueryModule {
        |WHERE nw >= 30 AND sd > 1e-9 AND abs((value - mu) / sd) > 3.0
        |ORDER BY event_id""".stripMargin
 
+  // --------------------------------------------------------------- q_ts_wma
+
+  /** Linearly-weighted moving average (newest point weighs most) over
+    * the trailing 21-row frame per series. The naive formulation needs
+    * the CURRENT row's position inside the frame aggregate — not
+    * expressible as a window function — so the weights are decomposed:
+    * with c = frame count and rn the global row number,
+    * w_i = rn_i − rn + c, hence Σw_i·x_i = Σrn_i·x_i + (c−rn)·Σx_i and
+    * Σw_i = c(c+1)/2. Both pieces are PLAIN window sums over the same
+    * frame, so the whole smoother is one shuffle on the series key,
+    * one in-partition sort, and one window operator computing three
+    * bounded-frame aggregates — the same cost as a plain moving
+    * average. (The exponential variant decomposes the same way only
+    * via (1−α)^±rn terms that overflow at corpus row counts — the
+    * linear weighting is the one that is exact at any scale.) */
+  private def tsWma(s: SparkSession, d: String): DataFrame = {
+    val byTs = Window.partitionBy(col("event_type")).orderBy(col("ts"))
+    val frame = byTs.rowsBetween(-20, 0)
+    T.events(s, d)
+      .select(col("event_type"), col("ts"), col("value"))
+      .withColumn("rn", row_number().over(byTs).cast("long"))
+      .withColumn("s1", sum(col("value") * col("rn")).over(frame))
+      .withColumn("s0", sum(col("value")).over(frame))
+      .withColumn("c", count(lit(1)).over(frame))
+      .select(col("event_type"), unix_micros(col("ts")).as("tus"),
+        col("value"),
+        Det.r4((col("s1") + (col("c") - col("rn")) * col("s0")) /
+          (col("c") * (col("c") + 1) / 2)).as("wma"))
+      .orderBy(col("event_type"), col("tus"))
+  }
+
+  private val tsWmaSql =
+    s"""WITH r AS (
+       |  SELECT event_type, epoch_us(make_timestamp(epoch_us(ts))) AS tus,
+       |         value,
+       |         row_number() OVER (PARTITION BY event_type
+       |                            ORDER BY ts) AS rn
+       |  FROM events),
+       |f AS (
+       |  SELECT event_type, tus, value, rn,
+       |         sum(value * rn) OVER win AS s1,
+       |         sum(value) OVER win AS s0,
+       |         count(*) OVER win AS c
+       |  FROM r
+       |  WINDOW win AS (PARTITION BY event_type ORDER BY tus
+       |                 ROWS BETWEEN 20 PRECEDING AND CURRENT ROW))
+       |SELECT event_type, tus, value,
+       |       ${Det.sql4("(s1 + (c - rn) * s0) / (c * (c + 1) / 2)")} AS wma
+       |FROM f ORDER BY event_type, tus""".stripMargin
+
+  // ------------------------------------------------------------ q_ts_interp
+
+  /** Linear interpolation of gaps on the hourly grid — the
+    * complement of q_ts_gapfill's forward fill: missing hours take the
+    * value on the straight line between the nearest observed hour on
+    * each side (edges fall back to the single available neighbor).
+    * Anchors come from four IGNORE NULLS window lookups (last value /
+    * last observed time backward, first value / first observed time
+    * forward) — no self-join against the observation table. Both
+    * directions share the series partitioning, so Spark plans one
+    * exchange feeding two window operators (one per sort direction).
+    * The grid is |series × hours| rows — vanishing vs the raw log
+    * that built it. */
+  private def tsInterp(s: SparkSession, d: String): DataFrame = {
+    val hourly = T.events(s, d)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"),
+        col("value"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("n_events"),
+        Det.r4(avg(col("value"))).as("avg_val"))
+    val spine = hourly
+      .groupBy(col("event_type"))
+      .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR")))
+          .as("hr"))
+    val g = spine.join(hourly, Seq("event_type", "hr"), "left")
+      .withColumn("hour_us", unix_micros(col("hr")))
+    val back = Window.partitionBy(col("event_type")).orderBy(col("hour_us"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col("event_type")).orderBy(col("hour_us"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsT = when(col("avg_val").isNotNull, col("hour_us"))
+    val pv = last(col("avg_val"), ignoreNulls = true).over(back)
+    val pt = last(obsT, ignoreNulls = true).over(back)
+    val nv = first(col("avg_val"), ignoreNulls = true).over(fwd)
+    val nt = first(obsT, ignoreNulls = true).over(fwd)
+    g.select(col("event_type"), col("hour_us"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"), col("avg_val"),
+        Det.r6(when(col("avg_val").isNotNull, col("avg_val"))
+          .when(pv.isNull, nv)
+          .when(nv.isNull, pv)
+          .otherwise(pv + (nv - pv) *
+            (col("hour_us") - pt) / (nt - pt))).as("interp_val"))
+      .orderBy(col("event_type"), col("hour_us"))
+  }
+
+  private val tsInterpSql =
+    s"""WITH h AS (
+       |  SELECT event_type,
+       |         date_trunc('hour', make_timestamp(epoch_us(ts))) AS hr,
+       |         count(*) AS n_events, ${Det.sql4("avg(value)")} AS avg_val
+       |  FROM events GROUP BY event_type, hr),
+       |b AS (SELECT event_type, min(hr) AS h0, max(hr) AS h1
+       |      FROM h GROUP BY event_type),
+       |sp AS (SELECT event_type,
+       |              unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+       |       FROM b),
+       |g AS (
+       |  SELECT sp.event_type, epoch_us(sp.hr) AS hour_us,
+       |         coalesce(h.n_events, 0) AS n_events, h.avg_val
+       |  FROM sp LEFT JOIN h ON sp.event_type = h.event_type
+       |                     AND sp.hr = h.hr),
+       |a AS (
+       |  SELECT event_type, hour_us, n_events, avg_val,
+       |    last_value(avg_val IGNORE NULLS) OVER back AS pv,
+       |    last_value(CASE WHEN avg_val IS NOT NULL THEN hour_us END
+       |               IGNORE NULLS) OVER back AS pt,
+       |    first_value(avg_val IGNORE NULLS) OVER fwd AS nv,
+       |    first_value(CASE WHEN avg_val IS NOT NULL THEN hour_us END
+       |                IGNORE NULLS) OVER fwd AS nt
+       |  FROM g
+       |  WINDOW back AS (PARTITION BY event_type ORDER BY hour_us
+       |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |         fwd AS (PARTITION BY event_type ORDER BY hour_us
+       |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+       |SELECT event_type, hour_us, n_events, avg_val,
+       |       ${Det.sql6(
+            "CASE WHEN avg_val IS NOT NULL THEN avg_val " +
+            "WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv " +
+            "ELSE pv + (nv - pv) * (hour_us - pt) / (nt - pt) END")}
+       |         AS interp_val
+       |FROM a ORDER BY event_type, hour_us""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ts_downsample" -> (tsDownsample _),
     "q_ts_anomaly" -> (tsAnomaly _),
+    "q_ts_wma" -> (tsWma _),
+    "q_ts_interp" -> (tsInterp _),
   )
 
   val oracles: Map[String, String] = Map(
     "q_ts_downsample" -> tsDownsampleSql,
     "q_ts_anomaly" -> tsAnomalySql,
+    "q_ts_wma" -> tsWmaSql,
+    "q_ts_interp" -> tsInterpSql,
   )
 }

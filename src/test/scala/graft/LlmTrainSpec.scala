@@ -74,4 +74,22 @@ class LlmTrainSpec extends AnyFunSuite {
     assert(byN.head.getAs[Double]("boost") >=
       byN.last.getAs[Double]("boost"))
   }
+
+  test("pagerank iteration conserves mass over the dup graph") {
+    val r = SparkEntry.queries("q_graph_pagerank")(s, SparkTestBase.sfDir)
+      .collect()
+    val cc = SparkEntry.queries("q_llm_dedup_cc")(s, SparkTestBase.sfDir)
+      .collect()
+    // same node set as the CC clustering of the same edges
+    assert(r.map(_.getAs[Long]("doc_id")).toSet ==
+      cc.map(_.getAs[Long]("doc_id")).toSet)
+    if (r.nonEmpty) {
+      val ranks = r.map(_.getAs[Double]("rank"))
+      assert(ranks.forall(_ > 0.0))
+      // no dangling nodes (undirected graph) ⇒ one iteration keeps
+      // total mass at exactly 1 (up to the r6 output rounding)
+      assert(math.abs(ranks.sum - 1.0) < 1e-4 * ranks.length,
+        s"rank mass ${ranks.sum} != 1")
+    }
+  }
 }

@@ -30,9 +30,13 @@ class PlanAuditSpec extends AnyFunSuite {
     * 1-ROW aggregate frame (the alternative — a partition-less
     * window — serializes the whole frame onto one task); the nested
     * loop multiplies by exactly one row.
+    * q_graph_pagerank: same 1-row-scalar pattern as tfidf — the node
+    * count n broadcasts as a 1-row aggregate into the contribution
+    * projection.
     * Everything else must justify itself here before joining. */
   private val allowlisted =
-    Set("q_llm_sim_search", "q_llm_kmeans", "q_llm_tfidf")
+    Set("q_llm_sim_search", "q_llm_kmeans", "q_llm_tfidf",
+      "q_graph_pagerank")
 
   for (name <- SparkEntry.queries.keys.toSeq.sorted
        if name.startsWith("q_") && !allowlisted(name)) {

@@ -44,6 +44,43 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(joined.filter($"open" =!= $"open2").isEmpty)
   }
 
+  test("wma: warm-up row equals its value, smoother stays in frame bounds") {
+    val w = SparkEntry.queries("q_ts_wma")(s, SparkTestBase.sfDir)
+    // first row of each series has a 1-row frame: wma == value (r4)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"tus")
+    val firsts = w.withColumn("rn", row_number().over(win))
+      .filter($"rn" === 1)
+      .filter(abs($"wma" - $"value") > 1e-4)
+    assert(firsts.isEmpty, "frame of one row averages to the row itself")
+    // every wma lies within the frame's [min, max] envelope
+    val frame = win.rowsBetween(-20, 0)
+    val bad = w
+      .withColumn("lo", min($"value").over(frame))
+      .withColumn("hi", max($"value").over(frame))
+      .filter($"wma" < $"lo" - 1e-4 || $"wma" > $"hi" + 1e-4)
+    assert(bad.isEmpty, "weighted average bounded by frame extrema")
+  }
+
+  test("interp: observed hours pass through, gaps stay inside anchors") {
+    val g = SparkEntry.queries("q_ts_interp")(s, SparkTestBase.sfDir)
+    assert(g.filter($"n_events" > 0 &&
+      abs($"interp_val" - $"avg_val") > 1e-4).isEmpty,
+      "observed grid points keep their own value")
+    // interpolated points lie between the surrounding observed values
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"hour_us")
+    val back = win.rowsBetween(Long.MinValue, 0)
+    val fwd = win.rowsBetween(0, Long.MaxValue)
+    val bad = g
+      .withColumn("pv", last(when($"n_events" > 0, $"avg_val"), true).over(back))
+      .withColumn("nv", first(when($"n_events" > 0, $"avg_val"), true).over(fwd))
+      .filter($"n_events" === 0 && $"pv".isNotNull && $"nv".isNotNull)
+      .filter($"interp_val" < least($"pv", $"nv") - 1e-4 ||
+        $"interp_val" > greatest($"pv", $"nv") + 1e-4)
+    assert(bad.isEmpty, "linear interpolation bounded by its anchors")
+  }
+
   test("anomaly: flagged rows exceed the threshold, warm-up respected") {
     val anom = SparkEntry.queries("q_ts_anomaly")(s, SparkTestBase.sfDir)
       .collect()
