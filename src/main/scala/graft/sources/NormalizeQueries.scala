@@ -221,13 +221,52 @@ object NormalizeQueries extends QueryModule {
        |ORDER BY chapter""".stripMargin
   }
 
+  // ------------------------------------------------------------- q_scan_orc
+
+  /** ORC sink + source round-trip: the events table is written to ORC
+    * (the one columnar format besides parquet that ships inside
+    * spark-sql), read back, and aggregated — the oracle runs the SAME
+    * aggregate over the original parquet, so a hash match proves the
+    * round-trip is LOSSLESS for every type it carries (bigint,
+    * microsecond timestamp, double, string). That is the actual
+    * contract a format migration needs, and it exercises the write
+    * path the scored surface otherwise only reads. Both legs
+    * vectorize (ORC has its own columnar reader with predicate
+    * pushdown); the temp output is RAM-backed and per-sf so verify /
+    * bench passes overwrite deterministically rather than accrete. */
+  private def scanOrc(s: SparkSession, d: String): DataFrame = {
+    val shm = new java.io.File("/dev/shm")
+    val base = if (shm.isDirectory && shm.canWrite) "/dev/shm"
+      else sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    val dir = s"$base/graft-orc/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    graft.Tables.events(s, d).write.mode("overwrite").orc(dir)
+    s.read.orc(dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(unix_micros(col("ts"))).as("first_us"),
+        max(unix_micros(col("ts"))).as("last_us"),
+        graft.ops.Det.r2(sum(col("value"))).as("total"))
+      .orderBy(col("event_type"))
+  }
+
+  private val scanOrcSql =
+    s"""SELECT event_type, count(*) AS n,
+       |       count(DISTINCT user_id) AS n_users,
+       |       min(epoch_us(make_timestamp(epoch_us(ts)))) AS first_us,
+       |       max(epoch_us(make_timestamp(epoch_us(ts)))) AS last_us,
+       |       ${graft.ops.Det.sql2("sum(value)")} AS total
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_json" -> (scanJson _),
     "q_scan_csv" -> (scanCsv _),
+    "q_scan_orc" -> (scanOrc _),
   )
 
   val oracles: Map[String, String] = Map(
     "q_scan_json" -> scanJsonSql,
     "q_scan_csv" -> scanCsvSql,
+    "q_scan_orc" -> scanOrcSql,
   )
 }

@@ -71,4 +71,36 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(salted.map(r => (r.getString(0), r.getDouble(1), r.getLong(2))) ==
       direct.map(r => (r.getString(0), r.getDouble(1), r.getLong(2))))
   }
+
+  test("small-file compaction conserves rows and hits the file target") {
+    import s.implicits._
+    // the lakehouse maintenance pass: a streaming sink or over-parallel
+    // writer leaves N tiny files; compaction rewrites to few large ones.
+    // Row-group-sized files are what keep 100 TB scans at
+    // maxPartitionBytes-sized tasks instead of one task per tiny file.
+    val base = Files.createTempDirectory("graft-compact").toString
+    val ev = Tables.events(s, d)
+    ev.repartition(64).write.mode("overwrite").parquet(s"$base/small")
+    def parquetFiles(p: String) =
+      Option(new java.io.File(p).listFiles).get
+        .count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$base/small") == 64, "fragmented input")
+    // compact: one job, explicit target file count (a real deployment
+    // computes it from bytes/maxPartitionBytes)
+    s.read.parquet(s"$base/small").repartition(4)
+      .write.mode("overwrite").parquet(s"$base/compact")
+    assert(parquetFiles(s"$base/compact") == 4, "compaction file target")
+    val before = ev.count()
+    val after = s.read.parquet(s"$base/compact").count()
+    assert(before == after, "compaction conserves every row")
+    // and the data survives byte-exactly: same per-type aggregate
+    val a = s.read.parquet(s"$base/compact").groupBy($"event_type")
+      .agg(count(lit(1)), sum($"value")).orderBy($"event_type")
+      .collect().toSeq
+    val b = ev.groupBy($"event_type")
+      .agg(count(lit(1)), sum($"value")).orderBy($"event_type")
+      .collect().toSeq
+    assert(a.map(r => (r.getString(0), r.getLong(1))) ==
+      b.map(r => (r.getString(0), r.getLong(1))))
+  }
 }
