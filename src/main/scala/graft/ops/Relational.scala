@@ -365,6 +365,36 @@ object Relational extends QueryModule {
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
       .orderBy(col("l_returnflag"))
 
+  // -------------------------------------------------------- q_agg_sketch_merge
+
+  /** HLL sketch build → MERGE → estimate (Apache DataSketches via
+    * hll_sketch_agg / hll_union_agg / hll_sketch_estimate): per-type
+    * user sketches are built in one pass, and the TOTAL row's estimate
+    * comes from merging those five sketches — never re-scanning the
+    * raw table. Mergeability is the entire 100 TB argument for
+    * sketches: per-partition partials combine associatively, so
+    * distinct counts roll up across partitions / days / tables at
+    * sketch size, not data size (the same reason approx_count_distinct
+    * map-side-combines where countDistinct must shuffle rows).
+    * No DuckDB oracle — sketch registers are engine-specific — the
+    * rows-only gate applies and OperatorSpec bounds both estimate
+    * levels against the exact distinct counts. */
+  private def aggSketchMerge(s: SparkSession, d: String): DataFrame = {
+    val perType = T.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        countDistinct(col("user_id")).as("n_exact"))
+    val byType = perType
+      .select(col("event_type").as("scope"), col("n_exact"),
+        hll_sketch_estimate(col("sk")).as("n_est"))
+    val total = perType
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_est"))
+      .crossJoin(broadcast(
+        T.events(s, d).agg(countDistinct(col("user_id")).as("n_exact"))))
+      .select(lit("TOTAL").as("scope"), col("n_exact"), col("n_est"))
+    byType.unionByName(total).orderBy(col("scope"))
+  }
+
   /** ROLLUP hierarchy totals. NULLS FIRST on both sides (DuckDB default
     * for ASC is NULLS LAST — made explicit in the oracle). */
   private def aggRollup(s: SparkSession, d: String): DataFrame =
@@ -646,6 +676,7 @@ object Relational extends QueryModule {
     "q_agg_hash" -> (aggHash _),
     "q_agg_distinct" -> (aggDistinct _),
     "q_agg_approx" -> (aggApprox _),
+    "q_agg_sketch_merge" -> (aggSketchMerge _),
     "q_agg_rollup" -> (aggRollup _),
     "q_agg_cube" -> (aggCube _),
     "q_agg_gsets" -> (aggGsets _),
@@ -677,6 +708,8 @@ object Relational extends QueryModule {
     "q_agg_hash" -> aggHashSql,
     "q_agg_distinct" -> aggDistinctSql,
     // q_agg_approx: intentionally no oracle (approximate)
+    // q_agg_sketch_merge: no oracle (DataSketches registers are
+    // engine-specific); estimate-vs-exact bounds in OperatorSpec
     "q_agg_rollup" -> aggRollupSql,
     "q_agg_cube" -> aggCubeSql,
     "q_agg_gsets" -> aggGsetsSql,

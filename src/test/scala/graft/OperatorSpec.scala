@@ -27,6 +27,26 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("hll sketch merge: per-type and merged-total estimates track exact") {
+    val rows = SparkEntry.queries("q_agg_sketch_merge")(s, SparkTestBase.sfDir)
+      .collect()
+    assert(rows.map(_.getAs[String]("scope")).contains("TOTAL"))
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("n_exact").toDouble
+      val est = r.getAs[Long]("n_est").toDouble
+      // default lgConfigK=12 → rse ~1.04/sqrt(2^12) ≈ 1.6%; allow 3×
+      assert(math.abs(est - exact) / exact <= 0.05,
+        s"${r.get(0)}: est=$est exact=$exact")
+    }
+    // the TOTAL row's estimate came from MERGING the per-type sketches;
+    // it must cover the union cardinality, not the sum of per-type ones
+    val total = rows.find(_.getAs[String]("scope") == "TOTAL").get
+    val sumTypes = rows.filter(_.getAs[String]("scope") != "TOTAL")
+      .map(_.getAs[Long]("n_exact")).sum
+    assert(total.getAs[Long]("n_exact") <= sumTypes,
+      "union <= sum of parts (users appear under several types)")
+  }
+
   test("as-of join picks the latest click at-or-before each purchase") {
     val clicks = Seq((1L, 10L, 100L), (1L, 20L, 101L), (2L, 50L, 102L))
       .toDF("user_id", "t", "click_id")
