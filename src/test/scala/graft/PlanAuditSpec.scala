@@ -33,10 +33,12 @@ class PlanAuditSpec extends AnyFunSuite {
     * q_graph_pagerank: same 1-row-scalar pattern as tfidf — the node
     * count n broadcasts as a 1-row aggregate into the contribution
     * projection.
+    * q_agg_sketch_merge: the exact total-distinct count attaches to
+    * the 1-row merged-sketch aggregate the same way.
     * Everything else must justify itself here before joining. */
   private val allowlisted =
     Set("q_llm_sim_search", "q_llm_kmeans", "q_llm_tfidf",
-      "q_graph_pagerank")
+      "q_graph_pagerank", "q_agg_sketch_merge")
 
   for (name <- SparkEntry.queries.keys.toSeq.sorted
        if name.startsWith("q_") && !allowlisted(name)) {
