@@ -434,23 +434,35 @@ object Reshape extends QueryModule {
     * classification and cumulative reach run on a ≤3-row aggregate.
     * At 100 TB the per-stage filter (event_type pushdown) prunes each
     * scan before any shuffle. */
-  private def winFunnel(s: SparkSession, d: String): DataFrame = {
-    val ev = T.events(s, d)
-      .select(col("user_id"), col("event_type"),
-        unix_micros(col("ts")).as("tus"))
-    val a = ev.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("tus")).as("ta"))
-    val b = ev.filter(col("event_type") === "click")
-      .join(a, "user_id").filter(col("tus") > col("ta"))
-      .groupBy(col("user_id")).agg(min(col("tus")).as("tb"))
-    val c = ev.filter(col("event_type") === "purchase")
-      .join(b, "user_id").filter(col("tus") > col("tb"))
-      .groupBy(col("user_id")).agg(min(col("tus")).as("tc"))
-    val depths = a
-      .join(b.select(col("user_id"), col("tb")), Seq("user_id"), "left")
-      .join(c.select(col("user_id"), col("tc")), Seq("user_id"), "left")
-      .select(when(col("tc").isNotNull, 3L)
-        .when(col("tb").isNotNull, 2L).otherwise(1L).as("depth"))
+  /** The chained-anchor funnel over an arbitrary (user_id, event_type,
+    * tus) frame and ordered step list. Package-visible so the property
+    * test can drive it over random event streams against a per-user
+    * sequential scan — the strictly-after chaining is the part worth
+    * proving. */
+  private[graft] def funnelOver(ev: DataFrame, steps: Seq[String]): DataFrame = {
+    // anchor k = each user's first step-k event strictly after their
+    // step-(k-1) anchor
+    val anchors = steps.foldLeft(List.empty[DataFrame]) { (acc, step) =>
+      val mine = ev.filter(col("event_type") === step)
+      val gated = acc.headOption match {
+        case None => mine
+        case Some(p) =>
+          mine.join(p.select(col("user_id"), col("t").as("t_prev")),
+              "user_id")
+            .filter(col("tus") > col("t_prev"))
+      }
+      gated.groupBy(col("user_id")).agg(min(col("tus")).as("t")) :: acc
+    }.reverse
+    val joined = anchors.zipWithIndex.tail.foldLeft(
+      anchors.head.select(col("user_id"))) { case (acc, (a, i)) =>
+        acc.join(a.select(col("user_id"), col("t").as(s"t$i")),
+          Seq("user_id"), "left")
+    }
+    val depthExpr = anchors.indices.tail.reverse
+      .foldLeft(when(lit(false), 0L)) { (w, i) =>
+        w.when(col(s"t$i").isNotNull, (i + 1).toLong)
+      }.otherwise(1L)
+    val depths = joined.select(depthExpr.as("depth"))
       .groupBy(col("depth")).agg(count(lit(1)).as("n_users"))
     val wReach = Window.orderBy(col("depth").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -463,6 +475,12 @@ object Reshape extends QueryModule {
           sum(col("n_users")).over(wAll)))
       .orderBy(col("depth"))
   }
+
+  private def winFunnel(s: SparkSession, d: String): DataFrame =
+    funnelOver(
+      T.events(s, d).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus")),
+      Seq("view", "click", "purchase"))
 
   private val winFunnelSql =
     s"""WITH e AS (

@@ -107,9 +107,11 @@ object TimeSeries extends QueryModule {
 
   // --------------------------------------------------------------- q_ts_wma
 
-  /** Linearly-weighted moving average (newest point weighs most) over
-    * the trailing 21-row frame per series. The naive formulation needs
-    * the CURRENT row's position inside the frame aggregate — not
+  /** The decomposed-weight smoother over an arbitrary frame: adds an
+    * r4-rounded `wma` column to `df`, weighting the trailing
+    * `width`+1 rows of each `series` partition (ordered by `order`)
+    * linearly, newest heaviest. The naive formulation needs the
+    * CURRENT row's position inside the frame aggregate — not
     * expressible as a window function — so the weights are decomposed:
     * with c = frame count and rn the global row number,
     * w_i = rn_i − rn + c, hence Σw_i·x_i = Σrn_i·x_i + (c−rn)·Σx_i and
@@ -119,22 +121,33 @@ object TimeSeries extends QueryModule {
     * bounded-frame aggregates — the same cost as a plain moving
     * average. (The exponential variant decomposes the same way only
     * via (1−α)^±rn terms that overflow at corpus row counts — the
-    * linear weighting is the one that is exact at any scale.) */
-  private def tsWma(s: SparkSession, d: String): DataFrame = {
-    val byTs = Window.partitionBy(col("event_type")).orderBy(col("ts"))
-    val frame = byTs.rowsBetween(-20, 0)
-    T.events(s, d)
-      .select(col("event_type"), col("ts"), col("value"))
-      .withColumn("rn", row_number().over(byTs).cast("long"))
-      .withColumn("s1", sum(col("value") * col("rn")).over(frame))
-      .withColumn("s0", sum(col("value")).over(frame))
+    * linear weighting is the one that is exact at any scale.)
+    * Package-visible so the property test can drive it over random
+    * series against a brute-force weighted average — the decomposition
+    * identity is the part worth proving. */
+  private[graft] def wmaOver(df: DataFrame, series: String, order: String,
+      value: String, width: Int): DataFrame = {
+    val byOrd = Window.partitionBy(col(series)).orderBy(col(order))
+    val frame = byOrd.rowsBetween(-width, 0)
+    df.withColumn("rn", row_number().over(byOrd).cast("long"))
+      .withColumn("s1", sum(col(value) * col("rn")).over(frame))
+      .withColumn("s0", sum(col(value)).over(frame))
       .withColumn("c", count(lit(1)).over(frame))
-      .select(col("event_type"), unix_micros(col("ts")).as("tus"),
-        col("value"),
+      .withColumn("wma",
         Det.r4((col("s1") + (col("c") - col("rn")) * col("s0")) /
-          (col("c") * (col("c") + 1) / 2)).as("wma"))
-      .orderBy(col("event_type"), col("tus"))
+          (col("c") * (col("c") + 1) / 2)))
+      .drop("rn", "s1", "s0", "c")
   }
+
+  /** Linearly-weighted moving average over the trailing 21-row frame
+    * per event series — [[wmaOver]] applied to the events log. */
+  private def tsWma(s: SparkSession, d: String): DataFrame =
+    wmaOver(
+      T.events(s, d).select(col("event_type"), col("ts"), col("value")),
+      "event_type", "ts", "value", 20)
+      .select(col("event_type"), unix_micros(col("ts")).as("tus"),
+        col("value"), col("wma"))
+      .orderBy(col("event_type"), col("tus"))
 
   private val tsWmaSql =
     s"""WITH r AS (
