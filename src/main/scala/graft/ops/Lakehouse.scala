@@ -240,15 +240,16 @@ object Lakehouse extends QueryModule {
     // scan per check
     val li = metrics("lineitem", T.lineitem(s, d).agg(
       count(lit(1)).as("row_count"),
-      sum(when(col("l_quantity") <= 0, 1L).otherwise(0L))
+      coalesce(sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)), lit(0L))
         .as("nonpositive_qty")))
     val ev = metrics("events", T.events(s, d).agg(
-      sum(when(col("props").isNull, 1L).otherwise(0L)).as("null_props"),
-      sum(when(col("value") < 0 || col("value") > 1000, 1L).otherwise(0L))
-        .as("value_out_of_range")))
+      coalesce(sum(when(col("props").isNull, 1L).otherwise(0L)), lit(0L))
+        .as("null_props"),
+      coalesce(sum(when(col("value") < 0 || col("value") > 1000, 1L)
+        .otherwise(0L)), lit(0L)).as("value_out_of_range")))
     val doc = metrics("documents", T.documents(s, d).agg(
-      sum(when(length(trim(col("text"))) === 0, 1L).otherwise(0L))
-        .as("empty_text")))
+      coalesce(sum(when(length(trim(col("text"))) === 0, 1L).otherwise(0L)),
+        lit(0L)).as("empty_text")))
     // both fact↔dim checks ride ONE left join: unmatched rows are the
     // orphans, matched rows carry the date-sanity predicate
     val liOrd = T.lineitem(s, d)
@@ -256,11 +257,11 @@ object Lakehouse extends QueryModule {
       .join(T.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"), "left")
     val liJoin = metrics("lineitem", liOrd.agg(
-      sum(when(col("o_orderkey").isNull, 1L).otherwise(0L))
-        .as("orphan_orderkey"),
-      sum(when(col("o_orderkey").isNotNull &&
-        col("l_shipdate") < col("o_orderdate"), 1L).otherwise(0L))
-        .as("ship_before_order")))
+      coalesce(sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)),
+        lit(0L)).as("orphan_orderkey"),
+      coalesce(sum(when(col("o_orderkey").isNotNull &&
+        col("l_shipdate") < col("o_orderdate"), 1L).otherwise(0L)),
+        lit(0L)).as("ship_before_order")))
     val ordCust = metrics("orders", T.orders(s, d)
       .join(T.customer(s, d),
         col("o_custkey") === col("c_custkey"), "left_anti")

@@ -132,6 +132,52 @@ object Reshape extends QueryModule {
        |FROM lineitem GROUP BY l_returnflag
        |ORDER BY l_returnflag""".stripMargin
 
+  // ------------------------------------------------------------ q_agg_trimmed
+
+  /** 10%-trimmed mean per group — the robust-statistics aggregate
+    * (outlier-resistant central tendency, the fix when q_agg_stats'
+    * moments are poisoned by heavy tails). Rank-based: drop the
+    * ⌊0.1·n⌋ lowest and highest rows by value rank, average the rest.
+    * Ties at the cut are safe without a tie-break key: trimming by
+    * row_number drops SOME k equal values, and any choice keeps the
+    * same multiset, so the kept sum is identical in both engines.
+    * Shape: one shuffle on the group key, one external (spilling)
+    * Tungsten sort under the rank window, then a codegen hash
+    * aggregation with constant state — same scale argument as
+    * q_agg_percentile's order statistics, no value-buffering
+    * aggregate. */
+  private def aggTrimmed(s: SparkSession, d: String): DataFrame = {
+    val rf = col("l_returnflag")
+    val w = Window.partitionBy(rf).orderBy(col("l_extendedprice"))
+    T.lineitem(s, d)
+      .select(rf, col("l_extendedprice"))
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(rf)))
+      .filter(col("r") > floor(col("n") * 0.1) &&
+        col("r") <= col("n") - floor(col("n") * 0.1))
+      .groupBy(rf)
+      .agg(count(lit(1)).as("n_kept"),
+        Det.r4(avg(col("l_extendedprice"))).as("trimmed_mean"),
+        min(col("l_extendedprice")).as("lo_bound"),
+        max(col("l_extendedprice")).as("hi_bound"))
+      .orderBy(rf)
+  }
+
+  private val aggTrimmedSql =
+    s"""WITH r AS (
+       |  SELECT l_returnflag, l_extendedprice,
+       |         row_number() OVER (PARTITION BY l_returnflag
+       |                            ORDER BY l_extendedprice) AS r,
+       |         count(*) OVER (PARTITION BY l_returnflag) AS n
+       |  FROM lineitem)
+       |SELECT l_returnflag, count(*) AS n_kept,
+       |       ${Det.sql4("avg(l_extendedprice)")} AS trimmed_mean,
+       |       min(l_extendedprice) AS lo_bound,
+       |       max(l_extendedprice) AS hi_bound
+       |FROM r
+       |WHERE r > floor(n * 0.1) AND r <= n - floor(n * 0.1)
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // -------------------------------------------------------------- q_agg_stats
 
   /** Second-moment statistical aggregates — `corr`, `covar_samp`,
@@ -541,6 +587,7 @@ object Reshape extends QueryModule {
     "q_agg_mode" -> (aggMode _),
     "q_win_retention" -> (winRetention _),
     "q_agg_histogram" -> (aggHistogram _),
+    "q_agg_trimmed" -> (aggTrimmed _),
     "q_win_funnel" -> (winFunnel _),
     "q_agg_approx_pct" -> (aggApproxPct _),
   )
@@ -556,6 +603,7 @@ object Reshape extends QueryModule {
     "q_agg_mode" -> aggModeSql,
     "q_win_retention" -> winRetentionSql,
     "q_agg_histogram" -> aggHistogramSql,
+    "q_agg_trimmed" -> aggTrimmedSql,
     "q_win_funnel" -> winFunnelSql,
     // q_agg_approx_pct: no oracle by design — sketch internals are
     // engine-specific; bounds vs q_agg_percentile asserted in spec

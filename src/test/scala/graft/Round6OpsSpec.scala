@@ -153,6 +153,24 @@ class Round6OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_trimmed: trim geometry exact, mean inside kept bounds") {
+    val t = SparkEntry.queries("q_agg_trimmed")(s, SparkTestBase.sfDir)
+      .collect()
+    val counts = Tables.lineitem(s, SparkTestBase.sfDir)
+      .groupBy($"l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(t.nonEmpty)
+    t.foreach { r =>
+      val n = counts(r.getAs[String]("l_returnflag"))
+      val cut = math.floor(n * 0.1).toLong
+      assert(r.getAs[Long]("n_kept") == n - 2 * cut,
+        "exactly floor(0.1 n) dropped from each tail")
+      val (m, lo, hi) = (r.getAs[Double]("trimmed_mean"),
+        r.getAs[Double]("lo_bound"), r.getAs[Double]("hi_bound"))
+      assert(m >= lo && m <= hi, "mean inside the kept interval")
+    }
+  }
+
   test("dq_audit: expected check set, row_count matches, counts sane") {
     val a = SparkEntry.queries("q_dq_audit")(s, SparkTestBase.sfDir).collect()
     val byKey = a.map(r => (r.getAs[String]("table_name"),
