@@ -76,8 +76,18 @@ object TimeSeries extends QueryModule {
   private def tsAnomaly(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("ts"))
       .rowsBetween(-100, -1)
-    T.events(s, d)
+    T.par(s, T.events(s, d))
       .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+      // the explicit-count repartition IS the exchange the window
+      // needs (hashpartitioning on the series key satisfies the
+      // window's required distribution) — stated explicitly so AQE
+      // does not coalesce the five KB-sized series groups onto ONE
+      // task and serialize the window at test scale. At 100 TB the
+      // groups aren't small and the same exchange is what any plan
+      // runs; series cardinality stays the parallelism ceiling either
+      // way (see scaladoc above).
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("event_type"))
       .withColumn("mu", avg(col("value")).over(w))
       .withColumn("sd", stddev_samp(col("value")).over(w))
       .withColumn("nw", count(lit(1)).over(w))
