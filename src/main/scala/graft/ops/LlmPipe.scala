@@ -253,8 +253,10 @@ object LlmPipe extends QueryModule {
     * the same two shuffles off the previous rank table — the loop
     * harness is dedupCcLoop's (checkpoint + convergence probe),
     * deliberately not duplicated here. */
-  private def graphPagerank(s: SparkSession, d: String): DataFrame = {
-    val pairs = LlmExt.simhashPairs(s, d).select(col("da"), col("db"))
+  /** The iteration body over an arbitrary (da, db) pair frame —
+    * package-visible so q_llm_keeper composes it with the CC labels
+    * off ONE shared pair computation. */
+  private[graft] def pagerankOver(pairs: DataFrame): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("db"), col("da")))
       .toDF("src", "dst")
@@ -269,8 +271,11 @@ object LlmPipe extends QueryModule {
       .select(col("dst").as("doc_id"),
         Det.r6(lit(0.15) / col("nn") + lit(0.85) * col("inmass"))
           .as("rank"))
-      .orderBy(col("doc_id"))
   }
+
+  private def graphPagerank(s: SparkSession, d: String): DataFrame =
+    pagerankOver(LlmExt.simhashPairs(s, d).select(col("da"), col("db")))
+      .orderBy(col("doc_id"))
 
   private val graphPagerankSql =
     s"""WITH ${LlmExt.simhashFpsCtes},
@@ -287,6 +292,72 @@ object LlmPipe extends QueryModule {
             "0.85 * sum((1.0 / nn.n) / deg.outdeg)")} AS rank
        |FROM u JOIN deg ON u.src = deg.src CROSS JOIN nn
        |GROUP BY u.dst ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------- q_llm_keeper
+
+  /** The curation step the dedup stack exists for: cluster the
+    * near-dup pairs (star-contraction CC) and KEEP each cluster's
+    * PageRank hub — the copy most connected to its duplicates, a
+    * better canonical pick than min-id when near-dups differ in
+    * quality (truncations and mangled variants sit on the cluster
+    * fringe with fewer edges). The pair graph is computed ONCE
+    * (checkpointed) and feeds both the CC loop and the rank
+    * iteration; the final join + per-cluster argmax ride the
+    * |dup docs|-sized frames. Rank ties (common — uniform local
+    * structure) break by min doc_id; both engines sort the identical
+    * r6-discretized doubles, so the pick is deterministic. */
+  private def llmKeeper(s: SparkSession, d: String): DataFrame = {
+    val pairs = LlmExt.simhashPairs(s, d).select(col("da"), col("db"))
+      .localCheckpoint()
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val cc = try dedupCcLoop(s, pairs) finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+    val pr = pagerankOver(pairs)
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("rank").desc, col("doc_id"))
+    cc.join(pr, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("cluster_size").as("n_members"),
+        col("doc_id").as("keeper_doc"), col("rank").as("keeper_rank"))
+      .orderBy(col("cluster"))
+  }
+
+  private val llmKeeperSql =
+    s"""WITH RECURSIVE ${LlmExt.simhashFpsCtes},
+       |e AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b
+       |  FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+       |u AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+       |r AS (
+       |  SELECT src AS id, src AS reach FROM u
+       |  UNION
+       |  SELECT r.id, u.dst FROM r JOIN u ON r.reach = u.src),
+       |c AS (SELECT id, min(reach) AS cluster FROM r GROUP BY id),
+       |deg AS (SELECT src, count(*) AS outdeg FROM u GROUP BY src),
+       |nn AS (SELECT count(*) AS n FROM deg),
+       |pr AS (
+       |  SELECT u.dst AS id,
+       |         ${Det.sql6(
+            "0.15 / any_value(nn.n) + " +
+            "0.85 * sum((1.0 / nn.n) / deg.outdeg)")} AS rank
+       |  FROM u JOIN deg ON u.src = deg.src CROSS JOIN nn
+       |  GROUP BY u.dst),
+       |k AS (
+       |  SELECT c.cluster, c.id, pr.rank,
+       |         row_number() OVER (PARTITION BY c.cluster
+       |                            ORDER BY pr.rank DESC, c.id) AS rn,
+       |         count(*) OVER (PARTITION BY c.cluster) AS n_members
+       |  FROM c JOIN pr ON c.id = pr.id)
+       |SELECT cluster, n_members::BIGINT AS n_members,
+       |       id AS keeper_doc, rank AS keeper_rank
+       |FROM k WHERE rn = 1 ORDER BY cluster""".stripMargin
 
   // ----------------------------------------------------- q_llm_dedup_substr
 
@@ -357,6 +428,7 @@ object LlmPipe extends QueryModule {
     "q_llm_dedup_cc" -> (dedupCc _),
     "q_llm_dedup_substr" -> (dedupSubstr _),
     "q_graph_pagerank" -> (graphPagerank _),
+    "q_llm_keeper" -> (llmKeeper _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -365,5 +437,6 @@ object LlmPipe extends QueryModule {
     "q_llm_dedup_cc" -> dedupCcSql,
     "q_llm_dedup_substr" -> dedupSubstrSql,
     "q_graph_pagerank" -> graphPagerankSql,
+    "q_llm_keeper" -> llmKeeperSql,
   )
 }

@@ -92,4 +92,28 @@ class LlmTrainSpec extends AnyFunSuite {
         s"rank mass ${ranks.sum} != 1")
     }
   }
+
+  test("keeper is its cluster's top-ranked member, geometry consistent") {
+    val keep = SparkEntry.queries("q_llm_keeper")(s, SparkTestBase.sfDir)
+      .collect()
+    val cc = SparkEntry.queries("q_llm_dedup_cc")(s, SparkTestBase.sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster"), r.getAs[Long]("cluster_size"))).toMap
+    val pr = SparkEntry.queries("q_graph_pagerank")(s, SparkTestBase.sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("rank")).toMap
+    assert(keep.length == cc.values.map(_._1).toSet.size,
+      "one keeper per cluster")
+    keep.foreach { k =>
+      val (cl, doc) = (k.getAs[Long]("cluster"), k.getAs[Long]("keeper_doc"))
+      assert(cc(doc)._1 == cl, "keeper belongs to its cluster")
+      assert(cc(doc)._2 == k.getAs[Long]("n_members"))
+      val clusterRanks = cc.collect {
+        case (d, (c, _)) if c == cl => pr(d)
+      }
+      assert(k.getAs[Double]("keeper_rank") == clusterRanks.max,
+        "keeper carries the cluster's max rank")
+    }
+  }
 }

@@ -35,10 +35,12 @@ class PlanAuditSpec extends AnyFunSuite {
     * projection.
     * q_agg_sketch_merge: the exact total-distinct count attaches to
     * the 1-row merged-sketch aggregate the same way.
+    * q_llm_keeper: composes pagerankOver, inheriting its 1-row
+    * node-count broadcast.
     * Everything else must justify itself here before joining. */
   private val allowlisted =
     Set("q_llm_sim_search", "q_llm_kmeans", "q_llm_tfidf",
-      "q_graph_pagerank", "q_agg_sketch_merge")
+      "q_graph_pagerank", "q_agg_sketch_merge", "q_llm_keeper")
 
   for (name <- SparkEntry.queries.keys.toSeq.sorted
        if name.startsWith("q_") && !allowlisted(name)) {
