@@ -178,6 +178,61 @@ object Reshape extends QueryModule {
        |WHERE r > floor(n * 0.1) AND r <= n - floor(n * 0.1)
        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q_agg_mad
+
+  /** Median absolute deviation per group — THE robust dispersion
+    * measure (breakdown point 50%, vs 0% for q_agg_stats' variance).
+    * Two phases of the same order-statistics machinery as
+    * q_agg_percentile: (1) exact interpolated median per group,
+    * (2) the deviations |x − med| joined back (a |groups|-row
+    * broadcast) and their median by a second rank pass. Both phases
+    * are external-sort + constant-state aggregation — never a
+    * value-buffering percentile aggregate — so the shape holds at any
+    * group size. The oracle deliberately uses DuckDB's buffering
+    * quantile_cont for both levels: same answer, opposite memory
+    * contract. Deviations are bit-identical cross-engine (same
+    * subtraction on the same interpolated median), so rank order
+    * agrees exactly. */
+  private def aggMad(s: SparkSession, d: String): DataFrame = {
+    val rf = col("l_returnflag")
+    def medianOf(df: DataFrame, v: String, out: String): DataFrame = {
+      val w = Window.partitionBy(rf).orderBy(col(v))
+      val k = (col("nn") - 1) * lit(0.5)
+      df.select(rf, col(v))
+        .withColumn("r", row_number().over(w) - 1)
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(rf)))
+        .groupBy(rf).agg(
+          max(col("n")).as("nn"),
+          max(when(col("r") === floor((col("n") - 1) * 0.5), col(v)))
+            .as("lo"),
+          max(when(col("r") === ceil((col("n") - 1) * 0.5), col(v)))
+            .as("hi"))
+        .select(rf,
+          (col("lo") + (k - floor(k)) * (col("hi") - col("lo"))).as(out))
+    }
+    val li = T.lineitem(s, d).select(rf, col("l_extendedprice"))
+    val med = medianOf(li, "l_extendedprice", "med")
+    val dev = li.join(broadcast(med), "l_returnflag")
+      .select(rf, abs(col("l_extendedprice") - col("med")).as("adev"))
+    med.join(medianOf(dev, "adev", "mad"), "l_returnflag")
+      .select(rf, Det.r4(col("med")).as("median_price"),
+        Det.r4(col("mad")).as("mad"))
+      .orderBy(rf)
+  }
+
+  private val aggMadSql =
+    s"""WITH med AS (
+       |  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+       |  FROM lineitem GROUP BY l_returnflag),
+       |d AS (
+       |  SELECT l.l_returnflag, m.med,
+       |         abs(l.l_extendedprice - m.med) AS adev
+       |  FROM lineitem l JOIN med m USING (l_returnflag))
+       |SELECT l_returnflag,
+       |       ${Det.sql4("any_value(med)")} AS median_price,
+       |       ${Det.sql4("quantile_cont(adev, 0.5)")} AS mad
+       |FROM d GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // -------------------------------------------------------------- q_agg_stats
 
   /** Second-moment statistical aggregates — `corr`, `covar_samp`,
@@ -588,6 +643,7 @@ object Reshape extends QueryModule {
     "q_win_retention" -> (winRetention _),
     "q_agg_histogram" -> (aggHistogram _),
     "q_agg_trimmed" -> (aggTrimmed _),
+    "q_agg_mad" -> (aggMad _),
     "q_win_funnel" -> (winFunnel _),
     "q_agg_approx_pct" -> (aggApproxPct _),
   )
@@ -604,6 +660,7 @@ object Reshape extends QueryModule {
     "q_win_retention" -> winRetentionSql,
     "q_agg_histogram" -> aggHistogramSql,
     "q_agg_trimmed" -> aggTrimmedSql,
+    "q_agg_mad" -> aggMadSql,
     "q_win_funnel" -> winFunnelSql,
     // q_agg_approx_pct: no oracle by design — sketch internals are
     // engine-specific; bounds vs q_agg_percentile asserted in spec

@@ -171,6 +171,26 @@ class Round6OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_mad: MAD bounded by range, median inside it, half-mass check") {
+    val rows = SparkEntry.queries("q_agg_mad")(s, SparkTestBase.sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val li = Tables.lineitem(s, SparkTestBase.sfDir)
+      .select($"l_returnflag", $"l_extendedprice").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1))).toMap
+    rows.foreach { r =>
+      val xs = li(r.getAs[String]("l_returnflag"))
+      val (med, mad) = (r.getAs[Double]("median_price"),
+        r.getAs[Double]("mad"))
+      assert(med >= xs.min && med <= xs.max)
+      assert(mad >= 0 && mad <= (xs.max - xs.min) / 2 + 1e-4)
+      // definitional: at least half the values lie within [med±mad]
+      val within = xs.count(x => math.abs(x - med) <= mad + 1e-4)
+      assert(within * 2 >= xs.length,
+        s"only $within of ${xs.length} within med±mad")
+    }
+  }
+
   test("dq_audit: expected check set, row_count matches, counts sane") {
     val a = SparkEntry.queries("q_dq_audit")(s, SparkTestBase.sfDir).collect()
     val byKey = a.map(r => (r.getAs[String]("table_name"),
