@@ -128,59 +128,78 @@ object LlmPipe extends QueryModule {
     * recursive CTE (min reachable id per node) — tractable at oracle
     * scale, exactly what the contraction avoids materializing at
     * 100 TB. */
-  private def dedupCc(s: SparkSession, d: String): DataFrame = {
-    val pairs = LlmExt.simhashPairs(s, d).select(col("da"), col("db"))
-    // the node/label frames are |dup docs| rows — a vanishing fraction
-    // of the corpus at any scale. Iterating them under the full batch
-    // shuffle-partition count pays ~rounds × partitions of empty-task
-    // scheduling; 8 is plenty for the loop (restored after). On a
-    // cluster this would be sized to |candidate nodes|, not |corpus|.
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    // AQE re-plans after every materialized stage; on the loop's
-    // KB-sized frames that driver work outweighs anything it saves
-    s.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-      dedupCcLoop(s, pairs)
-    } finally {
-      s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
-    }
+  private def dedupCc(s: SparkSession, d: String): DataFrame =
+    dedupCcLoop(loopFrame(
+      LlmExt.simhashPairs(s, d).select(col("da"), col("db"))))
+
+  /** Re-root a frame into a CHILD session pinned to loop-scale conf.
+    * The node/label frames an iterative graph query loops over are
+    * |dup docs| rows — a vanishing fraction of the corpus at any
+    * scale — so running each round under the full batch
+    * shuffle-partition count pays ~rounds × partitions of empty-task
+    * scheduling, and AQE re-plans after every materialized stage,
+    * pure driver overhead on KB-sized frames. `newSession()` shares
+    * the SparkContext (and the registered extensions) but owns its
+    * SQLConf, so nothing mutates the caller's session — the
+    * set/finally-restore pattern this replaces was a race the day two
+    * queries run concurrently. The input's derivation (the corpus
+    * scan) is planned BEFORE re-rooting, via `.rdd`, so the heavy
+    * upstream still runs at full parallelism with AQE; only the
+    * loop-side ops plan at loop size. On a cluster the pinned count
+    * would be sized to |candidate nodes|, not |corpus|. */
+  private[graft] def loopFrame(df: DataFrame): DataFrame = {
+    val ls = df.sparkSession.newSession()
+    ls.conf.set("spark.sql.shuffle.partitions", "8")
+    ls.conf.set("spark.sql.adaptive.enabled", "false")
+    ls.createDataFrame(df.rdd, df.schema)
   }
 
   /** Package-visible so the property test can drive the contraction
-    * over arbitrary random graphs against a reference union-find. */
-  private[graft] def dedupCcLoop(s: SparkSession, pairs: DataFrame): DataFrame = {
+    * over arbitrary random graphs against a reference union-find.
+    * Callers pass a loopFrame-rooted pair frame (q_llm_keeper shares
+    * one checkpointed frame between this loop and PageRank). */
+  private[graft] def dedupCcLoop(pairs: DataFrame): DataFrame = {
+    val ls = pairs.sparkSession
+    // ONE job materializes both loop invariants: edges is marked for
+    // lazy local checkpointing, labels' materialization below computes
+    // it, persists its blocks, and truncates both lineages together.
     val edges = pairs
       .union(pairs.select(col("db"), col("da")))
       .toDF("src", "dst")
-      // pin to the loop's partition count: a checkpoint inherits its
-      // parent's partitioning (32 from the corpus scan), and every
-      // per-round join would then dispatch 32 near-empty tasks per
-      // stage — ~2 stages × rounds of pure scheduling overhead on a
-      // KB-sized frame
+      // pin to the loop's partition count explicitly — the per-round
+      // joins then read co-partitioned checkpoint blocks instead of
+      // re-exchanging 32-way (a checkpoint preserves partitioning)
       .repartition(8, col("src"))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // convergence witness: labels only ever DECREASE, so the label sum
     // strictly decreases until the fixpoint — comparing two scalar
-    // sums replaces a per-round labels⨝labels diff join.
-    // sum() over zero rows is NULL (edge-free graph — a clean corpus
-    // has no simhash dup edges at all), so read it null-safely
-    def lblSum(df: DataFrame): Long =
-      Option(df.agg(sum(col("lbl"))).first().getAs[java.lang.Long](0))
-        .fold(0L)(_.toLong)
-    var prevSum = lblSum(labels)
+    // sums replaces a per-round labels⨝labels diff join. The sum is
+    // FUSED into the checkpoint materialization: localCheckpoint(lazy)
+    // marks the plan, and the one rdd.aggregate action both persists
+    // the round's blocks and returns the sum — one job per round where
+    // the eager-checkpoint-then-agg formulation paid two (the
+    // iterative family's latency is driver round-trips, not data).
+    // aggregate(0L) over zero rows is 0 (edge-free graph — a clean
+    // corpus has no simhash dup edges at all); Long math, not Double,
+    // so huge doc-id sums can't lose low bits to FP and fake a
+    // convergence equality.
+    def materialize(df: DataFrame): (DataFrame, Long) = {
+      val cp = df.localCheckpoint(false)
+      val s = cp.rdd.aggregate(0L)((a, r) => a + r.getLong(1), _ + _)
+      (cp, s)
+    }
+    var (labels, prevSum) = materialize(
+      edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl")))
     var converged = false
     var rounds = 0
     val MaxRounds = 20
     while (!converged && rounds < MaxRounds) {
       // min over the direct neighborhood — plain hash-min. Alone this
       // needs O(diameter) rounds (measured: diameter 16 on the sf0.1
-      // dup graph ⇒ 16 rounds of fixed job overhead).
+      // dup graph ⇒ 16 rounds of fixed job overhead). edges and labels
+      // are co-partitioned on the join key (8, hash), so the only
+      // exchange here is the groupBy(dst).
       val nbrMin = edges.join(labels, edges("src") === labels("id"))
         .groupBy(col("dst")).agg(min(col("lbl")).as("lbl"))
         .select(col("dst").as("id"), col("lbl"))
@@ -193,18 +212,31 @@ object LlmPipe extends QueryModule {
       // diameter); this closes in 5. lbl always names a node of the
       // same component with lbl ≤ id, so every candidate label stays
       // in-component and the fixpoint (component min) is unchanged.
-      val roots = labels.select(col("id").as("rid"), col("lbl").as("rlbl"))
-      val down = labels.join(roots, labels("lbl") === roots("rid"))
+      //
+      // ONE co-partitioned labels⨝nbrMin join (both hash-partitioned
+      // on id — zero exchanges) yields a combined (id, lbl, nm) frame
+      // that emits BOTH the self candidate least(lbl, nm) AND the
+      // up-report (root ← nm) — the separate up join of the earlier
+      // formulation is gone. The inner join is total: symmetric edges
+      // make every node somebody's dst, so nbrMin covers all of labels.
+      val combined = labels
+        .join(nbrMin.withColumnRenamed("lbl", "nm"), "id")
+      val self = combined
+        .select(col("id"), least(col("lbl"), col("nm")).as("lbl"))
+      val up = combined.select(col("lbl").as("id"), col("nm").as("lbl"))
+      // down: each node re-reads its root's freshest (post-self) label;
+      // self is already partitioned on rid = id, so only the labels
+      // side exchanges (by lbl)
+      val down = labels
+        .join(self.select(col("id").as("rid"), col("lbl").as("rlbl")),
+          labels("lbl") === col("rid"))
         .select(labels("id"), col("rlbl").as("lbl"))
-      val up = nbrMin.join(labels.withColumnRenamed("lbl", "root"), "id")
-        .select(col("root").as("id"), col("lbl"))
-      // checkpoint every round — the round plan references `labels`
-      // four times; against a materialized scan those references are
-      // free, against a live plan they'd recompute it multiplicatively
-      labels = labels.union(nbrMin).union(down).union(up)
-        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint()
-      val nextSum = lblSum(labels)
+      // self covers every id and is dominated-by-construction ≤ the old
+      // label, so the old labels frame drops out of the union
+      val (next, nextSum) = materialize(
+        self.union(up).union(down)
+          .groupBy(col("id")).agg(min(col("lbl")).as("lbl")))
+      labels = next
       converged = nextSum == prevSum
       prevSum = nextSum
       rounds += 1
@@ -307,16 +339,15 @@ object LlmPipe extends QueryModule {
     * structure) break by min doc_id; both engines sort the identical
     * r6-discretized doubles, so the pick is deterministic. */
   private def llmKeeper(s: SparkSession, d: String): DataFrame = {
-    val pairs = LlmExt.simhashPairs(s, d).select(col("da"), col("db"))
+    // the pair graph is computed once — under the PARENT session's
+    // full parallelism (loopFrame re-roots after the corpus scan
+    // plans) — checkpointed, and shared by the CC loop, the rank
+    // iteration, and the final join, all of which run at loop scale
+    // in the pinned child session
+    val pairs = loopFrame(
+      LlmExt.simhashPairs(s, d).select(col("da"), col("db")))
       .localCheckpoint()
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    s.conf.set("spark.sql.adaptive.enabled", "false")
-    val cc = try dedupCcLoop(s, pairs) finally {
-      s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
-    }
+    val cc = dedupCcLoop(pairs)
     val pr = pagerankOver(pairs)
     val w = Window.partitionBy(col("cluster"))
       .orderBy(col("rank").desc, col("doc_id"))

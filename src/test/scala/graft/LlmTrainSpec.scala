@@ -112,8 +112,12 @@ class LlmTrainSpec extends AnyFunSuite {
       val clusterRanks = cc.collect {
         case (d, (c, _)) if c == cl => pr(d)
       }
-      assert(k.getAs[Double]("keeper_rank") == clusterRanks.max,
-        "keeper carries the cluster's max rank")
+      // tolerance, not exact equality: the two ranks come from
+      // independent PageRank executions whose float sums can
+      // accumulate in different orders, and a raw value on an r6
+      // rounding boundary would flip the last digit
+      assert(math.abs(k.getAs[Double]("keeper_rank") - clusterRanks.max)
+        <= 1e-6, "keeper carries the cluster's max rank")
     }
   }
 }

@@ -135,7 +135,7 @@ class ReshapeSpec extends AnyFunSuite {
         nodes.map(v => v -> byRoot(find(v)).min).toMap
       }
       val pairs = edges.toDF("da", "db")
-      val got = graft.ops.LlmPipe.dedupCcLoop(s, pairs)
+      val got = graft.ops.LlmPipe.dedupCcLoop(graft.ops.LlmPipe.loopFrame(pairs))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       got == expected
     }
