@@ -87,10 +87,18 @@ object Bench {
     val passes = Seq(b1, b2, b3, s1, s2, s3)
     val timed = names.map { n =>
       val rs = passes.filter(_.contains(n)).map(_(n))
-      (n, rs.map(_._1).min, rs.map(_._2).find(_.isLeft).getOrElse(Right(())))
+      (n, rs.map(_._1).min, rs.map(_._1).max,
+        rs.map(_._2).find(_.isLeft).getOrElse(Right(())))
     }
-    val errors = timed.collect { case (n, _, Left(e)) => n -> e }
-    val qs = timed.map { case (n, sec, _) => s""""$n":$sec""" }
+    val errors = timed.collect { case (n, _, _, Left(e)) => n -> e }
+    val qs = timed.map { case (n, sec, _, _) => s""""$n":$sec""" }
+      .mkString("{", ",", "}")
+    // per-query [min, max] across passes: a wide spread on a query is
+    // the mechanical signature of box contention (the round-6 official
+    // record carried a 29x-inflated query that a spread column would
+    // have flagged automatically), a tight spread under a high min is a
+    // real regression
+    val spread = timed.map { case (n, lo, hi, _) => s""""$n":[$lo,$hi]""" }
       .mkString("{", ",", "}")
     // full JSON string escape incl. ALL control chars — exception
     // messages routinely carry tabs/CRs, which would corrupt the line
@@ -108,7 +116,7 @@ object Bench {
     val total = timed.map(_._2).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""errors":$errJson,"sf":"$sfDir"}"""
+        s""""spread":$spread,"errors":$errJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("/root/repo/bench_out.json"), line)
     println(line)
     spark.stop()

@@ -234,11 +234,32 @@ object NormalizeQueries extends QueryModule {
     * vectorize (ORC has its own columnar reader with predicate
     * pushdown); the temp output is RAM-backed and per-sf so verify /
     * bench passes overwrite deterministically rather than accrete. */
+  /** One shutdown hook per process deletes this process's ORC scratch
+    * dir (idempotent across repeated scanOrc calls). */
+  private val orcHooked = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def orcCleanup(root: String): Unit =
+    if (orcHooked.compareAndSet(false, true))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(new java.io.File(root))
+      }))
+
   private def scanOrc(s: SparkSession, d: String): DataFrame = {
     val shm = new java.io.File("/dev/shm")
     val base = if (shm.isDirectory && shm.canWrite) "/dev/shm"
       else sys.props.getOrElse("java.io.tmpdir", "/tmp")
-    val dir = s"$base/graft-orc/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    // per-PROCESS subdirectory: verify + bench (or two worktree runs)
+    // share /dev/shm, and a fixed path would let one process overwrite
+    // the directory while the other is mid-read. Same-process re-runs
+    // still overwrite deterministically; the hook below reclaims the
+    // RAM disk when the JVM exits (the frame is lazy, so deleting any
+    // earlier would break the caller's read).
+    val dir = s"$base/graft-orc-${ProcessHandle.current.pid}/" +
+      d.replaceAll("[^A-Za-z0-9.]", "_")
+    orcCleanup(s"$base/graft-orc-${ProcessHandle.current.pid}")
     graft.Tables.events(s, d).write.mode("overwrite").orc(dir)
     s.read.orc(dir)
       .groupBy(col("event_type"))

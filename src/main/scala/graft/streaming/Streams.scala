@@ -574,6 +574,10 @@ object Streams extends QueryModule {
       withStreamPartitions(s) {
         val q = mem.toDF().toDF("user_id", "ts", "value")
           .writeStream.outputMode("update")
+          // named so the exception-path cleanup below can find it —
+          // without queryName the finally filter can never match and a
+          // failure between start() and stop() leaks the query
+          .queryName(qn)
           .option("checkpointLocation", ckpt)
           .foreachBatch((batch: DataFrame, _: Long) => mergeBatch(batch))
           .start()

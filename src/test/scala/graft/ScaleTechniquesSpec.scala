@@ -79,6 +79,7 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     // Row-group-sized files are what keep 100 TB scans at
     // maxPartitionBytes-sized tasks instead of one task per tiny file.
     val base = Files.createTempDirectory("graft-compact").toString
+    try {
     val ev = Tables.events(s, d)
     ev.repartition(64).write.mode("overwrite").parquet(s"$base/small")
     def parquetFiles(p: String) =
@@ -102,5 +103,13 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       .collect().toSeq
     assert(a.map(r => (r.getString(0), r.getLong(1))) ==
       b.map(r => (r.getString(0), r.getLong(1))))
+    } finally {
+      // repeated runs must not accrete directories in the system tmpdir
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(base))
+    }
   }
 }
