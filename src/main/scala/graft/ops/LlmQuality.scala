@@ -476,28 +476,45 @@ object LlmQuality extends QueryModule {
 
   /** Unigram-LM cross-entropy scoring — the perplexity-filter stage of
     * CCNet/Gopher-style corpus cleaning, with the corpus itself as the
-    * language model: P(w) = corpus count / corpus total, each doc
-    * scored by avg −ln P(w) over its tokens plus the exp() of that
-    * (the perplexity proxy a filter would threshold on). Scale shape:
-    * the token explode is the standard corpus-linear pass; the LM is a
-    * map-side-combined count aggregation whose result is VOCABULARY-
-    * sized (Heaps' law keeps it broadcastable at any corpus size for
-    * word-level models — a production pipeline caps the vocab and
-    * backs off to UNK, same join shape), so scoring is a broadcast
-    * join + one reduce by doc. The corpus-total is attached to the
-    * tiny LM frame by an unpartitioned window — |vocab| rows through
-    * one task, never the corpus. */
+    * language model, vocabulary CAPPED with UNK backoff (the
+    * production formulation: a word-level vocab is Heaps-bounded but a
+    * pipeline still pins its size so the broadcast is a constant, and
+    * every out-of-vocab token scores against the aggregated tail
+    * mass): the LM keeps the top-`VocabCap` words by (count DESC, word
+    * ASC) — a total order, so both engines cut identically — and
+    * P(UNK) = (n_total − Σ in-vocab counts) / n_total. Each doc is
+    * scored by avg −ln P(w) plus the exp() of that (the perplexity
+    * proxy a filter thresholds on), with its OOV token count reported.
+    * Scale shape: the token explode is the standard corpus-linear
+    * pass; the LM is a map-side-combined count aggregation capped by
+    * orderBy().limit() — TakeOrderedAndProject, a distributed partial
+    * top-K, NOT a partition-less window over the vocab frame (the
+    * round-6 formulation; at 100 TB an uncapped vocab frame would
+    * serialize onto one task) — and the corpus totals ride in as a
+    * broadcast 1-ROW stats frame. Scoring is one broadcast left join +
+    * one reduce by doc. VocabCap = 24 < the synthetic corpus's 31-word
+    * vocab so the UNK path is exercised at every SF; production sizes
+    * it to memory (e.g. 10⁵–10⁶). */
   private def llmPerplexity(s: SparkSession, d: String): DataFrame = {
+    val VocabCap = 24
     val words = Llm.docs(s, d)
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
       .filter(length(col("w")) > 0)
-    val lm = words.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .withColumn("n_total",
-        sum(col("cnt")).over(Window.partitionBy()))
-    val nll = -log(col("cnt").cast("double") / col("n_total"))
-    words.join(broadcast(lm), "w")
+    val vocab = words.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(VocabCap)
+    // one broadcast 1-row frame carries both scalars: corpus total and
+    // the UNK tail mass (total − in-vocab sum)
+    val stats = words.agg(count(lit(1)).as("n_total"))
+      .crossJoin(vocab.agg(sum(col("cnt")).as("in_vocab")))
+      .select(col("n_total"),
+        (col("n_total") - col("in_vocab")).as("unk_cnt"))
+    val nll = -log(coalesce(col("cnt"), col("unk_cnt")).cast("double") /
+      col("n_total"))
+    words.join(broadcast(vocab), Seq("w"), "left")
+      .crossJoin(broadcast(stats))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"),
+        sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("n_oov"),
         Det.r4(avg(nll)).as("xent"),
         Det.r4(exp(avg(nll))).as("ppl"))
       .orderBy(col("doc_id"))
@@ -510,11 +527,21 @@ object LlmQuality extends QueryModule {
        |    FROM documents)
        |  WHERE length(w) > 0),
        |c AS (SELECT w, count(*) AS cnt FROM w GROUP BY w),
-       |lm AS (SELECT w, cnt, sum(cnt) OVER () AS n_total FROM c)
+       |v AS (SELECT w, cnt FROM c ORDER BY cnt DESC, w LIMIT 24),
+       |st AS (
+       |  SELECT (SELECT count(*) FROM w) AS n_total,
+       |         (SELECT count(*) FROM w) - (SELECT sum(cnt) FROM v)
+       |           AS unk_cnt)
        |SELECT doc_id, count(*) AS n_words,
-       |       ${Det.sql4("avg(-ln(cnt::DOUBLE / n_total))")} AS xent,
-       |       ${Det.sql4("exp(avg(-ln(cnt::DOUBLE / n_total)))")} AS ppl
-       |FROM w JOIN lm USING (w)
+       |       sum(CASE WHEN v.cnt IS NULL THEN 1 ELSE 0 END)::BIGINT
+       |         AS n_oov,
+       |       ${Det.sql4(
+            "avg(-ln(coalesce(v.cnt, st.unk_cnt)::DOUBLE / st.n_total))")}
+       |         AS xent,
+       |       ${Det.sql4(
+            "exp(avg(-ln(coalesce(v.cnt, st.unk_cnt)::DOUBLE / st.n_total)))")}
+       |         AS ppl
+       |FROM w LEFT JOIN v USING (w) CROSS JOIN st
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------- registry

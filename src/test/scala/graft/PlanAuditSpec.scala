@@ -37,10 +37,15 @@ class PlanAuditSpec extends AnyFunSuite {
     * the 1-row merged-sketch aggregate the same way.
     * q_llm_keeper: composes pagerankOver, inheriting its 1-row
     * node-count broadcast.
+    * q_llm_perplexity: the corpus total + UNK tail mass ride in as a
+    * broadcast 1-ROW stats frame (replacing the round-6 partition-less
+    * window over the vocab frame); the nested loop multiplies by
+    * exactly one row.
     * Everything else must justify itself here before joining. */
   private val allowlisted =
     Set("q_llm_sim_search", "q_llm_kmeans", "q_llm_tfidf",
-      "q_graph_pagerank", "q_agg_sketch_merge", "q_llm_keeper")
+      "q_graph_pagerank", "q_agg_sketch_merge", "q_llm_keeper",
+      "q_llm_perplexity")
 
   for (name <- SparkEntry.queries.keys.toSeq.sorted
        if name.startsWith("q_") && !allowlisted(name)) {

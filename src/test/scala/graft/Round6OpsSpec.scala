@@ -234,5 +234,12 @@ class Round6OpsSpec extends AnyFunSuite {
       .select(explode(split(lower($"text"), " ")).as("w"))
       .filter(length($"w") > 0).count()
     assert(totalWords == recount, "every token scored exactly once")
+    // the vocab cap (24 < the corpus's 31-word vocabulary) must BIND:
+    // some tokens score through the UNK backoff, and no doc's OOV
+    // count exceeds its token count
+    val totalOov = p.map(_.getAs[Long]("n_oov")).sum
+    assert(totalOov > 0, "vocab cap binds — UNK path exercised")
+    assert(totalOov < totalWords, "in-vocab tokens remain")
+    p.foreach(r => assert(r.getAs[Long]("n_oov") <= r.getAs[Long]("n_words")))
   }
 }
