@@ -359,44 +359,75 @@ object LlmExt extends QueryModule {
 
   // --------------------------------------------------------- q_llm_decode
 
-  /** Multimodal decode boundary: the text payload re-encoded as bytes
-    * stands in for image/audio blobs; a typed mapPartitions runs the
-    * per-partition "decoder". The decode itself is a clearly-marked
-    * DETERMINISTIC STUB (media codecs aren't in this container) — the
-    * tested surface is the real plumbing: binary column in, typed
-    * Dataset boundary, per-partition batching, metadata schema out.
-    * In production the lambda body becomes the codec call (batched,
-    * e.g. via Arrow); everything around it is unchanged. */
+  /** Multimodal decode boundary — REAL codec, not a stub (round 7):
+    * the JDK ships PNG/JPEG codecs in javax.imageio, so the decode
+    * half of the image path runs for real. Each doc_id deterministically
+    * synthesizes a tiny grayscale PNG in-query (width 1–8 × height 1–8,
+    * pixel (x,y) = (doc_id + 17x + 31y) mod 256 — a pure function of
+    * the input table, like q_llm_pii's planted contact line), and the
+    * per-partition decoder then ImageIO-reads the BYTES BACK: format
+    * sniffed from the container magic, dimensions and a full pixel
+    * checksum read from the DECODED raster. The oracle re-derives
+    * width/height/pixel_sum arithmetically — a hash match therefore
+    * proves the encode→decode round-trip is lossless, which no
+    * stubbed measurement could. Scale shape: one typed mapPartitions
+    * over the corpus, zero shuffles before the output sort; payload
+    * bytes never leave their partition (at 100 TB the binary column
+    * arrives from parquet and only metadata shuffles). In production
+    * only the synthesis line disappears; decoder, typed boundary,
+    * batching, and metadata schema are exactly this. */
   private def decode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Llm.docs(s, d)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) =>
-        // ---- STUB decoder: deterministic fake measurements ----
-        val n = bytes.length
-        val fmt = (n % 3) match {
-          case 0 => "png"; case 1 => "jpg"; case _ => "wav"
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        // per-partition init: no disk-backed ImageIO scratch files
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          // ---- deterministic payload synthesis (fixture in-query) ----
+          val w = (1 + id % 8).toInt
+          val h = (1 + (id / 8) % 8).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          for (x <- 0 until w; y <- 0 until h) {
+            val v = ((id + 17L * x + 31L * y) % 256).toInt
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          }
+          val buf = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", buf)
+          val payload = buf.toByteArray
+          // ---- REAL decode: container sniff + raster read ----
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+          val fmt = reader.getFormatName.toLowerCase
+          reader.setInput(iis)
+          val decoded = reader.read(0)
+          reader.dispose(); iis.close()
+          var pixelSum = 0L
+          for (x <- 0 until decoded.getWidth; y <- 0 until decoded.getHeight)
+            pixelSum += (decoded.getRGB(x, y) & 0xff)
+          (id, fmt, decoded.getWidth.toLong, decoded.getHeight.toLong,
+            decoded.getWidth.toLong * decoded.getHeight, pixelSum)
         }
-        // n.toLong: Int arithmetic would overflow (and diverge from
-        // the BIGINT oracle) for payloads past ~306 MB
-        (id, fmt, 64 + n % 640, (64 + (n.toLong * 7) % 480).toInt, n.toLong)
-        // ---- end stub ----
-      })
-      .toDF("doc_id", "fmt", "width", "height", "n_bytes")
-      .select(col("doc_id"), col("fmt"), col("width").cast("long"),
-        col("height").cast("long"), col("n_bytes"))
+      }
+      .toDF("doc_id", "fmt", "width", "height", "n_pixels", "pixel_sum")
       .orderBy(col("doc_id"))
   }
 
+  // the oracle predicts what a LOSSLESS decode must read back —
+  // dimensions and the checksum of the planted pixels
   private val decodeSql =
-    """SELECT doc_id,
-      |  CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'png'
-      |       WHEN 1 THEN 'jpg' ELSE 'wav' END AS fmt,
-      |  (64 + octet_length(encode(text)) % 640)::BIGINT AS width,
-      |  (64 + (octet_length(encode(text)) * 7) % 480)::BIGINT AS height,
-      |  octet_length(encode(text))::BIGINT AS n_bytes
-      |FROM documents ORDER BY doc_id""".stripMargin
+    """WITH g AS (
+      |  SELECT doc_id, 1 + doc_id % 8 AS w, 1 + (doc_id // 8) % 8 AS h
+      |  FROM documents)
+      |SELECT doc_id, 'png' AS fmt, w::BIGINT AS width, h::BIGINT AS height,
+      |       (w * h)::BIGINT AS n_pixels,
+      |       list_sum(flatten(list_transform(range(w), x ->
+      |         list_transform(range(h), y ->
+      |           (doc_id + 17 * x + 31 * y) % 256))))::BIGINT AS pixel_sum
+      |FROM g ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------- registry
 
