@@ -72,7 +72,7 @@ object LlmExt extends QueryModule {
   /** The simhash pair set under its scored name — q_llm_dedup_cc
     * (LlmPipe) clusters these edges, so both operators share one
     * definition of "near-duplicate pair". */
-  private[ops] def simhashPairs(s: SparkSession, d: String): DataFrame =
+  private[graft] def simhashPairs(s: SparkSession, d: String): DataFrame =
     dedupSimhash(s, d)
 
   /** The fingerprint CTE chain (`tok`/`sums`/`fps`) shared by the

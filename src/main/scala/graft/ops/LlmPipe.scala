@@ -325,6 +325,111 @@ object LlmPipe extends QueryModule {
        |FROM u JOIN deg ON u.src = deg.src CROSS JOIN nn
        |GROUP BY u.dst ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- q_graph_pagerank_conv
+
+  /** PageRank run to its fixpoint — the multi-iteration completion of
+    * q_graph_pagerank (which scores exactly one power step), proving
+    * the "further iterations repeat the same two shuffles" cost claim
+    * by actually iterating. Structure per the loop-harness playbook:
+    * the contribution frame (edges ⨝ outdegrees, with the node count
+    * attached from a broadcast 1-row aggregate) is checkpointed ONCE;
+    * each of the k=12 iterations is then ONE co-partitioned join
+    * (contrib and ranks both hash-partitioned on src=id — zero
+    * exchanges) plus one reduce by dst, lazily checkpointed with the
+    * Σrank mass-conservation probe FUSED into the materialization
+    * action — one Spark job per iteration, the dedupCcLoop discipline.
+    * Cross-engine determinism: ranks are r6-discretized EVERY
+    * iteration on both engines, so each iteration's inputs are
+    * bit-identical and FP summation-order noise (~1e-17) cannot
+    * compound across 12 rounds (the q_llm_kmeans discretized-inputs
+    * argument, iterated). 12 iterations reach the fixpoint of the
+    * discretized map on this graph family (sf0.1 measured: stable by
+    * ~iteration 9); the oracle unrolls the same 12 as chained CTEs.
+    * Undirected graph ⇒ no dangling mass; the probe requires
+    * |Σrank − 1| ≤ n·5e-7 (each r6 floor forfeits < 5e-7 of mass). */
+  private val PrIters = 12
+
+  /** Package-visible so the spec can read the per-iteration masses and
+    * compare iteration counts (fixpoint stability). */
+  private[graft] def pagerankConvOver(pairs: DataFrame,
+      iters: Int = PrIters): (DataFrame, Seq[Double]) = {
+    val edges = pairs
+      .union(pairs.select(col("db"), col("da")))
+      .toDF("src", "dst")
+      .repartition(8, col("src"))
+      .localCheckpoint(false)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val n = deg.agg(count(lit(1)).as("n"))
+    // contributions scaffold: (src, dst, outdeg, n), partitioned on src
+    val contrib = edges.join(deg, "src").crossJoin(broadcast(n))
+      .localCheckpoint(false)
+    // fused materialization: one action computes the frame, persists
+    // the checkpoint blocks, and returns (row count, Σrank)
+    def materialize(df: DataFrame): (DataFrame, Long, Double) = {
+      val cp = df.localCheckpoint(false)
+      val (cnt, mass) = cp.rdd
+        .aggregate((0L, 0.0))(
+          (a, r) => (a._1 + 1, a._2 + r.getDouble(1)),
+          (a, b) => (a._1 + b._1, a._2 + b._2))
+      (cp, cnt, mass)
+    }
+    var (ranks, nNodes, mass0) = materialize(
+      deg.crossJoin(broadcast(n))
+        .select(col("src").as("id"),
+          Det.r6(lit(1.0) / col("n")).as("rank")))
+    val masses = Seq.newBuilder[Double]
+    masses += mass0
+    for (_ <- 1 to iters) {
+      val next = contrib.join(ranks, contrib("src") === ranks("id"))
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") / col("outdeg")).as("inmass"),
+          max(col("n")).as("nn"))
+        .select(col("dst").as("id"),
+          Det.r6(lit(0.15) / col("nn") + lit(0.85) * col("inmass"))
+            .as("rank"))
+      val (cp, cnt, mass) = materialize(next)
+      ranks = cp
+      // loud mass-conservation gate (skip on an edge-free graph, where
+      // every frame is empty and the query legitimately returns 0 rows)
+      require(cnt == 0 || math.abs(mass - 1.0) <= nNodes * 5e-7,
+        f"PageRank mass drifted: |$mass%.9f - 1| > n*5e-7 (n=$nNodes)")
+      masses += mass
+    }
+    (ranks.select(col("id").as("doc_id"), col("rank")), masses.result())
+  }
+
+  private def graphPagerankConv(s: SparkSession, d: String): DataFrame =
+    pagerankConvOver(loopFrame(
+      LlmExt.simhashPairs(s, d).select(col("da"), col("db"))))._1
+      .orderBy(col("doc_id"))
+
+  private val graphPagerankConvSql = {
+    val iter = (prev: String, cur: String) =>
+      s"""$cur AS (
+         |  SELECT u.dst AS id,
+         |         ${Det.sql6(
+              "0.15 / any_value(nn.n) + " +
+              s"0.85 * sum(p.rank / deg.outdeg)")} AS rank
+         |  FROM u JOIN deg ON u.src = deg.src
+         |         JOIN $prev p ON u.src = p.id CROSS JOIN nn
+         |  GROUP BY u.dst)"""
+    val chain = (1 to PrIters)
+      .map(i => iter(s"pr${i - 1}", s"pr$i")).mkString(",\n")
+    s"""WITH ${LlmExt.simhashFpsCtes},
+       |e AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b
+       |  FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+       |u AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+       |deg AS (SELECT src, count(*) AS outdeg FROM u GROUP BY src),
+       |nn AS (SELECT count(*) AS n FROM deg),
+       |pr0 AS (
+       |  SELECT src AS id, ${Det.sql6("1.0 / nn.n")} AS rank
+       |  FROM deg CROSS JOIN nn),
+       |$chain
+       |SELECT id AS doc_id, rank FROM pr$PrIters ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------- q_llm_keeper
 
   /** The curation step the dedup stack exists for: cluster the
@@ -459,6 +564,7 @@ object LlmPipe extends QueryModule {
     "q_llm_dedup_cc" -> (dedupCc _),
     "q_llm_dedup_substr" -> (dedupSubstr _),
     "q_graph_pagerank" -> (graphPagerank _),
+    "q_graph_pagerank_conv" -> (graphPagerankConv _),
     "q_llm_keeper" -> (llmKeeper _),
   )
 
@@ -468,6 +574,7 @@ object LlmPipe extends QueryModule {
     "q_llm_dedup_cc" -> dedupCcSql,
     "q_llm_dedup_substr" -> dedupSubstrSql,
     "q_graph_pagerank" -> graphPagerankSql,
+    "q_graph_pagerank_conv" -> graphPagerankConvSql,
     "q_llm_keeper" -> llmKeeperSql,
   )
 }
