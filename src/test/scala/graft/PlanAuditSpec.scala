@@ -56,4 +56,51 @@ class PlanAuditSpec extends AnyFunSuite {
         assert(!plan.contains(b), s"$b in $name plan:\n$plan")
     }
   }
+
+  /** Pushdown/pruning regression gate (round 7): the "unpruned scan"
+    * scale-killer — a scan reading all columns for a 3-column
+    * projection, or filtering after the read instead of inside it —
+    * was previously only prose; these assertions make it executable.
+    * The strings below are the FileSourceScan's own rendering of what
+    * reached the parquet reader: if a refactor reorders projections or
+    * wraps a filter column in an expression, the filter silently stops
+    * pushing and these fail with the full plan printed. */
+  // formatted mode: the plain executedPlan.toString truncates long
+  // PushedFilters/ReadSchema lists with "...", which would hide the
+  // very atoms under test
+  private def scanPlan(name: String): String =
+    SparkEntry.queries(name)(s, sf).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q_scan_parquet pushes its filter and prunes to 3 columns") {
+    val p = scanPlan("q_scan_parquet")
+    assert(p.contains("LessThan(l_quantity,10.0)"), s"filter not pushed:\n$p")
+    assert(p.contains(
+      "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"),
+      s"scan not pruned to the projection:\n$p")
+  }
+
+  test("q_filter_pred pushes every predicate atom and prunes the scan") {
+    val p = scanPlan("q_filter_pred")
+    for (atom <- Seq(
+      "Or(EqualTo(l_returnflag,R),EqualTo(l_linestatus,F))",
+      "GreaterThanOrEqual(l_quantity,5.0)",
+      "LessThanOrEqual(l_quantity,15.0)",
+      "In(l_returnflag, [A,R])",
+      "IsNotNull(l_shipdate)",
+      "StringContains(l_returnflag,R)"))
+      assert(p.contains(atom), s"predicate '$atom' not pushed:\n$p")
+    // 5 projected + 1 filter-only column, nothing else
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity:double,l_returnflag:string,l_linestatus:string," +
+      "l_shipdate:timestamp_ntz>"),
+      s"scan not pruned to projection+filter columns:\n$p")
+  }
+
+  test("q_proj_rename prunes the orders scan to its 3 source columns") {
+    val p = scanPlan("q_proj_rename")
+    assert(p.contains(
+      "ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string,o_totalprice:double>"),
+      s"scan not pruned to the projection:\n$p")
+  }
 }
