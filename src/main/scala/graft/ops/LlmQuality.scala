@@ -472,6 +472,84 @@ object LlmQuality extends QueryModule {
        |       ${Det.sql6("score")} AS tfidf
        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  // -------------------------------------------------------- q_llm_dedup_url
+
+  /** URL-level dedup after canonicalization — the cheapest dedup stage
+    * a web corpus runs (Dolma/CC pipelines drop exact-URL re-crawls
+    * BEFORE any content pass; at 100 TB it replaces a content scan
+    * with a metadata scan). The documents table carries no URL, so a
+    * deterministic one is synthesized per doc with PLANTED variant
+    * noise, each a pure function of doc_id (the q_llm_pii pattern):
+    * host site{id%7}.example.com, path /art/{id%13}, plus a www.
+    * prefix (id%7=0), trailing slash (id%2=0), utm_source tracking
+    * param (id%3=0), real page param that must SURVIVE (id%11=0), and
+    * a fragment (id%5=0). Canonicalization is a codegen'd
+    * regexp_replace chain — strip fragment, strip www, drop the utm
+    * param while keeping real ones, collapse '/?'→'?' and the trailing
+    * slash — then ONE map-side-combined hash agg per canonical URL:
+    * doc count, distinct-raw-form count (>1 proves the chain merged
+    * genuinely different strings), min-doc keeper. Shuffle volume is
+    * |distinct URLs| short strings, independent of document size. */
+  private def dedupUrl(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val raw = concat(lit("https://"),
+      when(id % 7 === 0, lit("www.")).otherwise(lit("")),
+      lit("site"), id % 7, lit(".example.com/art/"), id % 13,
+      when(id % 2 === 0, lit("/")).otherwise(lit("")),
+      when(id % 3 === 0, lit("?utm_source=feed")).otherwise(lit("")),
+      when(id % 11 === 0,
+        concat(when(id % 3 === 0, lit("&")).otherwise(lit("?")),
+          lit("page=2"))).otherwise(lit("")),
+      when(id % 5 === 0, lit("#section-1")).otherwise(lit("")))
+    val canon =
+      Seq[Column => Column](
+        u => regexp_replace(u, lit("#[a-z0-9-]*$"), lit("")),
+        u => regexp_replace(u, lit("://www\\."), lit("://")),
+        u => regexp_replace(u, lit("\\?utm_source=feed&"), lit("?")),
+        u => regexp_replace(u, lit("\\?utm_source=feed$"), lit("")),
+        u => regexp_replace(u, lit("/\\?"), lit("?")),
+        u => regexp_replace(u, lit("/$"), lit("")))
+        .foldLeft(raw)((u, f) => f(u))
+    Llm.docs(s, d)
+      .select(id, raw.as("raw_url"), canon.as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("raw_url")).as("n_raw_forms"),
+        min(col("doc_id")).as("keeper_doc"))
+      .orderBy(col("canonical_url"))
+  }
+
+  private val dedupUrlSql =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |         'https://' ||
+      |         CASE WHEN doc_id % 7 = 0 THEN 'www.' ELSE '' END ||
+      |         'site' || (doc_id % 7) || '.example.com/art/' ||
+      |         (doc_id % 13) ||
+      |         CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+      |         CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed' ELSE '' END ||
+      |         CASE WHEN doc_id % 11 = 0 THEN
+      |           (CASE WHEN doc_id % 3 = 0 THEN '&' ELSE '?' END) || 'page=2'
+      |           ELSE '' END ||
+      |         CASE WHEN doc_id % 5 = 0 THEN '#section-1' ELSE '' END
+      |           AS raw_url
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, raw_url,
+      |         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |           regexp_replace(regexp_replace(raw_url,
+      |           '#[a-z0-9-]*$', ''),
+      |           '://www\.', '://'),
+      |           '\?utm_source=feed&', '?'),
+      |           '\?utm_source=feed$', ''),
+      |           '/\?', '?'),
+      |           '/$', '') AS canonical_url
+      |  FROM u)
+      |SELECT canonical_url, count(*) AS n_docs,
+      |       count(DISTINCT raw_url) AS n_raw_forms,
+      |       min(doc_id) AS keeper_doc
+      |FROM c GROUP BY canonical_url ORDER BY canonical_url""".stripMargin
+
   // -------------------------------------------------------- q_llm_perplexity
 
   /** Unigram-LM cross-entropy scoring — the perplexity-filter stage of
@@ -554,6 +632,7 @@ object LlmQuality extends QueryModule {
     "q_llm_dedup_apply" -> (dedupApply _),
     "q_llm_decontaminate" -> (decontaminate _),
     "q_llm_tfidf" -> (tfidf _),
+    "q_llm_dedup_url" -> (dedupUrl _),
     "q_llm_perplexity" -> (llmPerplexity _),
   )
 
@@ -565,6 +644,7 @@ object LlmQuality extends QueryModule {
     "q_llm_dedup_apply" -> dedupApplySql,
     "q_llm_decontaminate" -> decontaminateSql,
     "q_llm_tfidf" -> tfidfSql,
+    "q_llm_dedup_url" -> dedupUrlSql,
     "q_llm_perplexity" -> llmPerplexitySql,
   )
 }
