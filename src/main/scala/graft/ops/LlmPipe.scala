@@ -116,7 +116,9 @@ object LlmPipe extends QueryModule {
     * neighborhood, re-reads its current root's label, and reports its
     * neighborhood min up to that root — so discoveries fan through
     * hub nodes and the label forest flattens in O(log) rounds
-    * (measured on the sf0.1 dup graph: 5–7 rounds vs 16 = graph
+    * (measured with the round-7 fused formulation: 8 rounds on the
+    * sf0.1 dup graph — incl. the final no-change round the sum probe
+    * needs to observe the fixpoint — and 2 at sf0.01, vs 16 = graph
     * diameter for plain hash-min). Each round is a handful of small
     * shuffle joins + one min-aggregation over |dup candidates| rows —
     * a vanishing fraction of the corpus — checkpointed per round to
@@ -209,7 +211,8 @@ object LlmPipe extends QueryModule {
       // each round and broadcast them back the next — low-id regions
       // merge through hubs instead of one edge-hop per round. Plain
       // hash-min measured 16 rounds on the sf0.1 dup graph (= its
-      // diameter); this closes in 5. lbl always names a node of the
+      // diameter); this closes in 8 there (2 at sf0.01), fixpoint-
+      // confirmation round included. lbl always names a node of the
       // same component with lbl ≤ id, so every candidate label stays
       // in-component and the fixpoint (component min) is unchanged.
       //

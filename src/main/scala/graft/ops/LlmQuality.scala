@@ -490,6 +490,20 @@ object LlmQuality extends QueryModule {
     * doc count, distinct-raw-form count (>1 proves the chain merged
     * genuinely different strings), min-doc keeper. Shuffle volume is
     * |distinct URLs| short strings, independent of document size. */
+  /** The canonicalization chain, package-visible so the spec can
+    * assert IDEMPOTENCE (canon∘canon = canon — a non-idempotent
+    * canonicalizer silently splits groups on incremental re-crawls
+    * where stored keys are already canonical). */
+  private[graft] def canonicalizeUrl(u: Column): Column =
+    Seq[Column => Column](
+      c => regexp_replace(c, lit("#[a-z0-9-]*$"), lit("")),
+      c => regexp_replace(c, lit("://www\\."), lit("://")),
+      c => regexp_replace(c, lit("\\?utm_source=feed&"), lit("?")),
+      c => regexp_replace(c, lit("\\?utm_source=feed$"), lit("")),
+      c => regexp_replace(c, lit("/\\?"), lit("?")),
+      c => regexp_replace(c, lit("/$"), lit("")))
+      .foldLeft(u)((acc, f) => f(acc))
+
   private def dedupUrl(s: SparkSession, d: String): DataFrame = {
     val id = col("doc_id")
     val raw = concat(lit("https://"),
@@ -501,17 +515,8 @@ object LlmQuality extends QueryModule {
         concat(when(id % 3 === 0, lit("&")).otherwise(lit("?")),
           lit("page=2"))).otherwise(lit("")),
       when(id % 5 === 0, lit("#section-1")).otherwise(lit("")))
-    val canon =
-      Seq[Column => Column](
-        u => regexp_replace(u, lit("#[a-z0-9-]*$"), lit("")),
-        u => regexp_replace(u, lit("://www\\."), lit("://")),
-        u => regexp_replace(u, lit("\\?utm_source=feed&"), lit("?")),
-        u => regexp_replace(u, lit("\\?utm_source=feed$"), lit("")),
-        u => regexp_replace(u, lit("/\\?"), lit("?")),
-        u => regexp_replace(u, lit("/$"), lit("")))
-        .foldLeft(raw)((u, f) => f(u))
     Llm.docs(s, d)
-      .select(id, raw.as("raw_url"), canon.as("canonical_url"))
+      .select(id, raw.as("raw_url"), canonicalizeUrl(raw).as("canonical_url"))
       .groupBy(col("canonical_url"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("raw_url")).as("n_raw_forms"),

@@ -37,4 +37,15 @@ class Round7OpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_raw_forms") <= r.getAs[Long]("n_docs"))
     }
   }
+
+  test("llm_dedup_url: canonicalization is idempotent on its own output") {
+    // a non-idempotent canonicalizer splits groups on incremental
+    // re-crawls, where stored keys are already canonical
+    val canon = SparkEntry.queries("q_llm_dedup_url")(s, SparkTestBase.sfDir)
+      .select($"canonical_url")
+    val twice = canon.select($"canonical_url",
+      graft.ops.LlmQuality.canonicalizeUrl($"canonical_url").as("again"))
+      .filter($"canonical_url" =!= $"again")
+    assert(twice.isEmpty, "canon(canon(u)) must equal canon(u)")
+  }
 }
