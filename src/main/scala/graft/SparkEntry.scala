@@ -17,6 +17,7 @@ object SparkEntry {
     graft.ops.Llm,
     graft.ops.LlmExt,
     graft.ops.LlmQuality,
+    graft.ops.LlmCorpus,
     graft.ops.LlmPipe,
     graft.ops.LlmTrain,
     graft.ops.Lakehouse,

@@ -559,6 +559,67 @@ object LlmPipe extends QueryModule {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------ q_graph_triangles
+
+  /** Per-node triangle counts + degree over the simhash dup-pair graph
+    * — the cluster-shape diagnostic the curation stack reads BEFORE
+    * collapsing: triangle-dense clusters are clique-like (mutual
+    * near-dups, safe to keep one copy), triangle-free chains are
+    * borderline transitive merges (each hop barely a dup — the CC
+    * cluster may be over-merged). Algorithm: the oriented "forward"
+    * method on the existing a<b edge orientation — wedge join
+    * e(a,b)⨝e(b,c) (both sides ordered, so a<b<c) probed against the
+    * closing edge e(a,c); every triangle is found EXACTLY once, no
+    * post-hoc /6 dedup. Candidate volume is Σ outdeg² of the
+    * orientation — the bound the degree-ordered production variant
+    * optimizes at 100 TB (orienting low→high degree makes it
+    * O(m^1.5)); id order stands in here since the dup graph is
+    * near-regular. The pair subplan (the full simhash build) is
+    * checkpointed ONCE and feeds wedge, closure probe, and degree —
+    * three reuses, one computation, the dedupNgram materialization
+    * discipline. */
+  private def graphTriangles(s: SparkSession, d: String): DataFrame = {
+    val e = LlmExt.simhashPairs(s, d)
+      .select(col("da").as("a"), col("db").as("b"))
+      .localCheckpoint()
+    // wedge a<b<c: both edge copies carry the a<b invariant, so the
+    // shared endpoint b sits between a and c by construction
+    val wedges = e.toDF("a", "b").join(e.toDF("b", "c"), "b")
+      .select(col("a"), col("b"), col("c"))
+    val tri = wedges.join(e.toDF("a", "c"), Seq("a", "c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    val degrees = e
+      .select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    perNode.join(degrees, "node")
+      .select(col("node").as("doc_id"), col("degree"), col("n_triangles"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val graphTrianglesSql =
+    s"""WITH ${LlmExt.simhashFpsCtes},
+       |e AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b
+       |  FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+       |tri AS (
+       |  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+       |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+       |       JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b),
+       |nt AS (
+       |  SELECT node, count(*) AS n_triangles
+       |  FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+       |  GROUP BY node),
+       |dg AS (
+       |  SELECT node, count(*) AS degree
+       |  FROM (SELECT unnest([a, b]) AS node FROM e)
+       |  GROUP BY node)
+       |SELECT nt.node AS doc_id, dg.degree, nt.n_triangles
+       |FROM nt JOIN dg ON nt.node = dg.node
+       |ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -568,6 +629,7 @@ object LlmPipe extends QueryModule {
     "q_llm_dedup_substr" -> (dedupSubstr _),
     "q_graph_pagerank" -> (graphPagerank _),
     "q_graph_pagerank_conv" -> (graphPagerankConv _),
+    "q_graph_triangles" -> (graphTriangles _),
     "q_llm_keeper" -> (llmKeeper _),
   )
 
@@ -578,6 +640,7 @@ object LlmPipe extends QueryModule {
     "q_llm_dedup_substr" -> dedupSubstrSql,
     "q_graph_pagerank" -> graphPagerankSql,
     "q_graph_pagerank_conv" -> graphPagerankConvSql,
+    "q_graph_triangles" -> graphTrianglesSql,
     "q_llm_keeper" -> llmKeeperSql,
   )
 }

@@ -41,11 +41,15 @@ class PlanAuditSpec extends AnyFunSuite {
     * broadcast 1-ROW stats frame (replacing the round-6 partition-less
     * window over the vocab frame); the nested loop multiplies by
     * exactly one row.
+    * q_llm_boilerplate / q_llm_colloc: the same 1-row-scalar pattern —
+    * corpus doc count (boilerplate's df cut) and corpus token total
+    * (colloc's PMI normalizer) each ride in as a broadcast 1-row
+    * aggregate.
     * Everything else must justify itself here before joining. */
   private val allowlisted =
     Set("q_llm_sim_search", "q_llm_kmeans", "q_llm_tfidf",
       "q_graph_pagerank", "q_agg_sketch_merge", "q_llm_keeper",
-      "q_llm_perplexity")
+      "q_llm_perplexity", "q_llm_boilerplate", "q_llm_colloc")
 
   for (name <- SparkEntry.queries.keys.toSeq.sorted
        if name.startsWith("q_") && !allowlisted(name)) {

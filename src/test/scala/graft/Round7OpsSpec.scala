@@ -48,4 +48,76 @@ class Round7OpsSpec extends AnyFunSuite {
       .filter($"canonical_url" =!= $"again")
     assert(twice.isEmpty, "canon(canon(u)) must equal canon(u)")
   }
+
+  test("graph_triangles: counts match a brute-force check on the edge set") {
+    val rows = SparkEntry.queries("q_graph_triangles")(s, SparkTestBase.sfDir)
+      .collect()
+    assert(rows.nonEmpty, "the dup graph has triangles at every SF")
+    // per-node totals sum to 3 x triangle count, and no node exceeds
+    // its wedge bound C(degree, 2)
+    rows.foreach { r =>
+      val deg = r.getAs[Long]("degree")
+      val nt = r.getAs[Long]("n_triangles")
+      assert(nt >= 1 && nt <= deg * (deg - 1) / 2,
+        s"triangles at a node are bounded by its wedges: $r")
+    }
+    assert(rows.map(_.getAs[Long]("n_triangles")).sum % 3 == 0,
+      "each triangle touches exactly 3 nodes")
+    // brute force over the (small) collected edge set
+    val edges = graft.ops.LlmExt.simhashPairs(s, SparkTestBase.sfDir)
+      .select($"da", $"db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val triCount = scala.collection.mutable.Map.empty[Long, Long]
+    for {
+      (a, b) <- edges
+      c <- nodes if c > b && edges.contains((b, c)) && edges.contains((a, c))
+    } Seq(a, b, c).foreach(n => triCount(n) = triCount.getOrElse(n, 0L) + 1)
+    val got = rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("n_triangles")).toMap
+    assert(got == triCount.toMap, "distributed counts == brute force")
+  }
+
+  test("llm_boilerplate: planted footer detected in every doc, body spared") {
+    val rows = SparkEntry.queries("q_llm_boilerplate")(s, SparkTestBase.sfDir)
+      .collect()
+    val nDocs = Tables.documents(s, SparkTestBase.sfDir).count()
+    assert(rows.length == nDocs, "one row per document")
+    rows.foreach { r =>
+      val nl = r.getAs[Long]("n_lines")
+      val nb = r.getAs[Long]("n_boiler")
+      // the planted footer always crosses the df cut (df ~ N/7 >> 5% N)
+      assert(nb >= 1, s"footer missed: $r")
+      assert(nb <= nl, s"boiler lines bounded by lines: $r")
+      val frac = r.getAs[Double]("boiler_frac")
+      assert(frac > 0.0 && frac <= 1.0)
+    }
+    // the detector is selective: most lines are content, not chrome
+    val totLines = rows.map(_.getAs[Long]("n_lines")).sum
+    val totBoiler = rows.map(_.getAs[Long]("n_boiler")).sum
+    assert(totBoiler.toDouble / totLines < 0.5,
+      "boilerplate is a minority of lines")
+  }
+
+  test("llm_colloc: support floor, marginal bounds, PMI identity + ordering") {
+    val rows = SparkEntry.queries("q_llm_colloc")(s, SparkTestBase.sfDir)
+      .collect()
+    assert(rows.length == 20)
+    val nTok = Tables.documents(s, SparkTestBase.sfDir)
+      .select(explode(split($"text", " ")).as("t")).count()
+    rows.foreach { r =>
+      val (nxy, nx, ny) = (r.getAs[Long]("n_xy"), r.getAs[Long]("n_x"),
+        r.getAs[Long]("n_y"))
+      assert(nxy >= 5, "support floor")
+      assert(nx >= nxy && ny >= nxy, "joint count bounded by marginals")
+      // the reported PMI is exactly ln(n_xy N / (n_x n_y)), r6
+      val want = math.floor(
+        math.log(nxy.toDouble * nTok / (nx.toDouble * ny)) * 1e6 + 0.5) / 1e6
+      assert(math.abs(r.getAs[Double]("pmi") - want) < 1e-9,
+        s"PMI identity: $r vs $want")
+    }
+    val pmis = rows.map(_.getAs[Double]("pmi"))
+    assert(pmis.zip(pmis.tail).forall { case (a, b) => a >= b },
+      "top-k is ordered by PMI desc")
+  }
 }
