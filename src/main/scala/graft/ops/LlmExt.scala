@@ -429,12 +429,112 @@ object LlmExt extends QueryModule {
       |           (doc_id + 17 * x + 31 * y) % 256))))::BIGINT AS pixel_sum
       |FROM g ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------- q_llm_semdedup
+
+  /** SemDeDup-style semantic pruning (Abbas et al. 2023): inside each
+    * embedding cluster, when two members are semantic near-duplicates
+    * (cosine ≥ the q_llm_dedup_embed threshold), DROP the more
+    * REDUNDANT one — the member closer to the cluster centroid — and
+    * keep the outlier, preserving the cluster's diversity (the
+    * opposite keeper rule from min-id dedup, and the reason SemDeDup
+    * beats random pruning at equal token budgets). Composes the
+    * family's pieces: the [[ivfCell]] grid stands in for the trained
+    * k-means clustering, the near-dup pair definition IS
+    * q_llm_dedup_embed's, and the centroid build is q_llm_centroid's
+    * posexplode + hash agg scoped per cell.
+    *
+    * Scale shape: the embedding frame is checkpointed ONCE and feeds
+    * centroid build, both pair-join sides, and scoring; centroids are
+    * |cells|·dims partial sums (map-side combine) reassembled to
+    * |cells| vectors that BROADCAST back; the pair join is co-
+    * partitioned on cell (never n² across cells); the drop-rule join
+    * touches |pairs| rows. Determinism: centroid components are
+    * r6-discretized BEFORE the cosine (both engines then feed
+    * identical doubles into the dot product; summation-order noise
+    * ~1e-15 vs the 1e-6 grid), cos-to-centroid is r6-discretized, and
+    * the per-pair drop rule breaks exact ties toward the higher
+    * vec_id. */
+  private def semdedup(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = T.par(s, T.embeddings(s, d))
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+      .withColumn("cell", ivfCell(col("e")))
+      .withColumn("nrm", sqrt(expr("graft_dot(e, e)")))
+      .localCheckpoint()
+    val cent = e.select(col("cell"), posexplode(col("e")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(Det.r6(avg(col("col"))).as("c"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cv"))
+      .withColumn("cnrm", sqrt(expr("graft_dot(cv, cv)")))
+    val scored = e.join(broadcast(cent), "cell")
+      .select(col("vec_id"), col("cell"),
+        Det.r6(expr("graft_dot(e, cv)") / (col("nrm") * col("cnrm")))
+          .as("cos_centroid"))
+    val cos = expr("graft_dot(a.e, b.e)") / (col("a.nrm") * col("b.nrm"))
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.cell") === col("b.cell") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        Det.r4(cos).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.35)
+    val sa = scored.select(col("vec_id").as("va"), col("cos_centroid").as("ca"))
+    val sb = scored.select(col("vec_id").as("vb"), col("cos_centroid").as("cb"))
+    val dropped = pairs.join(sa, "va").join(sb, "vb")
+      .select(when(col("ca") > col("cb"), col("va"))
+        .when(col("cb") > col("ca"), col("vb"))
+        .otherwise(greatest(col("va"), col("vb"))).as("vec_id"))
+      .distinct()
+    scored.join(dropped, "vec_id")
+      .select(col("vec_id"), col("cell"), col("cos_centroid"))
+      .orderBy(col("vec_id"))
+  }
+
+  private lazy val semdedupSql =
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |e AS (SELECT vec_id, v, ${ivfCellSql("v")} AS cell,
+       |             sqrt(list_dot_product(v, v)) AS nrm
+       |      FROM e0),
+       |cent AS (
+       |  SELECT cell, i, ${Det.sql6("avg(v[i])")} AS c
+       |  FROM e, range(1, 65) t(i) GROUP BY cell, i),
+       |cn AS (SELECT cell, sqrt(sum(c * c)) AS cnrm FROM cent GROUP BY cell),
+       |dc AS (
+       |  SELECT e.vec_id, e.cell, sum(e.v[cent.i] * cent.c) AS dp
+       |  FROM e JOIN cent ON cent.cell = e.cell
+       |  GROUP BY e.vec_id, e.cell),
+       |sc AS (
+       |  SELECT dc.vec_id, dc.cell,
+       |         ${Det.sql6("dc.dp / (e.nrm * cn.cnrm)")} AS cos_centroid
+       |  FROM dc JOIN e ON e.vec_id = dc.vec_id
+       |          JOIN cn ON cn.cell = dc.cell),
+       |p AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb
+       |  FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE floor((list_dot_product(a.v, b.v) /
+       |               (sqrt(list_dot_product(a.v, a.v)) *
+       |                sqrt(list_dot_product(b.v, b.v)))) * 10000 + 0.5)
+       |          / 10000 >= 0.35),
+       |drp AS (
+       |  SELECT DISTINCT
+       |         CASE WHEN sa.cos_centroid > sb.cos_centroid THEN p.va
+       |              WHEN sb.cos_centroid > sa.cos_centroid THEN p.vb
+       |              ELSE greatest(p.va, p.vb) END AS vec_id
+       |  FROM p JOIN sc sa ON sa.vec_id = p.va
+       |         JOIN sc sb ON sb.vec_id = p.vb)
+       |SELECT sc.vec_id AS vec_id, sc.cell, sc.cos_centroid
+       |FROM sc JOIN drp ON sc.vec_id = drp.vec_id
+       |ORDER BY sc.vec_id""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_dedup_simhash" -> (dedupSimhash _),
     "q_llm_dedup_embed" -> (dedupEmbed _),
     "q_llm_sim_ann" -> (simAnn _),
+    "q_llm_semdedup" -> (semdedup _),
     "q_llm_lang_id" -> (langId _),
     "q_llm_fingerprint" -> (fingerprint _),
     "q_llm_tokenize" -> (tokenize _),
@@ -445,6 +545,7 @@ object LlmExt extends QueryModule {
     "q_llm_dedup_simhash" -> dedupSimhashSql,
     "q_llm_dedup_embed" -> dedupEmbedSql,
     "q_llm_sim_ann" -> simAnnSql,
+    "q_llm_semdedup" -> semdedupSql,
     "q_llm_lang_id" -> langIdSql,
     "q_llm_fingerprint" -> fingerprintSql,
     "q_llm_tokenize" -> tokenizeSql,

@@ -147,6 +147,29 @@ object LlmQuality extends QueryModule {
   private val stopwords =
     Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
 
+  /** The composite quality score over a `text` column, package-visible
+    * so q_llm_sample_importance (LlmTrain) samples with EXACTLY the
+    * scoring function q_llm_quality reports — a sampler keyed to a
+    * near-copy of the filter score silently diverges from the filter. */
+  private[ops] def qualityScore: Column = {
+    val w = split(col("text"), " ")
+    val nTok = size(w).cast("double")
+    val ttr = size(array_distinct(w)).cast("double") / nTok
+    val stopRatio =
+      size(filter(w, x => x.isin(stopwords: _*))).cast("double") / nTok
+    Det.r4(least(lit(1.0), nTok / 300.0) *
+      (lit(0.4) + lit(0.3) * ttr + lit(0.3) * (lit(1.0) - stopRatio)))
+  }
+
+  /** The identical DuckDB rendering over a word-list expression. */
+  private[ops] def qualityScoreSql(w: String): String = {
+    val in = stopwords.map(s => s"'$s'").mkString(", ")
+    s"""floor(least(1.0, len($w) / 300.0) *
+       |          (0.4 + 0.3 * (len(list_distinct($w))::DOUBLE / len($w)) +
+       |           0.3 * (1.0 - len(list_filter($w, x -> x IN ($in)))::DOUBLE
+       |                        / len($w))) * 10000 + 0.5) / 10000""".stripMargin
+  }
+
   /** Per-document quality scoring: token count, mean word length
     * (text is single-space-joined, so chars-sans-spaces / tokens),
     * type-token ratio, stopword ratio, a composite score, and a
@@ -162,8 +185,7 @@ object LlmQuality extends QueryModule {
     val stopRatio =
       size(filter(w, x => x.isin(stopwords: _*))).cast("double") / nTok
     val meanWl = (col("n_chars") - (nTok - 1)) / nTok
-    val score = Det.r4(least(lit(1.0), nTok / 300.0) *
-      (lit(0.4) + lit(0.3) * ttr + lit(0.3) * (lit(1.0) - stopRatio)))
+    val score = qualityScore
     Llm.docs(s, d)
       .select(col("doc_id"), col("lang"),
         size(w).cast("long").as("n_tokens"),

@@ -312,6 +312,59 @@ object LlmTrain extends QueryModule {
        |       ${Det.sql6("count(*)::DOUBLE / min(n_lang)")} AS kept_ratio
        |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ------------------------------------------------ q_llm_sample_importance
+
+  /** Quality-weighted importance sampling — the data-selection stage
+    * (the DSIR / quality-classifier-resampling family: Xie et al.
+    * 2023): each document's inclusion probability IS its quality
+    * score, so high-quality docs survive at their score rate and junk
+    * is mostly dropped, shifting the kept distribution toward quality
+    * without a hard cutoff. Keep doc ⇔ u(doc) < score(doc), where u
+    * is the portable 60-bit md5 key-hash scaled to [0,1) — the
+    * q_sample_hash reproducibility argument (pure projection: re-runs,
+    * engines, partitionings and retries agree row-for-row; a seeded
+    * RNG agrees on none of those), and score is EXACTLY
+    * q_llm_quality's composite ([[LlmQuality.qualityScore]], shared
+    * code — a sampler keyed to a near-copy of the filter silently
+    * diverges from the filter). Per-language report: doc counts,
+    * kept counts, the target rate (avg score = expected keep rate)
+    * next to the realized rate — the two agreeing within binomial
+    * noise is the sampler's correctness signal, spec-asserted. Scale:
+    * one map-side scan + filter, one |langs|-row aggregation; nothing
+    * shuffles but the summary. */
+  private def sampleImportance(s: SparkSession, d: String): DataFrame = {
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+      16, 10).cast("long").cast("double") / lit(1.152921504606846976e18)
+    val kept = col("u") < col("score")
+    Llm.docs(s, d)
+      .select(col("doc_id"), col("lang"),
+        LlmQuality.qualityScore.as("score"), u.as("u"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+        Det.r4(avg(col("score"))).as("target_rate"),
+        Det.r4(sum(when(kept, 1.0).otherwise(0.0)) / count(lit(1)))
+          .as("actual_rate"))
+      .orderBy(col("lang"))
+  }
+
+  private val sampleImportanceSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+       |k AS (
+       |  SELECT doc_id, lang,
+       |         ${LlmQuality.qualityScoreSql("w")} AS score,
+       |         ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+       |           / 1152921504606846976.0 AS u
+       |  FROM t)
+       |SELECT lang, count(*) AS n_docs,
+       |       sum(CASE WHEN u < score THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       |       ${Det.sql4("avg(score)")} AS target_rate,
+       |       ${Det.sql4(
+            "sum(CASE WHEN u < score THEN 1.0 ELSE 0.0 END) / count(*)")}
+       |         AS actual_rate
+       |FROM k GROUP BY lang ORDER BY lang""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -321,6 +374,7 @@ object LlmTrain extends QueryModule {
     "q_llm_decontaminate_bloom" -> (decontaminateBloom _),
     "q_llm_kmeans" -> (kmeansStep _),
     "q_sample_stratified" -> (sampleStratified _),
+    "q_llm_sample_importance" -> (sampleImportance _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -332,5 +386,6 @@ object LlmTrain extends QueryModule {
     "q_llm_decontaminate_bloom" -> LlmQuality.decontaminateSqlShared,
     "q_llm_kmeans" -> kmeansSql,
     "q_sample_stratified" -> sampleStratifiedSql,
+    "q_llm_sample_importance" -> sampleImportanceSql,
   )
 }

@@ -99,6 +99,73 @@ class Round7OpsSpec extends AnyFunSuite {
       "boilerplate is a minority of lines")
   }
 
+  test("llm_semdedup: drop set covers every near-dup pair, spares outliers") {
+    val dropped = SparkEntry.queries("q_llm_semdedup")(s, SparkTestBase.sfDir)
+      .collect()
+    assert(dropped.nonEmpty, "the embedding table has near-dup pairs")
+    val dropIds = dropped.map(_.getAs[Long]("vec_id")).toSet
+    assert(dropIds.size == dropped.length, "each vec dropped at most once")
+    dropped.foreach { r =>
+      val c = r.getAs[Double]("cos_centroid")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, s"cosine out of range: $r")
+    }
+    // the pair definition IS q_llm_dedup_embed's — cross-check against it
+    val pairs = SparkEntry.queries("q_llm_dedup_embed")(s, SparkTestBase.sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("cell"), r.getAs[Long]("va"),
+        r.getAs[Long]("vb")))
+    val participants = pairs.flatMap(p => Seq(p._1 -> p._2, p._1 -> p._3))
+      .toSet
+    // dropped docs come only from near-dup pairs
+    assert(dropIds.subsetOf(participants.map(_._2)),
+      "every dropped vec participates in a near-dup pair")
+    // the per-pair rule drops exactly one member, so no pair survives whole
+    pairs.foreach { case (_, va, vb) =>
+      assert(dropIds.contains(va) || dropIds.contains(vb),
+        s"pair ($va, $vb) kept both members")
+    }
+    // diversity preserved: within each cell the member with minimal
+    // (cos_centroid, vec_id) can never be dropped, so some participant
+    // of every pair-bearing cell survives
+    val dropsPerCell = dropped.groupBy(_.getAs[Long]("cell"))
+      .view.mapValues(_.length).toMap
+    participants.groupBy(_._1).foreach { case (cell, ps) =>
+      assert(dropsPerCell.getOrElse(cell, 0) < ps.size,
+        s"cell $cell dropped all its pair participants")
+    }
+  }
+
+  test("llm_sample_importance: realized rate tracks the score within noise") {
+    val rows = SparkEntry.queries("q_llm_sample_importance")(
+      s, SparkTestBase.sfDir).collect()
+    assert(rows.nonEmpty)
+    var (totDocs, totKept) = (0L, 0L)
+    rows.foreach { r =>
+      val (n, k) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"))
+      val (t, a) = (r.getAs[Double]("target_rate"),
+        r.getAs[Double]("actual_rate"))
+      assert(k >= 0 && k <= n)
+      assert(t >= 0.0 && t <= 1.0, s"target rate is a mean of scores: $r")
+      // actual_rate is n_kept/n_docs at r4 — the column is not free-floating
+      assert(math.abs(a - math.floor(k.toDouble / n * 1e4 + 0.5) / 1e4)
+        < 1e-9, s"actual_rate identity: $r")
+      // binomial agreement: the sampler's correctness signal — u < score
+      // keeps each doc independently with probability ~score, so the
+      // realized rate sits within 4 sigma of the mean score
+      val sigma = math.sqrt(t * (1 - t) / n)
+      assert(math.abs(a - t) <= 4 * sigma + 1e-4,
+        s"realized rate off target beyond binomial noise: $r")
+      totDocs += n; totKept += k
+    }
+    // the sampler neither keeps nor drops everything
+    assert(totKept > 0 && totKept < totDocs, "sampling is non-trivial")
+    // pure-projection determinism: a re-run agrees row-for-row
+    val again = SparkEntry.queries("q_llm_sample_importance")(
+      s, SparkTestBase.sfDir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq,
+      "md5 key-hash sampling is reproducible across runs")
+  }
+
   test("llm_colloc: support floor, marginal bounds, PMI identity + ordering") {
     val rows = SparkEntry.queries("q_llm_colloc")(s, SparkTestBase.sfDir)
       .collect()
