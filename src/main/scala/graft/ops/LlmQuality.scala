@@ -577,6 +577,57 @@ object LlmQuality extends QueryModule {
       |       min(doc_id) AS keeper_doc
       |FROM c GROUP BY canonical_url ORDER BY canonical_url""".stripMargin
 
+  // -------------------------------------------------------- q_llm_domain_cap
+
+  /** Per-domain document capping — the crawl-bias control every web
+    * corpus applies at mixture time (a handful of giant hosts otherwise
+    * dominate the token budget): keep at most `DomainCap` docs per
+    * domain, chosen by the portable 60-bit md5 key-hash rank — a
+    * uniform random subset of the domain, yet a pure projection, so
+    * re-runs, engines and retries select the SAME docs (q_sample_hash's
+    * reproducibility argument; a seeded RNG agrees on none of those).
+    * The domain reuses q_llm_dedup_url's synthesized host universe
+    * (site{id%7}.example.com — a pure function of doc_id).
+    *
+    * Scale shape: written declaratively as row_number-then-filter, so
+    * graft's TopKRewrite (plans/TopK.scala) plans it as PartialTopK →
+    * exchange → FinalTopK — bounded per-group heaps MAP-SIDE, each map
+    * task shipping at most `DomainCap` rows per domain it sees. That is
+    * the difference at 100 TB: the window formulation shuffles a
+    * billion-page host onto ONE task and sorts it; the bounded-heap
+    * plan's shuffle volume is ≤ tasks×domains×cap rows regardless of
+    * domain skew — domain capping is exactly the skewed-key workload
+    * the operator was built for. Spec-asserted that the rewrite fires
+    * (FinalTopK in the physical plan) and that the kept set matches a
+    * brute-force recompute. */
+  private def domainCap(s: SparkSession, d: String): DataFrame = {
+    val DomainCap = 20
+    val id = col("doc_id")
+    val domain = concat(lit("site"), id % 7, lit(".example.com"))
+    val h = conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(col("domain")).orderBy(col("h"), col("doc_id"))
+    Llm.docs(s, d)
+      .select(id, domain.as("domain"), h.as("h"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= DomainCap)
+      .select(col("domain"), col("rn"), col("doc_id"))
+      .orderBy(col("domain"), col("rn"))
+  }
+
+  private val domainCapSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         'site' || (doc_id % 7) || '.example.com' AS domain,
+      |         ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+      |  FROM documents)
+      |SELECT domain, rn, doc_id FROM (
+      |  SELECT domain, doc_id,
+      |         row_number() OVER (PARTITION BY domain
+      |                            ORDER BY h, doc_id) AS rn
+      |  FROM t) WHERE rn <= 20
+      |ORDER BY domain, rn""".stripMargin
+
   // -------------------------------------------------------- q_llm_perplexity
 
   /** Unigram-LM cross-entropy scoring — the perplexity-filter stage of
@@ -660,6 +711,7 @@ object LlmQuality extends QueryModule {
     "q_llm_decontaminate" -> (decontaminate _),
     "q_llm_tfidf" -> (tfidf _),
     "q_llm_dedup_url" -> (dedupUrl _),
+    "q_llm_domain_cap" -> (domainCap _),
     "q_llm_perplexity" -> (llmPerplexity _),
   )
 
@@ -672,6 +724,7 @@ object LlmQuality extends QueryModule {
     "q_llm_decontaminate" -> decontaminateSql,
     "q_llm_tfidf" -> tfidfSql,
     "q_llm_dedup_url" -> dedupUrlSql,
+    "q_llm_domain_cap" -> domainCapSql,
     "q_llm_perplexity" -> llmPerplexitySql,
   )
 }

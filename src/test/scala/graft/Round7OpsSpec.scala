@@ -166,6 +166,36 @@ class Round7OpsSpec extends AnyFunSuite {
       "md5 key-hash sampling is reproducible across runs")
   }
 
+  test("llm_domain_cap: bounded-heap rewrite fires, kept set is exact") {
+    val df = SparkEntry.queries("q_llm_domain_cap")(s, SparkTestBase.sfDir)
+    // the scale claim is executable: the row_number-then-filter shape
+    // must plan as the partial/final bounded-heap operator, not a sort
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("FinalTopK") && physical.contains("PartialTopK"),
+      s"TopKRewrite did not fire:\n$physical")
+    val rows = df.collect()
+    // every domain has > cap docs at every SF, so output is domains x cap
+    assert(rows.length == 7 * 20, "7 domains capped at 20 docs each")
+    rows.groupBy(_.getAs[String]("domain")).foreach { case (dom, rs) =>
+      assert(rs.map(_.getAs[Long]("rn")).sorted.toSeq == (1L to 20L),
+        s"ranks not contiguous for $dom")
+    }
+    // brute-force recompute of the hash-rank selection
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long): Long = java.lang.Long.parseLong(
+      md.digest(id.toString.getBytes("UTF-8"))
+        .take(8).map("%02x".format(_)).mkString.take(15), 16)
+    val docs = Tables.documents(s, SparkTestBase.sfDir)
+      .select($"doc_id").collect().map(_.getLong(0))
+    val want = docs.groupBy(_ % 7).toSeq.flatMap { case (m, ids) =>
+      ids.sortBy(id => (h(id), id)).take(20)
+        .map(id => s"site$m.example.com" -> id)
+    }.toSet
+    val got = rows.map(r =>
+      r.getAs[String]("domain") -> r.getAs[Long]("doc_id")).toSet
+    assert(got == want, "kept set == brute-force hash-rank top-20")
+  }
+
   test("llm_colloc: support floor, marginal bounds, PMI identity + ordering") {
     val rows = SparkEntry.queries("q_llm_colloc")(s, SparkTestBase.sfDir)
       .collect()
