@@ -184,15 +184,170 @@ object LlmCorpus extends QueryModule {
        |        JOIN uni uy ON sp.w2 = uy.tk CROSS JOIN nn
        |ORDER BY pmi DESC, w1, w2 LIMIT $TopK""".stripMargin
 
+  // ---------------------------------------------------------- q_llm_bpe_step
+
+  private val BpeTopK = 20
+
+  /** One BPE merge iteration (Sennrich et al., ACL 2016 — the
+    * tokenizer-vocabulary induction step): count adjacent character
+    * pairs across the corpus, weighted by word frequency — the
+    * highest-count pair is the merge the tokenizer would learn next;
+    * the top-[[BpeTopK]] are reported with their occurrence and
+    * word-coverage counts.
+    *
+    * The scale trick is WHERE the pair counting runs: one corpus-linear
+    * explode builds the word-frequency table, and every subsequent pass
+    * — the pair explode, the pair agg — runs on the VOCAB frame, which
+    * Heaps' law bounds at ~√corpus regardless of corpus size (the BPE
+    * implementations everyone uses do exactly this: merge loops touch
+    * the vocab, never the corpus). A word containing the same pair
+    * twice ("aaa" → "aa"×2) contributes each adjacency, weighted by
+    * the word's corpus count; n_words counts distinct vocab entries
+    * covering the pair. Final cut is orderBy().limit() →
+    * TakeOrderedAndProject with (n_occ DESC, pair) as the total order.
+    * All counts are integers — no FP portability surface at all. */
+  private def bpeStep(s: SparkSession, d: String): DataFrame = {
+    val wc = Llm.docs(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .filter(length(col("word")) >= 2)
+    wc.select(col("word"), col("cnt"), explode(expr(
+        "transform(sequence(1, length(word) - 1), " +
+          "i -> substring(word, i, 2))")).as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("cnt")).as("n_occ"),
+        countDistinct(col("word")).as("n_words"))
+      .orderBy(col("n_occ").desc, col("pair"))
+      .limit(BpeTopK)
+  }
+
+  private val bpeStepSql =
+    s"""WITH t AS (
+       |  SELECT string_split(text, ' ') AS w FROM documents),
+       |wc AS (
+       |  SELECT tk AS word, count(*) AS cnt
+       |  FROM (SELECT unnest(w) AS tk FROM t)
+       |  GROUP BY tk HAVING length(tk) >= 2),
+       |p AS (
+       |  SELECT word, cnt,
+       |         unnest(list_transform(range(1, length(word)),
+       |           i -> substring(word, i, 2))) AS pair
+       |  FROM wc)
+       |SELECT pair, sum(cnt)::BIGINT AS n_occ,
+       |       count(DISTINCT word) AS n_words
+       |FROM p GROUP BY pair
+       |ORDER BY n_occ DESC, pair LIMIT $BpeTopK""".stripMargin
+
+  // -------------------------------------------------------- q_llm_dsir_weight
+
+  private val DsirBuckets = 1024
+
+  /** DSIR importance weighting (Xie et al., NeurIPS 2023 — "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every document by how target-like its hashed-n-gram distribution
+    * is, w(doc) = Σ_g [ln p_target(g) − ln p_raw(g)] over the doc's
+    * bigrams, with both LMs built over [[DsirBuckets]] hash buckets
+    * (the paper's hashed-ngram feature space — vocabulary-free, so the
+    * LM is a CONSTANT-size table at any corpus size) and add-one
+    * smoothing so absent buckets stay finite. The target distribution
+    * here is the corpus's `lang='en'` slice (production: the
+    * high-quality reference corpus); q_llm_sample_importance then
+    * resamples on a score like this one.
+    *
+    * Shape at 100 TB: ONE corpus-linear explode → per-(doc, bucket)
+    * counts (map-side-combined; shuffle ≤ |docs|·min(grams/doc,
+    * buckets) rows), localCheckpointed because all four consumers —
+    * raw LM, target LM, totals, and the final per-doc reduce — derive
+    * from it, never from a second corpus scan. Both LMs collapse to
+    * ≤[[DsirBuckets]] rows and BROADCAST back as a log-ratio table;
+    * the two totals ride a broadcast 1-row frame (allowlisted).
+    * Determinism: the per-bucket log-ratio is r6-discretized BEFORE
+    * the per-doc sum, so both engines sum the identical multiset of
+    * doubles. The OUTPUT grid must then also be r6: integer-weighted
+    * sums of 1e-6-grid terms are themselves (near-exact) 1e-6-grid
+    * points, so a COARSER grid (r4) puts ~1 in 10 sums exactly on a
+    * rounding boundary where ~1e-13 summation-order noise picks the
+    * side (observed at sf0.001: -6.62665 flipped between engines);
+    * re-discretizing to the grid the value already lies on is stable
+    * by construction — x·1e6 sits within 1e-7 of an integer, 7 orders
+    * from the boundary. */
+  private def dsirWeight(s: SparkSession, d: String): DataFrame = {
+    val docBuckets = Llm.docs(s, d)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+        .as("g"))
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long")
+          % DsirBuckets).as("b"))
+      .groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val isTgt = col("lang") === "en"
+    val lms = docBuckets.groupBy(col("b"))
+      .agg(sum(col("n")).as("cr"),
+        sum(when(isTgt, col("n")).otherwise(0L)).as("ct"))
+    val totals = docBuckets
+      .agg(sum(col("n")).as("tr"),
+        sum(when(isTgt, col("n")).otherwise(0L)).as("tt"))
+    val ratio = lms.crossJoin(broadcast(totals))
+      .select(col("b"), Det.r6(
+        log((col("ct") + 1).cast("double") / (col("tt") + DsirBuckets)) -
+          log((col("cr") + 1).cast("double") / (col("tr") + DsirBuckets)))
+        .as("lr"))
+    docBuckets.join(broadcast(ratio), "b")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("n")).as("n_grams"),
+        Det.r6(sum(col("n") * col("lr"))).as("dsir_weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dsirWeightSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 2),
+       |g AS (
+       |  SELECT doc_id, lang,
+       |         unnest(list_transform(range(1, len(w)),
+       |           i -> ('0x' || substring(md5(w[i] || ' ' || w[i+1]), 1, 15))
+       |                  ::BIGINT % $DsirBuckets)) AS b
+       |  FROM t),
+       |db AS (
+       |  SELECT doc_id, lang, b, count(*) AS n FROM g GROUP BY 1, 2, 3),
+       |lm AS (
+       |  SELECT b, sum(n)::BIGINT AS cr,
+       |         sum(CASE WHEN lang = 'en' THEN n ELSE 0 END)::BIGINT AS ct
+       |  FROM db GROUP BY b),
+       |tot AS (
+       |  SELECT sum(n)::BIGINT AS tr,
+       |         sum(CASE WHEN lang = 'en' THEN n ELSE 0 END)::BIGINT AS tt
+       |  FROM db),
+       |r AS (
+       |  SELECT lm.b,
+       |         ${Det.sql6(
+            s"ln((lm.ct + 1)::DOUBLE / (tot.tt + $DsirBuckets)) - " +
+            s"ln((lm.cr + 1)::DOUBLE / (tot.tr + $DsirBuckets))")} AS lr
+       |  FROM lm CROSS JOIN tot)
+       |SELECT db.doc_id, db.lang, sum(db.n)::BIGINT AS n_grams,
+       |       ${Det.sql6("sum(db.n * r.lr)")} AS dsir_weight
+       |FROM db JOIN r ON r.b = db.b
+       |GROUP BY db.doc_id, db.lang ORDER BY db.doc_id""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_boilerplate" -> (boilerplate _),
     "q_llm_colloc" -> (colloc _),
+    "q_llm_bpe_step" -> (bpeStep _),
+    "q_llm_dsir_weight" -> (dsirWeight _),
   )
 
   val oracles: Map[String, String] = Map(
     "q_llm_boilerplate" -> boilerplateSql,
     "q_llm_colloc" -> collocSql,
+    "q_llm_bpe_step" -> bpeStepSql,
+    "q_llm_dsir_weight" -> dsirWeightSql,
   )
 }

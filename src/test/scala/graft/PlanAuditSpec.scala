@@ -45,11 +45,15 @@ class PlanAuditSpec extends AnyFunSuite {
     * corpus doc count (boilerplate's df cut) and corpus token total
     * (colloc's PMI normalizer) each ride in as a broadcast 1-row
     * aggregate.
+    * q_llm_dsir_weight: the two LM totals (raw + target gram counts)
+    * ride one broadcast 1-row frame onto the ≤1024-row bucket table;
+    * the nested loop multiplies by exactly one row.
     * Everything else must justify itself here before joining. */
   private val allowlisted =
     Set("q_llm_sim_search", "q_llm_kmeans", "q_llm_tfidf",
       "q_graph_pagerank", "q_agg_sketch_merge", "q_llm_keeper",
-      "q_llm_perplexity", "q_llm_boilerplate", "q_llm_colloc")
+      "q_llm_perplexity", "q_llm_boilerplate", "q_llm_colloc",
+      "q_llm_dsir_weight")
 
   for (name <- SparkEntry.queries.keys.toSeq.sorted
        if name.startsWith("q_") && !allowlisted(name)) {

@@ -196,6 +196,63 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(got == want, "kept set == brute-force hash-rank top-20")
   }
 
+  test("llm_bpe_step: top merge matches a brute-force recount") {
+    val rows = SparkEntry.queries("q_llm_bpe_step")(s, SparkTestBase.sfDir)
+      .collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getAs[String]("pair").length == 2)
+      assert(r.getAs[Long]("n_words") >= 1)
+      assert(r.getAs[Long]("n_occ") >= r.getAs[Long]("n_words"),
+        "each covering word contributes at least one occurrence")
+    }
+    val occs = rows.map(_.getAs[Long]("n_occ"))
+    assert(occs.zip(occs.tail).forall { case (a, b) => a >= b },
+      "ordered by weighted count desc")
+    // brute-force pair counting over the collected word-frequency table
+    val words = Tables.documents(s, SparkTestBase.sfDir)
+      .select(explode(split($"text", " ")).as("w"))
+      .groupBy($"w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).filter(_._1.length >= 2)
+    val brute = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    words.foreach { case (w, cnt) =>
+      val ps = (0 until w.length - 1).map(i => w.substring(i, i + 2))
+      ps.foreach { p =>
+        val (o, nw) = brute.getOrElse(p, (0L, 0L))
+        brute(p) = (o + cnt, nw)
+      }
+      ps.distinct.foreach { p =>
+        val (o, nw) = brute(p); brute(p) = (o, nw + 1)
+      }
+    }
+    val want = brute.toSeq.map { case (p, (o, nw)) => (p, o, nw) }
+      .sortBy { case (p, o, _) => (-o, p) }.take(20)
+    val got = rows.map(r => (r.getAs[String]("pair"),
+      r.getAs[Long]("n_occ"), r.getAs[Long]("n_words"))).toSeq
+    assert(got == want, "distributed top-20 == brute force")
+  }
+
+  test("llm_dsir_weight: target-slice docs outscore the rest on average") {
+    val rows = SparkEntry.queries("q_llm_dsir_weight")(s, SparkTestBase.sfDir)
+      .collect()
+    val nDocs = Tables.documents(s, SparkTestBase.sfDir)
+      .filter(size(split($"text", " ")) >= 2).count()
+    assert(rows.length == nDocs, "one row per (multi-token) document")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_grams") >= 1)
+      assert(!r.getAs[Double]("dsir_weight").isNaN, s"weight finite: $r")
+    }
+    // the selection signal DSIR exists for: documents drawn from the
+    // target distribution score higher than documents that are not
+    val (en, rest) = rows.partition(_.getAs[String]("lang") == "en")
+    assert(en.nonEmpty && rest.nonEmpty)
+    def meanPerGram(rs: Array[org.apache.spark.sql.Row]): Double =
+      rs.map(r => r.getAs[Double]("dsir_weight") / r.getAs[Long]("n_grams"))
+        .sum / rs.length
+    assert(meanPerGram(en) > meanPerGram(rest),
+      "en docs must be more target-like than non-en docs on average")
+  }
+
   test("llm_colloc: support floor, marginal bounds, PMI identity + ordering") {
     val rows = SparkEntry.queries("q_llm_colloc")(s, SparkTestBase.sfDir)
       .collect()
