@@ -429,6 +429,145 @@ object LlmExt extends QueryModule {
       |           (doc_id + 17 * x + 31 * y) % 256))))::BIGINT AS pixel_sum
       |FROM g ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------- q_llm_thumb
+
+  /** Multimodal resize stage — the thumbnailing pass an image-corpus
+    * pipeline runs after decode (fixed-size inputs for the vision
+    * encoder): decodes the same deterministic PNG payload as
+    * q_llm_decode (REAL javax.imageio decode of real bytes), then
+    * nearest-neighbor-resamples the DECODED raster to a fixed 2×2
+    * thumbnail with explicit index arithmetic — thumb(tx,ty) =
+    * raster(tx·w/2, ty·h/2), integer division — rather than an AWT
+    * scaling op, because library resamplers are implementation-defined
+    * at half-pixel centers while this rule is portable enough for the
+    * oracle to predict every output pixel arithmetically (a hash match
+    * therefore proves decode AND resample, not just plumbing; the
+    * production swap-in is one line). Reports the four thumb pixels
+    * and the mean-brightness delta thumb-vs-full — the feature-extract
+    * sanity signal (a resample should roughly preserve brightness).
+    * Scale shape: identical to q_llm_decode — one typed mapPartitions,
+    * payload bytes never leave their partition, only thumb metadata
+    * (a few longs/doc) shuffles to the output sort. */
+  private def thumb(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Llm.docs(s, d)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          val w = (1 + id % 8).toInt
+          val h = (1 + (id / 8) % 8).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          for (x <- 0 until w; y <- 0 until h) {
+            val v = ((id + 17L * x + 31L * y) % 256).toInt
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          }
+          val buf = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", buf)
+          val decoded = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(buf.toByteArray))
+          // explicit nearest-neighbor resample from the decoded raster
+          def at(tx: Int, ty: Int): Long =
+            (decoded.getRGB(tx * decoded.getWidth / 2,
+              ty * decoded.getHeight / 2) & 0xff).toLong
+          var full = 0L
+          for (x <- 0 until w; y <- 0 until h)
+            full += (decoded.getRGB(x, y) & 0xff)
+          val thumbSum = at(0, 0) + at(1, 0) + at(0, 1) + at(1, 1)
+          (id, at(0, 0), at(1, 0), at(0, 1), at(1, 1),
+            math.floor(thumbSum / 4.0 - full.toDouble / (w * h)) )
+        }
+      }
+      .toDF("doc_id", "p00", "p10", "p01", "p11", "brightness_shift")
+      .orderBy(col("doc_id"))
+  }
+
+  // every thumb pixel is predictable: the decode is lossless and the
+  // resample rule is explicit integer arithmetic
+  private lazy val thumbSql =
+    """WITH g AS (
+      |  SELECT doc_id, 1 + doc_id % 8 AS w, 1 + (doc_id // 8) % 8 AS h
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, w, h,
+      |         (doc_id + 0) % 256 AS p00,
+      |         (doc_id + 17 * ((1 * w) // 2)) % 256 AS p10,
+      |         (doc_id + 31 * ((1 * h) // 2)) % 256 AS p01,
+      |         (doc_id + 17 * ((1 * w) // 2) + 31 * ((1 * h) // 2)) % 256
+      |           AS p11,
+      |         list_sum(flatten(list_transform(range(w), x ->
+      |           list_transform(range(h), y ->
+      |             (doc_id + 17 * x + 31 * y) % 256)))) AS full_sum
+      |  FROM g)
+      |SELECT doc_id, p00::BIGINT AS p00, p10::BIGINT AS p10,
+      |       p01::BIGINT AS p01, p11::BIGINT AS p11,
+      |       floor((p00 + p10 + p01 + p11) / 4.0
+      |             - full_sum::DOUBLE / (w * h)) AS brightness_shift
+      |FROM p ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------- q_llm_frames
+
+  /** Multimodal frame-sampling stage — the video path's "take every
+    * k-th frame" pass (vision-language corpora never train on all
+    * frames; they stride-sample before feature extraction). Each doc
+    * synthesizes a deterministic "video": 4 + id%5 frames, each a 2×2
+    * grayscale PNG with pixel (x,y) of frame f = (id + 7f + 17x + 31y)
+    * mod 256 (the q_llm_decode fixture pattern extended by a frame
+    * axis). The sampler takes frames 0, 2, 4, … (stride 2) and REALLY
+    * decodes only those — the point of stride sampling at 100 TB is
+    * that the codec cost scales with frames KEPT, not frames present —
+    * reporting the per-doc frame count, sampled count, and the decoded
+    * pixel checksum over the sampled frames, which the oracle predicts
+    * arithmetically (proving both the selection arithmetic and the
+    * decode). Scale shape: one typed mapPartitions, frame bytes never
+    * leave their partition, only per-doc counters shuffle. */
+  private def frames(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Llm.docs(s, d)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          val nFrames = (4 + id % 5).toInt
+          val sampled = 0 until nFrames by 2
+          var sum = 0L
+          sampled.foreach { f =>
+            val img = new java.awt.image.BufferedImage(
+              2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            for (x <- 0 to 1; y <- 0 to 1) {
+              val v = ((id + 7L * f + 17L * x + 31L * y) % 256).toInt
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            }
+            val buf = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", buf)
+            val dec = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(buf.toByteArray))
+            for (x <- 0 to 1; y <- 0 to 1)
+              sum += (dec.getRGB(x, y) & 0xff)
+          }
+          (id, nFrames.toLong, sampled.size.toLong, sum)
+        }
+      }
+      .toDF("doc_id", "n_frames", "n_sampled", "frame_sum")
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val framesSql =
+    """WITH g AS (
+      |  SELECT doc_id, 4 + doc_id % 5 AS nf FROM documents)
+      |SELECT doc_id, nf::BIGINT AS n_frames,
+      |       ((nf + 1) // 2)::BIGINT AS n_sampled,
+      |       list_sum(flatten(list_transform(
+      |         list_filter(range(nf), f -> f % 2 = 0),
+      |         f -> flatten(list_transform(range(2), x ->
+      |                list_transform(range(2), y ->
+      |                  (doc_id + 7 * f + 17 * x + 31 * y) % 256))))))
+      |         ::BIGINT AS frame_sum
+      |FROM g ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------- q_llm_semdedup
 
   /** SemDeDup-style semantic pruning (Abbas et al. 2023): inside each
@@ -535,6 +674,8 @@ object LlmExt extends QueryModule {
     "q_llm_dedup_embed" -> (dedupEmbed _),
     "q_llm_sim_ann" -> (simAnn _),
     "q_llm_semdedup" -> (semdedup _),
+    "q_llm_thumb" -> (thumb _),
+    "q_llm_frames" -> (frames _),
     "q_llm_lang_id" -> (langId _),
     "q_llm_fingerprint" -> (fingerprint _),
     "q_llm_tokenize" -> (tokenize _),
@@ -546,6 +687,8 @@ object LlmExt extends QueryModule {
     "q_llm_dedup_embed" -> dedupEmbedSql,
     "q_llm_sim_ann" -> simAnnSql,
     "q_llm_semdedup" -> semdedupSql,
+    "q_llm_thumb" -> thumbSql,
+    "q_llm_frames" -> framesSql,
     "q_llm_lang_id" -> langIdSql,
     "q_llm_fingerprint" -> fingerprintSql,
     "q_llm_tokenize" -> tokenizeSql,
