@@ -279,15 +279,80 @@ object NormalizeQueries extends QueryModule {
        |       ${graft.ops.Det.sql2("sum(value)")} AS total
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------------------ q_scan_text
+
+  /** Text sink + source round-trip — the log-ingestion path (raw logs
+    * land as line-oriented text long before anything is columnar):
+    * events are serialized to pipe-delimited lines (timestamps as
+    * epoch MICROseconds — a text format must never round-trip a
+    * timestamp through a locale/zone-dependent rendering; doubles use
+    * the JVM's shortest-round-trip rendering, which string→double
+    * inverts exactly), written with the core `text` format, read back
+    * with `spark.read.text`, parsed by one codegen'd split(), and
+    * aggregated. The oracle runs the SAME aggregate over the original
+    * parquet — a hash match proves parse(format(x)) = x for every
+    * carried type (bigint, µs timestamp, double, string), which is the
+    * actual contract a log pipeline needs. Same per-process RAM-backed
+    * scratch + shutdown hook as q_scan_orc; at 100 TB the text scan is
+    * the standard splittable-lines ingest, one map-side parse ahead of
+    * the first shuffle. */
+  private def scanText(s: SparkSession, d: String): DataFrame = {
+    val shm = new java.io.File("/dev/shm")
+    val base = if (shm.isDirectory && shm.canWrite) "/dev/shm"
+      else sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    val dir = s"$base/graft-text-${ProcessHandle.current.pid}/" +
+      d.replaceAll("[^A-Za-z0-9.]", "_")
+    textCleanup(s"$base/graft-text-${ProcessHandle.current.pid}")
+    graft.Tables.events(s, d)
+      .select(concat_ws("|",
+        col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")), col("value")).as("value"))
+      .write.mode("overwrite").text(dir)
+    val f = split(col("value"), "\\|")
+    s.read.text(dir)
+      .select(f.getItem(2).as("event_type"),
+        f.getItem(1).cast("long").as("user_id"),
+        f.getItem(3).cast("long").as("us"),
+        f.getItem(4).cast("double").as("v"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("us")).as("first_us"),
+        max(col("us")).as("last_us"),
+        graft.ops.Det.r2(sum(col("v"))).as("total"))
+      .orderBy(col("event_type"))
+  }
+
+  private val textHooked = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def textCleanup(root: String): Unit =
+    if (textHooked.compareAndSet(false, true))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(new java.io.File(root))
+      }))
+
+  private val scanTextSql =
+    s"""SELECT event_type, count(*) AS n,
+       |       count(DISTINCT user_id) AS n_users,
+       |       min(epoch_us(make_timestamp(epoch_us(ts)))) AS first_us,
+       |       max(epoch_us(make_timestamp(epoch_us(ts)))) AS last_us,
+       |       ${graft.ops.Det.sql2("sum(value)")} AS total
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_json" -> (scanJson _),
     "q_scan_csv" -> (scanCsv _),
     "q_scan_orc" -> (scanOrc _),
+    "q_scan_text" -> (scanText _),
   )
 
   val oracles: Map[String, String] = Map(
     "q_scan_json" -> scanJsonSql,
     "q_scan_csv" -> scanCsvSql,
     "q_scan_orc" -> scanOrcSql,
+    "q_scan_text" -> scanTextSql,
   )
 }
