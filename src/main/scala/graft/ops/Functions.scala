@@ -149,7 +149,10 @@ object Functions extends QueryModule {
     * l_quantity is integral (verified) so sums are exact and the
     * int-cast join string is stable across engines. */
   private def fnArray(s: SparkSession, d: String): DataFrame =
-    T.lineitem(s, d)
+    // keyed par: the single-file scan would otherwise build every
+    // partial collect_list on one task; keying by the groupBy column
+    // lets the aggregation reuse this exchange (no second shuffle)
+    T.par(s, T.lineitem(s, d), col("l_orderkey"))
       .groupBy(col("l_orderkey").as("o_orderkey"))
       .agg(array_sort(collect_list(col("l_quantity"))).as("qtys"))
       .select(
@@ -197,7 +200,9 @@ object Functions extends QueryModule {
     * recomputes the same scalars relationally — the contract is equal
     * values, not equal intermediate representations. */
   private def fnMap(s: SparkSession, d: String): DataFrame =
-    T.lineitem(s, d)
+    // keyed par (see fnArray): both groupBys re-use the l_orderkey
+    // exchange — map_from_entries partials run 32-way, not on one task
+    T.par(s, T.lineitem(s, d), col("l_orderkey"))
       .groupBy(col("l_orderkey"), col("l_linenumber"))
       .agg(sum(col("l_quantity")).as("qty"))
       .groupBy(col("l_orderkey").as("o_orderkey"))
@@ -457,10 +462,13 @@ object Functions extends QueryModule {
     * agreement checks the SEMANTICS, not a shared implementation.
     * Web-corpus pipelines run exactly this shape (canonical host /
     * path extraction before URL-level dedup) over trillions of rows —
-    * all map-side codegen, one scan, no shuffle before the output
-    * sort. */
+    * all map-side codegen after the test-fixture spreading
+    * repartition (a many-file production table scans parallel and
+    * drops it), no other shuffle before the output sort. */
   private def fnUrl(s: SparkSession, d: String): DataFrame =
-    T.orders(s, d)
+    // par: five parse_url calls per row are the compute; the
+    // single-file scan would run them all on one task
+    T.par(s, T.orders(s, d))
       .select(col("o_orderkey"),
         concat(lit("https://shop.example.com/o/"),
           col("o_orderkey").cast("string"),
