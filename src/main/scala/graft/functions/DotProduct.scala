@@ -76,6 +76,8 @@ object GraftFunctions {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_ngrams", NgramHash.fromExprs, "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hash60", exprs => Hash60(exprs(0)), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bloom_agg", exprs =>
         new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
           exprs(0), exprs(1), exprs(2)), "built-in")

@@ -272,6 +272,7 @@ object LlmCorpus extends QueryModule {
     * by construction — x·1e6 sits within 1e-7 of an integer, 7 orders
     * from the boundary. */
   private def dsirWeight(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val docBuckets = Llm.docs(s, d)
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 2)
@@ -280,8 +281,7 @@ object LlmCorpus extends QueryModule {
           "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
         .as("g"))
       .select(col("doc_id"), col("lang"),
-        (conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long")
-          % DsirBuckets).as("b"))
+        (expr("graft_hash60(g)") % DsirBuckets).as("b"))
       .groupBy(col("doc_id"), col("lang"), col("b"))
       .agg(count(lit(1)).as("n"))
       .localCheckpoint()

@@ -602,10 +602,10 @@ object LlmQuality extends QueryModule {
     * brute-force recompute. */
   private def domainCap(s: SparkSession, d: String): DataFrame = {
     val DomainCap = 20
+    graft.functions.GraftFunctions.register(s)
     val id = col("doc_id")
     val domain = concat(lit("site"), id % 7, lit(".example.com"))
-    val h = conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
-      .cast("long")
+    val h = expr("graft_hash60(cast(doc_id as string))")
     val w = Window.partitionBy(col("domain")).orderBy(col("h"), col("doc_id"))
     Llm.docs(s, d)
       .select(id, domain.as("domain"), h.as("h"))

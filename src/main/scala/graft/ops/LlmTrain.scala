@@ -333,8 +333,9 @@ object LlmTrain extends QueryModule {
     * one map-side scan + filter, one |langs|-row aggregation; nothing
     * shuffles but the summary. */
   private def sampleImportance(s: SparkSession, d: String): DataFrame = {
-    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
-      16, 10).cast("long").cast("double") / lit(1.152921504606846976e18)
+    graft.functions.GraftFunctions.register(s)
+    val u = expr("graft_hash60(cast(doc_id as string))")
+      .cast("double") / lit(1.152921504606846976e18)
     val kept = col("u") < col("score")
     Llm.docs(s, d)
       .select(col("doc_id"), col("lang"),

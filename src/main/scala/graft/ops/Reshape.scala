@@ -276,8 +276,10 @@ object Reshape extends QueryModule {
     * pipeline carves held-out slices at 100 TB — embarrassingly
     * parallel, pushdown-friendly, no coordination. */
   private def sampleHash(s: SparkSession, d: String): DataFrame = {
-    val h = conv(substring(md5(col("o_orderkey").cast("string")), 1, 15),
-      16, 10).cast("long")
+    graft.functions.GraftFunctions.register(s)
+    // native graft_hash60 == conv(substring(md5(x),1,15),16,10); the
+    // oracle keeps the string formulation (independent implementations)
+    val h = expr("graft_hash60(cast(o_orderkey as string))")
     T.orders(s, d)
       .filter(h % 20 === 0)
       .groupBy(col("o_orderpriority"))
