@@ -359,6 +359,30 @@ object LlmExt extends QueryModule {
 
   // --------------------------------------------------------- q_llm_decode
 
+  /** Deterministic PNG payload fixture shared by q_llm_decode /
+    * q_llm_thumb / q_llm_frames: a w×h grayscale raster with pixel
+    * (x,y) = (id + frameOff + 17x + 31y) mod 256, PNG-encoded.
+    * One definition so the fixture arithmetic cannot drift from the
+    * oracles' shared formula (frameOff = 7·frame for the video path,
+    * 0 for stills). Called inside mapPartitions — object method, so
+    * the closure captures nothing. */
+  private def synthPng(id: Long, w: Int, h: Int,
+      frameOff: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) {
+      val v = ((id + frameOff + 17L * x + 31L * y) % 256).toInt
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
+
+  /** Still-image dims for the fixture: width 1–8 × height 1–8. */
+  private def synthDims(id: Long): (Int, Int) =
+    ((1 + id % 8).toInt, (1 + (id / 8) % 8).toInt)
+
   /** Multimodal decode boundary — REAL codec, not a stub (round 7):
     * the JDK ships PNG/JPEG codecs in javax.imageio, so the decode
     * half of the image path runs for real. Each doc_id deterministically
@@ -386,17 +410,8 @@ object LlmExt extends QueryModule {
         javax.imageio.ImageIO.setUseCache(false)
         it.map { id =>
           // ---- deterministic payload synthesis (fixture in-query) ----
-          val w = (1 + id % 8).toInt
-          val h = (1 + (id / 8) % 8).toInt
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          for (x <- 0 until w; y <- 0 until h) {
-            val v = ((id + 17L * x + 31L * y) % 256).toInt
-            img.setRGB(x, y, (v << 16) | (v << 8) | v)
-          }
-          val buf = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", buf)
-          val payload = buf.toByteArray
+          val (w, h) = synthDims(id)
+          val payload = synthPng(id, w, h, 0L)
           // ---- REAL decode: container sniff + raster read ----
           val iis = javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(payload))
@@ -456,18 +471,9 @@ object LlmExt extends QueryModule {
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.map { id =>
-          val w = (1 + id % 8).toInt
-          val h = (1 + (id / 8) % 8).toInt
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          for (x <- 0 until w; y <- 0 until h) {
-            val v = ((id + 17L * x + 31L * y) % 256).toInt
-            img.setRGB(x, y, (v << 16) | (v << 8) | v)
-          }
-          val buf = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", buf)
+          val (w, h) = synthDims(id)
           val decoded = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(buf.toByteArray))
+            new java.io.ByteArrayInputStream(synthPng(id, w, h, 0L)))
           // explicit nearest-neighbor resample from the decoded raster
           def at(tx: Int, ty: Int): Long =
             (decoded.getRGB(tx * decoded.getWidth / 2,
@@ -535,16 +541,8 @@ object LlmExt extends QueryModule {
           val sampled = 0 until nFrames by 2
           var sum = 0L
           sampled.foreach { f =>
-            val img = new java.awt.image.BufferedImage(
-              2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
-            for (x <- 0 to 1; y <- 0 to 1) {
-              val v = ((id + 7L * f + 17L * x + 31L * y) % 256).toInt
-              img.setRGB(x, y, (v << 16) | (v << 8) | v)
-            }
-            val buf = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "png", buf)
             val dec = javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(buf.toByteArray))
+              new java.io.ByteArrayInputStream(synthPng(id, 2, 2, 7L * f)))
             for (x <- 0 to 1; y <- 0 to 1)
               sum += (dec.getRGB(x, y) & 0xff)
           }

@@ -393,9 +393,14 @@ object LlmPipe extends QueryModule {
       val (cp, cnt, mass) = materialize(next)
       ranks = cp
       // loud mass-conservation gate (skip on an edge-free graph, where
-      // every frame is empty and the query legitimately returns 0 rows)
-      require(cnt == 0 || math.abs(mass - 1.0) <= nNodes * 5e-7,
-        f"PageRank mass drifted: |$mass%.9f - 1| > n*5e-7 (n=$nNodes)")
+      // every frame is empty and the query legitimately returns 0 rows).
+      // Budget: per-round r6 rounding error is <= n*5e-7, and the 0.85
+      // damping compounds it geometrically, worst case
+      // n*5e-7/(1-0.85) ~= 3.3e-6*n — gate at that accumulated bound,
+      // not the single-round one, so a legitimate large-SF run whose
+      // signed errors don't happen to cancel can't trip the require.
+      require(cnt == 0 || math.abs(mass - 1.0) <= nNodes * 5e-7 / 0.15,
+        f"PageRank mass drifted: |$mass%.9f - 1| > n*5e-7/0.15 (n=$nNodes)")
       masses += mass
     }
     (ranks.select(col("id").as("doc_id"), col("rank")), masses.result())

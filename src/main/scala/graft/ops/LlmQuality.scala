@@ -661,7 +661,7 @@ object LlmQuality extends QueryModule {
     // one broadcast 1-row frame carries both scalars: corpus total and
     // the UNK tail mass (total − in-vocab sum)
     val stats = words.agg(count(lit(1)).as("n_total"))
-      .crossJoin(vocab.agg(sum(col("cnt")).as("in_vocab")))
+      .crossJoin(broadcast(vocab.agg(sum(col("cnt")).as("in_vocab"))))
       .select(col("n_total"),
         (col("n_total") - col("in_vocab")).as("unk_cnt"))
     val nll = -log(coalesce(col("cnt"), col("unk_cnt")).cast("double") /

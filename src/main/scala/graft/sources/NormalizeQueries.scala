@@ -234,32 +234,12 @@ object NormalizeQueries extends QueryModule {
     * vectorize (ORC has its own columnar reader with predicate
     * pushdown); the temp output is RAM-backed and per-sf so verify /
     * bench passes overwrite deterministically rather than accrete. */
-  /** One shutdown hook per process deletes this process's ORC scratch
-    * dir (idempotent across repeated scanOrc calls). */
-  private val orcHooked = new java.util.concurrent.atomic.AtomicBoolean(false)
-  private def orcCleanup(root: String): Unit =
-    if (orcHooked.compareAndSet(false, true))
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-          f.delete(); ()
-        }
-        rm(new java.io.File(root))
-      }))
-
   private def scanOrc(s: SparkSession, d: String): DataFrame = {
-    val shm = new java.io.File("/dev/shm")
-    val base = if (shm.isDirectory && shm.canWrite) "/dev/shm"
-      else sys.props.getOrElse("java.io.tmpdir", "/tmp")
-    // per-PROCESS subdirectory: verify + bench (or two worktree runs)
-    // share /dev/shm, and a fixed path would let one process overwrite
-    // the directory while the other is mid-read. Same-process re-runs
-    // still overwrite deterministically; the hook below reclaims the
-    // RAM disk when the JVM exits (the frame is lazy, so deleting any
-    // earlier would break the caller's read).
-    val dir = s"$base/graft-orc-${ProcessHandle.current.pid}/" +
+    // graft.Scratch: per-process RAM-backed subdir + exit-time cleanup
+    // (per-PROCESS so verify + bench, or two worktree runs, sharing
+    // /dev/shm can't overwrite each other mid-read)
+    val dir = graft.Scratch.dir("orc") + "/" +
       d.replaceAll("[^A-Za-z0-9.]", "_")
-    orcCleanup(s"$base/graft-orc-${ProcessHandle.current.pid}")
     graft.Tables.events(s, d).write.mode("overwrite").orc(dir)
     s.read.orc(dir)
       .groupBy(col("event_type"))
@@ -297,16 +277,22 @@ object NormalizeQueries extends QueryModule {
     * the standard splittable-lines ingest, one map-side parse ahead of
     * the first shuffle. */
   private def scanText(s: SparkSession, d: String): DataFrame = {
-    val shm = new java.io.File("/dev/shm")
-    val base = if (shm.isDirectory && shm.canWrite) "/dev/shm"
-      else sys.props.getOrElse("java.io.tmpdir", "/tmp")
-    val dir = s"$base/graft-text-${ProcessHandle.current.pid}/" +
+    val dir = graft.Scratch.dir("text") + "/" +
       d.replaceAll("[^A-Za-z0-9.]", "_")
-    textCleanup(s"$base/graft-text-${ProcessHandle.current.pid}")
+    // concat (unlike concat_ws) propagates nulls: a null in any events
+    // column nulls the whole line, and the raise_error guard turns that
+    // into a loud write-time failure instead of concat_ws silently
+    // dropping the field and shifting every later pipe-delimited column.
+    val line = concat(
+      col("event_id").cast("string"), lit("|"),
+      col("user_id").cast("string"), lit("|"),
+      col("event_type"), lit("|"),
+      unix_micros(col("ts")).cast("string"), lit("|"),
+      col("value").cast("string"))
     graft.Tables.events(s, d)
-      .select(concat_ws("|",
-        col("event_id"), col("user_id"), col("event_type"),
-        unix_micros(col("ts")), col("value")).as("value"))
+      .select(when(line.isNull,
+          raise_error(lit("q_scan_text: null field in events")))
+        .otherwise(line).as("value"))
       .write.mode("overwrite").text(dir)
     val f = split(col("value"), "\\|")
     s.read.text(dir)
@@ -322,17 +308,6 @@ object NormalizeQueries extends QueryModule {
         graft.ops.Det.r2(sum(col("v"))).as("total"))
       .orderBy(col("event_type"))
   }
-
-  private val textHooked = new java.util.concurrent.atomic.AtomicBoolean(false)
-  private def textCleanup(root: String): Unit =
-    if (textHooked.compareAndSet(false, true))
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-          f.delete(); ()
-        }
-        rm(new java.io.File(root))
-      }))
 
   private val scanTextSql =
     s"""SELECT event_type, count(*) AS n,

@@ -17,14 +17,7 @@ class EmptyInputSpec extends AnyFunSuite {
 
   private lazy val emptyDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-empty")
-    val root = dir.toFile
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(root)
-    }))
+    Scratch.deleteOnExit(dir.toString)
     val names = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "documents", "embeddings")
     for (n <- names)

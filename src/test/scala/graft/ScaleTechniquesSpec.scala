@@ -105,11 +105,7 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       b.map(r => (r.getString(0), r.getLong(1))))
     } finally {
       // repeated runs must not accrete directories in the system tmpdir
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(new java.io.File(base))
+      Scratch.rm(new java.io.File(base))
     }
   }
 }
