@@ -117,6 +117,14 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""spread":$spread,"errors":$errJson,"sf":"$sfDir"}"""
+    // stamped file per run + the fixed-name copy the driver reads:
+    // concurrent runs (worktree bench vs main-tree bench) each keep
+    // their own stamped record instead of silently clobbering the one
+    // shared file; the PID breaks ties if two JVMs start the same
+    // second
+    val stamp = s"${System.currentTimeMillis / 1000}." +
+      s"${ProcessHandle.current.pid}"
+    Files.writeString(Paths.get(s"/root/repo/bench_out.$stamp.json"), line)
     Files.writeString(Paths.get("/root/repo/bench_out.json"), line)
     println(line)
     spark.stop()

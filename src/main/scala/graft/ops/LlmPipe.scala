@@ -147,14 +147,38 @@ object LlmPipe extends QueryModule {
     * queries run concurrently. The input's derivation (the corpus
     * scan) is planned BEFORE re-rooting, via `.rdd`, so the heavy
     * upstream still runs at full parallelism with AQE; only the
-    * loop-side ops plan at loop size. On a cluster the pinned count
-    * would be sized to |candidate nodes|, not |corpus|. */
+    * loop-side ops plan at loop size.
+    *
+    * The loop partition count is SIZED FROM THE DATA (round 8): the
+    * input RDD is persisted and counted — one extra action, and the
+    * callers' `pairs.union(pairs.reversed)` double-read then hits the
+    * cache instead of recomputing the corpus-scan upstream — and the
+    * child session pins `loopPartitions(count)` shuffle partitions:
+    * floor 8 locally, growing one partition per [[LoopRowsPerPart]]
+    * pair rows, so the same code running on a 1000-executor cluster
+    * with 10⁹ candidate edges plans ~250-way loop shuffles instead of
+    * an 8-way constant that was only ever correct for this box. */
   private[graft] def loopFrame(df: DataFrame): DataFrame = {
+    val rdd = df.rdd.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = rdd.count()
     val ls = df.sparkSession.newSession()
-    ls.conf.set("spark.sql.shuffle.partitions", "8")
+    ls.conf.set("spark.sql.shuffle.partitions", loopPartitions(n).toString)
     ls.conf.set("spark.sql.adaptive.enabled", "false")
-    ls.createDataFrame(df.rdd, df.schema)
+    ls.createDataFrame(rdd, df.schema)
   }
+
+  /** ~64 MB of (long, long) unsafe rows per loop partition. */
+  private[graft] val LoopRowsPerPart = 4L * 1000 * 1000
+
+  /** Loop shuffle-partition count for an edge frame of `rows` rows:
+    * max(8, ceil(rows / LoopRowsPerPart)), so the floor keeps all 32
+    * local cores busy enough on KB-sized frames while the count tracks
+    * input size linearly at cluster scale. */
+  private[graft] def loopPartitions(rows: Long): Int =
+    math.max(8L,
+      (rows + LoopRowsPerPart - 1) / LoopRowsPerPart)
+      .min(Int.MaxValue.toLong).toInt
 
   /** Package-visible so the property test can drive the contraction
     * over arbitrary random graphs against a reference union-find.
@@ -168,10 +192,11 @@ object LlmPipe extends QueryModule {
     val edges = pairs
       .union(pairs.select(col("db"), col("da")))
       .toDF("src", "dst")
-      // pin to the loop's partition count explicitly — the per-round
-      // joins then read co-partitioned checkpoint blocks instead of
-      // re-exchanging 32-way (a checkpoint preserves partitioning)
-      .repartition(8, col("src"))
+      // pin to the loop session's partition count (loopFrame sized it
+      // from the edge count) — the per-round joins then read
+      // co-partitioned checkpoint blocks instead of re-exchanging
+      // 32-way (a checkpoint preserves partitioning)
+      .repartition(col("src"))
       .localCheckpoint(false)
     // convergence witness: labels only ever DECREASE, so the label sum
     // strictly decreases until the fixpoint — comparing two scalar
@@ -359,7 +384,8 @@ object LlmPipe extends QueryModule {
     val edges = pairs
       .union(pairs.select(col("db"), col("da")))
       .toDF("src", "dst")
-      .repartition(8, col("src"))
+      // session shuffle-partition count = loopFrame's data-derived pin
+      .repartition(col("src"))
       .localCheckpoint(false)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val n = deg.agg(count(lit(1)).as("n"))

@@ -105,6 +105,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"scan not pruned to projection+filter columns:\n$p")
   }
 
+  /** q_llm_sim_search's row_number≤k shape must plan through the
+    * partial/final TopK operator pair (round 8, verdict #4):
+    * domain_cap's rewrite was already spec-pinned, but sim_search was
+    * only *eligible* — and at 100× with few queries, an unrewritten
+    * window serializes |corpus| rows per query onto one task. The
+    * executed plan, not eligibility, is the tested surface. */
+  test("q_llm_sim_search top-k plans as PartialTopK/FinalTopK, not a window") {
+    val p = SparkEntry.queries("q_llm_sim_search")(s, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartialTopK"), s"TopK rewrite did not fire:\n$p")
+    assert(p.contains("FinalTopK"), s"TopK rewrite did not fire:\n$p")
+    assert(!p.contains("Window"), s"residual window operator:\n$p")
+  }
+
   test("q_proj_rename prunes the orders scan to its 3 source columns") {
     val p = scanPlan("q_proj_rename")
     assert(p.contains(

@@ -108,4 +108,34 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       Scratch.rm(new java.io.File(base))
     }
   }
+
+  test("iterative-loop partition count tracks input size (verdict r7 #3)") {
+    import graft.ops.LlmPipe
+    // floor: KB-sized local loop frames stay at 8 partitions
+    assert(LlmPipe.loopPartitions(0L) == 8)
+    assert(LlmPipe.loopPartitions(10000L) == 8)
+    assert(LlmPipe.loopPartitions(8L * LlmPipe.LoopRowsPerPart) == 8)
+    // above the floor the count is ceil(rows / LoopRowsPerPart):
+    // linear in the edge count, so a cluster-scale candidate graph
+    // plans proportionally wide loop shuffles from the same code path
+    assert(LlmPipe.loopPartitions(8L * LlmPipe.LoopRowsPerPart + 1) == 9)
+    assert(LlmPipe.loopPartitions(250L * LlmPipe.LoopRowsPerPart) == 250)
+    assert(LlmPipe.loopPartitions(1000L * LlmPipe.LoopRowsPerPart - 1)
+      == 1000)
+    // monotone: more edges never plan fewer partitions
+    val probes = Seq(0L, 1L, 7L, 8L, 9L, 64L, 1024L)
+      .map(_ * LlmPipe.LoopRowsPerPart)
+    assert(probes.map(LlmPipe.loopPartitions) ==
+      probes.map(LlmPipe.loopPartitions).sorted)
+    // and loopFrame actually pins the child session to the derived
+    // count (small input => the 8 floor), without touching the caller
+    import s.implicits._
+    val callerParts = s.conf.get("spark.sql.shuffle.partitions")
+    val lf = LlmPipe.loopFrame(
+      (1L to 100L).toDF("da").select($"da", ($"da" + 1).as("db")))
+    assert(lf.sparkSession.conf.get("spark.sql.shuffle.partitions") == "8")
+    assert(lf.sparkSession ne s)
+    assert(s.conf.get("spark.sql.shuffle.partitions") == callerParts)
+    assert(lf.count() == 100L)
+  }
 }
