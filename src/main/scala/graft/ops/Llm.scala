@@ -182,19 +182,29 @@ object Llm extends QueryModule {
       .orderBy(col("da"), col("db"))
   }
 
+  // Ground truth via an EXACT inverted-index join, not all-pairs
+  // (round 8): pairs sharing zero shingles can't reach J ≥ 0.5, so
+  // grouping the shared-shingle join by (da, db) counts |A∩B| for
+  // every qualifying pair with cost Σ_s cnt(s)² (~2.8M rows at sf0.1,
+  // 0.7 s) instead of the n²/2 list_intersect scan (543 s at sf0.1 —
+  // the reason this query used to gate at sf0.01 only). Identical
+  // output: |A∩B| = len(list_intersect), same r4 floor, same filter.
   private val dedupFuzzySql =
     """WITH sh AS (
       |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
       |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
-      |SELECT a.doc_id AS da, b.doc_id AS db,
-      |       floor((len(list_intersect(a.g, b.g))::DOUBLE /
-      |              (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))))
-      |             * 10000 + 0.5) / 10000 AS jaccard
-      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      |WHERE floor((len(list_intersect(a.g, b.g))::DOUBLE /
-      |             (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))))
-      |            * 10000 + 0.5) / 10000 >= 0.5
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      |ex AS (SELECT doc_id, len(g) AS n, unnest(g) AS s FROM sh),
+      |pair AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db,
+      |         count(*) AS i, max(a.n) AS na, max(b.n) AS nb
+      |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT da, db,
+      |       floor((i::DOUBLE / (na + nb - i)) * 10000 + 0.5) / 10000
+      |         AS jaccard
+      |FROM pair
+      |WHERE floor((i::DOUBLE / (na + nb - i)) * 10000 + 0.5) / 10000 >= 0.5
       |ORDER BY da, db""".stripMargin
 
   // ------------------------------------------------------ q_llm_sim_search

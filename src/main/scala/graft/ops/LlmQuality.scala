@@ -123,23 +123,30 @@ object LlmQuality extends QueryModule {
       .orderBy(col("da"), col("db"))
   }
 
-  // ground truth: all-pairs 4-gram Jaccard — fine at oracle scale,
-  // exactly the join shape prefix filtering avoids at 100 TB
+  // Ground truth via an EXACT inverted-index join (round 8, same
+  // rewrite as the fuzzy oracle): a pair at J ≥ t shares ≥ 1 gram, so
+  // the shared-gram join grouped by (da, db) yields |A∩B| for every
+  // qualifying pair at Σ_g cnt(g)² cost — 0.4 s at sf0.1 where the
+  // all-pairs list_intersect scan DNF'd. Output identical to all-pairs.
   private val dedupNgramSql =
     s"""WITH sh AS (
        |  SELECT doc_id,
        |         list_distinct(list_transform(range(1, len(w) - 2),
        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS g
        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-       |  WHERE len(w) >= 4)
-       |SELECT a.doc_id AS da, b.doc_id AS db,
-       |       floor((len(list_intersect(a.g, b.g))::DOUBLE /
-       |              (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))))
-       |             * 10000 + 0.5) / 10000 AS jaccard
-       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-       |WHERE floor((len(list_intersect(a.g, b.g))::DOUBLE /
-       |             (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))))
-       |            * 10000 + 0.5) / 10000 >= $JaccardT
+       |  WHERE len(w) >= 4),
+       |ex AS (SELECT doc_id, len(g) AS n, unnest(g) AS s FROM sh),
+       |pair AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db,
+       |         count(*) AS i, max(a.n) AS na, max(b.n) AS nb
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT da, db,
+       |       floor((i::DOUBLE / (na + nb - i)) * 10000 + 0.5) / 10000
+       |         AS jaccard
+       |FROM pair
+       |WHERE floor((i::DOUBLE / (na + nb - i)) * 10000 + 0.5) / 10000
+       |      >= $JaccardT
        |ORDER BY da, db""".stripMargin
 
   // --------------------------------------------------------- q_llm_quality
