@@ -317,11 +317,62 @@ object NormalizeQueries extends QueryModule {
        |       ${graft.ops.Det.sql2("sum(value)")} AS total
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ----------------------------------------------------------- q_scan_video
+
+  /** The reference's video table (`private/data/data_formats.md:46-74`)
+    * as a scored query: the id-keyed JSON object pivots to typed rows
+    * ([[Normalize.readVideos]]), the published timestamp round-trips
+    * as epoch millis (never a rendered timestamp — hash-stable across
+    * engines), and all three thumbnail structs flatten to scalars. The
+    * DuckDB oracle re-derives the same pivot from the raw file with
+    * json_keys + json_extract — a semantic check of the map→rows
+    * reshape, not just a scan. Small dimension table by construction
+    * (wholetext read; hundreds of rows in production). */
+  private def scanVideo(s: SparkSession, d: String): DataFrame = {
+    def thumb(k: String) = Seq(
+      col(s"thumb_$k.url").as(s"${k}_url"),
+      col(s"thumb_$k.width").cast("long").as(s"${k}_w"),
+      col(s"thumb_$k.height").cast("long").as(s"${k}_h"))
+    Normalize.readVideos(s, s"$fixturesDir/videos.json")
+      .select(Seq(col("video_id"), col("embed_url"),
+        unix_millis(col("published")).as("published_ms"),
+        col("title"), col("description")) ++
+        Seq("default", "medium", "high").flatMap(thumb): _*)
+      .orderBy(col("video_id"))
+  }
+
+  private val scanVideoSql = {
+    def thumb(k: String) =
+      s"""o->>'$$.thumbnails.$k.url' AS ${k}_url,
+         |       (o->'$$.thumbnails.$k.width')::BIGINT AS ${k}_w,
+         |       (o->'$$.thumbnails.$k.height')::BIGINT AS ${k}_h""".stripMargin
+    s"""WITH raw AS (
+       |  SELECT json(content) AS j
+       |  FROM read_text('$fixturesDir/videos.json')),
+       |ks AS (SELECT unnest(json_keys(j)) AS video_id, j FROM raw),
+       |v AS (SELECT video_id,
+       |             json_extract(j, '$$."' || video_id || '"') AS o
+       |      FROM ks)
+       |SELECT video_id,
+       |       o->>'$$.embedUrl' AS embed_url,
+       |       epoch_ms(coalesce(
+       |         try_strptime(o->>'$$.published', '%Y-%m-%dT%H:%M:%S.%fZ'),
+       |         try_strptime(o->>'$$.published', '%Y-%m-%dT%H:%M:%SZ')
+       |       ))::BIGINT AS published_ms,
+       |       o->>'$$.title' AS title,
+       |       o->>'$$.description' AS description,
+       |       ${thumb("default")},
+       |       ${thumb("medium")},
+       |       ${thumb("high")}
+       |FROM v ORDER BY video_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_json" -> (scanJson _),
     "q_scan_csv" -> (scanCsv _),
     "q_scan_orc" -> (scanOrc _),
     "q_scan_text" -> (scanText _),
+    "q_scan_video" -> (scanVideo _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -329,5 +380,6 @@ object NormalizeQueries extends QueryModule {
     "q_scan_csv" -> scanCsvSql,
     "q_scan_orc" -> scanOrcSql,
     "q_scan_text" -> scanTextSql,
+    "q_scan_video" -> scanVideoSql,
   )
 }
