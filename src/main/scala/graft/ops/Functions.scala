@@ -359,7 +359,14 @@ object Functions extends QueryModule {
           (col("l_partkey") % 2) * 2 +
           when(col("l_linenumber") > 3, 4L).otherwise(0L))
           .bitwiseAND(lit(2L)) =!= 0L).as("partkey_odd"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // (l_orderkey, l_linenumber) is NOT unique in lineitem (multiple
+      // parts can share a line slot), so that prefix alone leaves the
+      // tie order engine-dependent. k_xor pins l_partkey (xor is
+      // invertible given l_orderkey) and supp_sl4 pins l_suppkey, so
+      // every output column is determined at equal sort keys and the
+      // comparison is order-stable at any SF.
+      .orderBy(col("l_orderkey"), col("l_linenumber"),
+        col("k_xor"), col("supp_sl4"))
 
   private val fnBitwiseSql =
     """SELECT l_orderkey, l_linenumber,
@@ -374,7 +381,8 @@ object Functions extends QueryModule {
       |  ((l_orderkey % 2 + (l_partkey % 2) * 2 +
       |    CASE WHEN l_linenumber > 3 THEN 4 ELSE 0 END) & 2) <> 0
       |    AS partkey_odd
-      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, k_xor, supp_sl4""".stripMargin
 
   // ---------------------------------------------------------- q_fn_binary
 

@@ -52,21 +52,47 @@ object LlmExt extends QueryModule {
       .groupBy(col("doc_id"))
       .agg(sums.head, sums.tail: _*)
       .select(col("doc_id"), fp.as("fp"))
-    val bands = fps.select(col("doc_id"), col("fp"),
+      // Materialized once (lazy): both branches below reuse the frame
+      // instead of re-running the 64-sum fingerprint aggregation.
+      .localCheckpoint(false)
+    // Exact-duplicate collapse BEFORE banding — the composition the
+    // bucketPairs guard message prescribes. Identical texts share a
+    // fingerprint, so doc-level banding lets every exact-dup class
+    // inflate its band buckets linearly with the duplication factor
+    // (10 verbatim corpus copies — heavy crawl duplication, or the
+    // sf1 scale harness — trips MaxBucket even though the DISTINCT
+    // near-dup geometry is unchanged). Band one row per distinct
+    // fingerprint and re-expand member pairs afterwards: candidate
+    // buckets are then bounded by distinct-content geometry alone.
+    // Pigeonhole recall is untouched (it is an fp-level argument).
+    //
+    // Branch 1 — hamming-0 pairs: every member pair of one
+    // fingerprint class (bucketPairs caps a class at MaxBucket:
+    // beyond that the prescribed collapse is q_llm_dedup_exact/apply).
+    val identical = Llm.bucketPairs(fps, Seq(col("fp")), col("doc_id"))
+      .select(col("x").as("da"), col("y").as("db"), lit(0L).as("hamming"))
+    // Branch 2 — cross-class pairs: band the distinct fingerprints,
+    // carrying each class's sorted member list through the bucket
+    // expansion so the final m×n re-expansion needs no join back.
+    val groups = fps.groupBy(col("fp"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+    val bands = groups.select(col("fp"), col("ids"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("b"),
           shiftright(col("fp"), 16 * b).bitwiseAND(lit(65535L)).as("k"))): _*))
         .as("bk"))
-      .select(col("doc_id"), col("fp"), col("bk.b"), col("bk.k"))
-    // shared bucket-collect pair expansion (Llm.bucketPairs); members
-    // carry (doc_id, fp) structs so verification needs no join back
-    Llm.bucketPairs(bands, Seq(col("b"), col("k")),
-        struct(col("doc_id"), col("fp")))
-      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+      .select(col("fp"), col("ids"), col("bk.b"), col("bk.k"))
+    val cross = Llm.bucketPairs(bands, Seq(col("b"), col("k")),
+        struct(col("fp"), col("ids")))
+      .select(col("x.ids").as("xs"), col("y.ids").as("ys"),
         bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).cast("long")
           .as("hamming"))
-      .filter(col("hamming") <= 3)
-      .orderBy(col("da"), col("db"))
+      .filter(col("hamming") <= 3) // ≥ 1 here: fps are distinct
+      .select(explode(col("xs")).as("a"), col("ys"), col("hamming"))
+      .select(col("a"), explode(col("ys")).as("b"), col("hamming"))
+      .select(least(col("a"), col("b")).as("da"),
+        greatest(col("a"), col("b")).as("db"), col("hamming"))
+    identical.unionByName(cross).orderBy(col("da"), col("db"))
   }
 
   /** The simhash pair set under its scored name — q_llm_dedup_cc

@@ -28,7 +28,8 @@ def run_verify():
     cmd = (["java", "-cp", cp] + ADD_OPENS +
            ["-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
             "-Xmx8g", "graft.Verify", SF, OUT])
-    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    env = dict(os.environ,
+               SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "8"))
     r = subprocess.run(cmd, cwd="/root/repo", env=env,
                        capture_output=True, text=True)
     for line in r.stderr.splitlines():
