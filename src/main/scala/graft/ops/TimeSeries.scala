@@ -74,7 +74,13 @@ object TimeSeries extends QueryModule {
     * means five tasks, so a real deployment keys the window by
     * (series, day) to re-widen; the per-frame math is unchanged. */
   private def tsAnomaly(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"))
+    // ts alone is NOT a key within a series: at corpus scale multiple
+    // events share a timestamp, and a ROWS frame over a non-total
+    // order is engine-dependent at the ties. event_id makes the sort
+    // total, so the preceding-100 baseline is identical on any engine
+    // at any SF (the sf1 harness gates with verbatim ts collisions).
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
       .rowsBetween(-100, -1)
     T.par(s, T.events(s, d))
       .select(col("event_id"), col("event_type"), col("ts"), col("value"))
@@ -107,7 +113,7 @@ object TimeSeries extends QueryModule {
        |         stddev_samp(value) OVER win AS sd,
        |         count(*) OVER win AS nw
        |  FROM events
-       |  WINDOW win AS (PARTITION BY event_type ORDER BY ts
+       |  WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
        |                 ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING))
        |SELECT event_id, event_type, tus, value,
        |       ${Det.sql4("(value - mu) / sd")} AS z
@@ -136,8 +142,13 @@ object TimeSeries extends QueryModule {
     * series against a brute-force weighted average — the decomposition
     * identity is the part worth proving. */
   private[graft] def wmaOver(df: DataFrame, series: String, order: String,
-      value: String, width: Int): DataFrame = {
-    val byOrd = Window.partitionBy(col(series)).orderBy(col(order))
+      value: String, width: Int, tiebreak: Seq[String] = Nil): DataFrame = {
+    // `order` + `tiebreak` must be a key of the partition: the frame
+    // and rn are positional, so a non-total sort makes the smoother
+    // engine-dependent wherever `order` collides (real event logs
+    // collide constantly — callers pass the event id).
+    val byOrd = Window.partitionBy(col(series))
+      .orderBy((order +: tiebreak).map(col): _*)
     val frame = byOrd.rowsBetween(-width, 0)
     df.withColumn("rn", row_number().over(byOrd).cast("long"))
       .withColumn("s1", sum(col(value) * col("rn")).over(frame))
@@ -153,18 +164,19 @@ object TimeSeries extends QueryModule {
     * per event series — [[wmaOver]] applied to the events log. */
   private def tsWma(s: SparkSession, d: String): DataFrame =
     wmaOver(
-      T.events(s, d).select(col("event_type"), col("ts"), col("value")),
-      "event_type", "ts", "value", 20)
+      T.events(s, d).select(col("event_type"), col("ts"), col("value"),
+        col("event_id")),
+      "event_type", "ts", "value", 20, tiebreak = Seq("event_id"))
       .select(col("event_type"), unix_micros(col("ts")).as("tus"),
         col("value"), col("wma"))
-      .orderBy(col("event_type"), col("tus"))
+      .orderBy(col("event_type"), col("tus"), col("value"), col("wma"))
 
   private val tsWmaSql =
     s"""WITH r AS (
        |  SELECT event_type, epoch_us(make_timestamp(epoch_us(ts))) AS tus,
-       |         value,
+       |         value, event_id,
        |         row_number() OVER (PARTITION BY event_type
-       |                            ORDER BY ts) AS rn
+       |                            ORDER BY ts, event_id) AS rn
        |  FROM events),
        |f AS (
        |  SELECT event_type, tus, value, rn,
@@ -172,11 +184,11 @@ object TimeSeries extends QueryModule {
        |         sum(value) OVER win AS s0,
        |         count(*) OVER win AS c
        |  FROM r
-       |  WINDOW win AS (PARTITION BY event_type ORDER BY tus
+       |  WINDOW win AS (PARTITION BY event_type ORDER BY tus, event_id
        |                 ROWS BETWEEN 20 PRECEDING AND CURRENT ROW))
        |SELECT event_type, tus, value,
        |       ${Det.sql4("(s1 + (c - rn) * s0) / (c * (c + 1) / 2)")} AS wma
-       |FROM f ORDER BY event_type, tus""".stripMargin
+       |FROM f ORDER BY event_type, tus, value, wma""".stripMargin
 
   // ------------------------------------------------------------ q_ts_interp
 

@@ -61,6 +61,45 @@ class Round6PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("property: WMA with colliding order keys is total via tiebreak") {
+    import s.implicits._
+    // duplicated-corpus shape (the sf1 harness): every order value
+    // appears d times; only the tiebreak column distinguishes copies.
+    // The smoother must (a) match brute force over the (order, tb)
+    // sort and (b) be invariant to input row order — without the
+    // tiebreak both are engine-luck at every tie.
+    val gen: Gen[(List[(String, Int, Long, Double)], Long)] = for {
+      d <- Gen.chooseNum(2, 4)
+      len <- Gen.chooseNum(1, 15)
+      vs <- Gen.listOfN(len * d, Gen.chooseNum(-1000, 1000))
+      seed <- Gen.chooseNum(0L, Long.MaxValue)
+    } yield (vs.zipWithIndex.map { case (v, j) =>
+      ("s", j % len, j.toLong, v / 7.0)  // order j%len collides d ways
+    }, seed)
+    passes(Prop.forAll(gen) { case (rows, seed) =>
+      val width = 4
+      val shuffled = new scala.util.Random(seed).shuffle(rows)
+      def run(rs: List[(String, Int, Long, Double)]) =
+        graft.ops.TimeSeries.wmaOver(
+            rs.toDF("k", "i", "tb", "v"), "k", "i", "v", width,
+            tiebreak = Seq("tb"))
+          .collect()
+          .map(r => (r.getAs[Int]("i"), r.getAs[Long]("tb")) ->
+            r.getAs[Double]("wma")).toMap
+      val got = run(rows)
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      val expectOk = ordered.indices.forall { i =>
+        val frame = ordered.slice(math.max(0, i - width), i + 1)
+        val c = frame.length
+        val num = frame.zipWithIndex
+          .map { case ((_, _, _, v), j) => v * (j + 1) }.sum
+        math.abs(got((ordered(i)._2, ordered(i)._3)) -
+          num / (c * (c + 1) / 2.0)) < 1e-3
+      }
+      expectOk && run(shuffled) == got
+    })
+  }
+
   // ----------------------------------------------------------- funnel
 
   test("property: funnel depths equal a per-user sequential scan") {

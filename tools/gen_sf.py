@@ -39,12 +39,15 @@ SHIFTS = {
     "lineitem": {"l_orderkey": ("orders", "o_orderkey"),
                  "l_partkey": ("part", "p_partkey"),
                  "l_suppkey": ("supplier", "s_suppkey")},
+    # events.ts is copied VERBATIM: every timestamp appears 10 times at
+    # sf1, so any window whose sort is not total within its partition
+    # mismatches its oracle here. That is the point — the round-8 fix
+    # made the two series-keyed windows (q_ts_wma / q_ts_anomaly)
+    # tiebreak on event_id, and this harness is what keeps them honest.
+    # (An earlier revision jittered ts +copy·µs to dodge the ties; that
+    # masked the nondeterminism instead of fixing it.)
     "events": {"event_id": ("events", "event_id"),
                "user_id": ("events", "user_id")},
-    # ts gets +copy microseconds (below): copies would otherwise tie on
-    # every timestamp, and a window ORDER BY ts that was total on the
-    # source becomes engine-dependent at the ties (seen: q_ts_wma /
-    # q_ts_anomaly hash-mismatch at sf1 before the jitter).
     "documents": {"doc_id": ("documents", "doc_id")},
     "embeddings": {"vec_id": ("embeddings", "vec_id")},
 }
@@ -74,11 +77,6 @@ def main(src, dst, copies):
                 shifted = pc.add(part[col], c * strides[key])
                 part = part.set_column(idx, part.schema.field(idx),
                                        shifted.cast(part.schema.field(idx).type))
-            if name == "events":
-                idx = part.schema.get_field_index("ts")
-                jit = pc.add(part["ts"].cast(pa.int64()),
-                             c * 1000).cast(pa.timestamp("ns"))
-                part = part.set_column(idx, part.schema.field(idx), jit)
             parts.append(part)
         out = pa.concat_tables(parts)
         pq.write_table(out, f"{dst}/{name}.parquet")
