@@ -24,21 +24,34 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
-  /** events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read nanos as long and convert to
-    * microsecond TimestampType with integer arithmetic (`DIV` — double
-    * division would lose precision above 2^53). `DIV` truncates toward
-    * zero, which equals floor for non-negative inputs; the generator
-    * emits only post-epoch timestamps (min observed 2024-01-01, see
-    * TablesSpec which asserts ts > 0), so this matches DuckDB's ns→us
-    * conversion exactly. NOTE deliberate session-conf side effect: the
-    * nanosAsLong legacy flag must be set before the read is planned;
-    * it is documented here and also set at session build time in
-    * Verify/Bench so callers constructing their own sessions agree. */
+  /** events.parquet has shipped with two ts encodings across testdata
+    * generations: INT64 TIMESTAMP(NANOS) (reads as LongType under the
+    * nanosAsLong legacy flag) and native timestamp[us] with no tz
+    * (reads as TIMESTAMP_NTZ). Branch on the type the reader actually
+    * produced instead of assuming either:
+    *  - LongType → nanos: convert with integer `DIV 1000` (double
+    *    division would lose precision above 2^53; DIV truncates toward
+    *    zero = floor for the generator's post-epoch values, matching
+    *    DuckDB's ns→us conversion exactly).
+    *  - TIMESTAMP_NTZ → cast to TimestampType. Sessions pin
+    *    spark.sql.session.timeZone=UTC, so the cast reinterprets the
+    *    same micros value and downstream code keeps seeing the LTZ
+    *    type every query was validated against.
+    * NOTE deliberate session-conf side effect: the nanosAsLong legacy
+    * flag must be set before the read is planned; it is documented
+    * here and also set at session build time in Verify/Bench so
+    * callers constructing their own sessions agree. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => // TIMESTAMP_NTZ (or date-ish) → LTZ under the UTC session
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

@@ -6,7 +6,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.types.StructType
 import java.time.Instant
 import java.sql.Timestamp
 
@@ -74,19 +73,28 @@ object Streams extends QueryModule {
     }
   }
 
-  /** events schema as the streaming reader needs it (nanos→long per
-    * Tables.events; streaming file sources require an explicit schema). */
-  private val eventsRawSchema = StructType.fromDDL(
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
-      "value DOUBLE, props STRING")
-
+  /** Streaming file sources require an explicit schema, and events.ts
+    * has shipped as both INT64 nanos and native timestamp[us] across
+    * testdata generations (see Tables.events). Take the schema from a
+    * one-off batch footer read of the same file — forcing a BIGINT
+    * schema onto a timestamp[us] column would silently read raw micros
+    * as "nanos" and shift every event to 1970 — then apply the same
+    * type-adaptive ts normalization as the batch path. */
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema = s.read.parquet(s"$d/events.parquet").schema
     // the streaming file source wants a directory; glob-filter down to
     // the events table
-    s.readStream.schema(eventsRawSchema)
+    val st = s.readStream.schema(fileSchema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    fileSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        st.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampType => st
+      case _ =>
+        st.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 
   /** The shuffle-partition count is frozen into a streaming query's
