@@ -96,6 +96,16 @@ def main():
     names = ONLY or sorted(
         d for d in os.listdir(OUT) if os.path.isdir(os.path.join(OUT, d)))
     fails = [n for n in names if not compare(n, con)]
+    # Queries that errored inside Verify have no dump dir — iterate the
+    # error channel too so breakage can't hide as missing coverage.
+    errpath = os.path.join(OUT, "errors.json")
+    if os.path.exists(errpath) and not ONLY:
+        with open(errpath) as f:
+            errs = json.load(f)
+        for n, msg in sorted(errs.items()):
+            print(f"  {n}: VERIFY ERROR: {msg[:300]}")
+            fails.append(n)
+            names.append(n)
     print(f"\n{len(names)-len(fails)}/{len(names)} queries match")
     sys.exit(1 if fails else 0)
 

@@ -16,9 +16,10 @@ workload than organically-scaled data (real crawl corpora are heavy
 with exact duplication), and the right stress for the banding /
 contraction paths.
 
-Writes with pyarrow so events.ts keeps the driver's INT64
-TIMESTAMP(NANOS) physical type (DuckDB would silently truncate to
-micros; Spark can't write nanos at all).
+Writes with pyarrow so events.ts keeps whatever physical type the
+driver generation used verbatim (INT64 TIMESTAMP(NANOS) in early
+generations, native timestamp[us] since round 9 — Tables.events
+adapts to both; DuckDB or Spark rewrites would coerce the type).
 
 Usage: python3 tools/gen_sf.py /root/testdata/sf0.1 /tmp/graft-sf1 10
 """
