@@ -86,30 +86,32 @@ object Reshape extends QueryModule {
     * sketch. */
   private def percentile(s: SparkSession, d: String): DataFrame = {
     val rf = col("l_returnflag")
-    val wE = Window.partitionBy(rf).orderBy(col("l_extendedprice"))
-    val wQ = Window.partitionBy(rf).orderBy(col("l_quantity"))
-    val ranked = T.lineitem(s, d)
+    val li = T.lineitem(s, d)
       .select(rf, col("l_extendedprice"), col("l_quantity"))
-      .select(rf, col("l_extendedprice"), col("l_quantity"),
-        (row_number().over(wE) - 1).as("re"),
-        (row_number().over(wQ) - 1).as("rq"),
-        count(lit(1)).over(Window.partitionBy(rf)).as("n"))
+    val cnt = groupCounts(li, rf)
+    // Two independent parallel rank passes (one per ordered column) —
+    // the old single frame also paid two sorts, just on |groups| tasks.
+    val re = rankedBy(s, li, "l_returnflag", "l_extendedprice")
+      .join(broadcast(cnt), "l_returnflag")
+    val rq = rankedBy(s, li, "l_returnflag", "l_quantity")
+      .join(broadcast(cnt), "l_returnflag")
     // bracketing order statistics of cut point p: zero-based ranks
     // floor((n-1)p) and ceil((n-1)p)
-    def lo(p: Double, r: Column, v: Column) =
-      max(when(r === floor((col("n") - 1) * lit(p)), v))
-    def hi(p: Double, r: Column, v: Column) =
-      max(when(r === ceil((col("n") - 1) * lit(p)), v))
-    val agg = ranked.groupBy(rf).agg(
-      max(col("n")).as("nn"),
-      lo(0.25, col("re"), col("l_extendedprice")).as("e25l"),
-      hi(0.25, col("re"), col("l_extendedprice")).as("e25h"),
-      lo(0.50, col("re"), col("l_extendedprice")).as("e50l"),
-      hi(0.50, col("re"), col("l_extendedprice")).as("e50h"),
-      lo(0.75, col("re"), col("l_extendedprice")).as("e75l"),
-      hi(0.75, col("re"), col("l_extendedprice")).as("e75h"),
-      lo(0.50, col("rq"), col("l_quantity")).as("q50l"),
-      hi(0.50, col("rq"), col("l_quantity")).as("q50h"))
+    def lo(p: Double, v: Column) =
+      max(when(col("r") === floor((col("n") - 1) * lit(p)), v))
+    def hi(p: Double, v: Column) =
+      max(when(col("r") === ceil((col("n") - 1) * lit(p)), v))
+    val agg = re.groupBy(rf).agg(
+        max(col("n")).as("nn"),
+        lo(0.25, col("l_extendedprice")).as("e25l"),
+        hi(0.25, col("l_extendedprice")).as("e25h"),
+        lo(0.50, col("l_extendedprice")).as("e50l"),
+        hi(0.50, col("l_extendedprice")).as("e50h"),
+        lo(0.75, col("l_extendedprice")).as("e75l"),
+        hi(0.75, col("l_extendedprice")).as("e75h"))
+      .join(rq.groupBy(rf).agg(
+        lo(0.50, col("l_quantity")).as("q50l"),
+        hi(0.50, col("l_quantity")).as("q50h")), "l_returnflag")
     // v_lo + (k − ⌊k⌋)·(v_hi − v_lo), the quantile_cont interpolation
     def interp(p: Double, l: Column, h: Column) = {
       val k = (col("nn") - 1) * lit(p)
@@ -132,6 +134,61 @@ object Reshape extends QueryModule {
        |FROM lineitem GROUP BY l_returnflag
        |ORDER BY l_returnflag""".stripMargin
 
+  /** Per-group row counts as a |groups|-row frame for broadcast-join
+    * back onto ranked rows. The order-statistics family previously
+    * fetched n via `count(*) OVER (PARTITION BY g)` — an UNORDERED
+    * entire-partition window, which makes WindowExec buffer (and at
+    * scale spill) every partition's full row set just to stamp one
+    * number on each row. A map-side-partial aggregate + broadcast
+    * hash join produces the identical column with constant state and
+    * no buffering pass; the extra one-column scan is far cheaper than
+    * the removed materialization at any SF. */
+  private def groupCounts(df: DataFrame, key: Column): DataFrame =
+    df.groupBy(key).agg(count(lit(1)).as("n"))
+
+  /** Exact zero-based rank of `v` within group `g`, with parallelism
+    * DECOUPLED from |groups| — the order-statistics family previously
+    * sorted each group on ONE task (`row_number` over a 3-value
+    * l_returnflag = 3 tasks doing 2M-row sorts on a 32-core box; at
+    * 100 TB, a billion-row group serializes onto one executor).
+    * Classic two-phase distributed ranking instead:
+    *   1. `repartitionByRange(g, v)` splits every group across many
+    *      ordered partitions (equal (g,v) keys never straddle a
+    *      boundary — RangePartitioner binary-searches a deterministic
+    *      side), and rank arithmetic is EXACT regardless of where the
+    *      sampled boundaries land;
+    *   2. per-(partition, group) row counts — a nParts×|groups|-row
+    *      frame — prefix-summed per group in pid order give each
+    *      cell's global rank offset, broadcast back;
+    *   3. local `row_number` within each (partition, group) cell plus
+    *      the cell offset = the global rank. Ties share arbitrary
+    *      rank ORDER but order statistics select VALUES, which are
+    *      tie-permutation-invariant, so every consumer is exact.
+    * Cost shape: two full shuffles of the fact rows (range + the
+    * window's hash on (pid,g)) instead of one, but every sort is
+    * 1/nParts of a group — the right trade precisely when groups are
+    * few and huge, which is what order statistics over a 3-value
+    * grouping key are. */
+  private def rankedBy(s: SparkSession, df: DataFrame,
+                       g: String, v: String): DataFrame = {
+    val nParts = s.sparkContext.defaultParallelism
+    val ranged = df.select(col(g), col(v))
+      .repartitionByRange(nParts, col(g), col(v))
+      .withColumn("pid", spark_partition_id())
+    val cells = ranged.groupBy(col("pid"), col(g))
+      .agg(count(lit(1)).as("c"))
+    val wOff = Window.partitionBy(col(g)).orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = cells
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .select(col("pid"), col(g), col("off"))
+    val wLoc = Window.partitionBy(col("pid"), col(g)).orderBy(col(v))
+    ranged.join(broadcast(offsets), Seq("pid", g))
+      .withColumn("r",
+        row_number().over(wLoc).cast("long") - 1L + col("off"))
+      .select(col(g), col(v), col("r"))
+  }
+
   // ------------------------------------------------------------ q_agg_trimmed
 
   /** 10%-trimmed mean per group — the robust-statistics aggregate
@@ -148,11 +205,12 @@ object Reshape extends QueryModule {
     * aggregate. */
   private def aggTrimmed(s: SparkSession, d: String): DataFrame = {
     val rf = col("l_returnflag")
-    val w = Window.partitionBy(rf).orderBy(col("l_extendedprice"))
-    T.lineitem(s, d)
-      .select(rf, col("l_extendedprice"))
-      .withColumn("r", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(rf)))
+    val li = T.lineitem(s, d).select(rf, col("l_extendedprice"))
+    // rankedBy is zero-based; the trim predicate below is stated on
+    // 1-based ranks, hence the +1.
+    rankedBy(s, li, "l_returnflag", "l_extendedprice")
+      .withColumn("r", col("r") + 1L)
+      .join(broadcast(groupCounts(li, rf)), "l_returnflag")
       .filter(col("r") > floor(col("n") * 0.1) &&
         col("r") <= col("n") - floor(col("n") * 0.1))
       .groupBy(rf)
@@ -195,12 +253,15 @@ object Reshape extends QueryModule {
     * agrees exactly. */
   private def aggMad(s: SparkSession, d: String): DataFrame = {
     val rf = col("l_returnflag")
-    def medianOf(df: DataFrame, v: String, out: String): DataFrame = {
-      val w = Window.partitionBy(rf).orderBy(col(v))
+    // One counts frame serves both passes: the deviation frame joins
+    // lineitem 1:1 against a per-group singleton, so its group sizes
+    // are lineitem's — recomputing them would re-execute the whole
+    // first median subplan just to re-count rows.
+    def medianOf(df: DataFrame, v: String, out: String,
+                 counts: DataFrame): DataFrame = {
       val k = (col("nn") - 1) * lit(0.5)
-      df.select(rf, col(v))
-        .withColumn("r", row_number().over(w) - 1)
-        .withColumn("n", count(lit(1)).over(Window.partitionBy(rf)))
+      rankedBy(s, df, "l_returnflag", v)
+        .join(broadcast(counts), "l_returnflag")
         .groupBy(rf).agg(
           max(col("n")).as("nn"),
           max(when(col("r") === floor((col("n") - 1) * 0.5), col(v)))
@@ -211,10 +272,11 @@ object Reshape extends QueryModule {
           (col("lo") + (k - floor(k)) * (col("hi") - col("lo"))).as(out))
     }
     val li = T.lineitem(s, d).select(rf, col("l_extendedprice"))
-    val med = medianOf(li, "l_extendedprice", "med")
+    val cnt = groupCounts(li, rf)
+    val med = medianOf(li, "l_extendedprice", "med", cnt)
     val dev = li.join(broadcast(med), "l_returnflag")
       .select(rf, abs(col("l_extendedprice") - col("med")).as("adev"))
-    med.join(medianOf(dev, "adev", "mad"), "l_returnflag")
+    med.join(medianOf(dev, "adev", "mad", cnt), "l_returnflag")
       .select(rf, Det.r4(col("med")).as("median_price"),
         Det.r4(col("mad")).as("mad"))
       .orderBy(rf)
