@@ -79,25 +79,78 @@ object TimeSeries extends QueryModule {
     // order is engine-dependent at the ties. event_id makes the sort
     // total, so the preceding-100 baseline is identical on any engine
     // at any SF (the sf1 harness gates with verbatim ts collisions).
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("ts"), col("event_id"))
-      .rowsBetween(-100, -1)
-    T.par(s, T.events(s, d))
+    //
+    // Parallelism is DECOUPLED from series count (5 event_types would
+    // otherwise mean 5 tasks streaming the whole corpus through the
+    // window — the 100 TB ceiling the round-7 scaladoc could only
+    // document). Overlap-split evaluation instead:
+    //  1. range-split the corpus on the window's own sort key
+    //     (type, ts, id) into defaultParallelism ordered slices;
+    //  2. every slice re-emits its trailing `frameLen` rows per
+    //     series to the NEXT slice as carried baseline-only rows
+    //     (flagged, later dropped), so each kept row finds its exact
+    //     preceding-100 frame inside its own (slice, series) cell —
+    //     a slice's carried prefix IS the global predecessor set of
+    //     its first rows, and the first slice correctly carries
+    //     nothing (the warm-up filter starts the series cold);
+    //  3. the unchanged frame aggs run per (slice, series) cell —
+    //     every core busy, frame iteration order identical to the
+    //     single-partition plan, so mu/sd are BIT-identical (same
+    //     values folded in the same order) and the z>3 cut cannot
+    //     flip. Cost: one duplicated frameLen-row fringe per slice.
+    val frameLen = 100
+    val nSlices = s.sparkContext.defaultParallelism
+    val key = Seq(col("ts"), col("event_id"))
+    val sliced = T.events(s, d)
       .select(col("event_id"), col("event_type"), col("ts"), col("value"))
-      // the explicit-count repartition IS the exchange the window
-      // needs (hashpartitioning on the series key satisfies the
-      // window's required distribution) — stated explicitly so AQE
-      // does not coalesce the five KB-sized series groups onto ONE
-      // task and serialize the window at test scale. At 100 TB the
-      // groups aren't small and the same exchange is what any plan
-      // runs; series cardinality stays the parallelism ceiling either
-      // way (see scaladoc above).
-      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
-        col("event_type"))
+      .repartitionByRange(nSlices, col("event_type") +: key: _*)
+      .withColumn("slice", spark_partition_id())
+    // A slice can hold FEWER than frameLen rows of a series (thin
+    // cells near type boundaries, or small SFs), so carrying only to
+    // the next slice would under-fill that slice's successors'
+    // frames. Exact general carry from the per-cell counts frame
+    // (nSlices×|types| rows): a row at reverse-rank rev in slice q
+    // belongs in slice p's baseline iff rev ≤ frameLen − (rows of the
+    // series in slices strictly between q and p) — i.e. the assembled
+    // carried set of p is exactly the series' last frameLen rows
+    // before p, wherever they live. In the common fat-cell case this
+    // degenerates to q = p−1 and the pairs frame is one row per cell.
+    val counts = sliced.groupBy(col("slice"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("slice"))
+    val cum = counts.withColumn("cum", sum(col("c")).over(wCum))
+    val pairs = cum
+      .select(col("event_type").as("qtype"), col("slice").as("q"),
+        col("cum").as("cumq"))
+      .join(cum.select(col("event_type").as("ptype"),
+        col("slice").as("p"), (col("cum") - col("c")).as("cump_excl")),
+        col("qtype") === col("ptype"))
+      .filter(col("p") > col("q") &&
+        col("cump_excl") - col("cumq") < frameLen)
+      .select(col("qtype"), col("q"),
+        (lit(frameLen) - (col("cump_excl") - col("cumq"))).as("need"),
+        col("p"))
+    val wTail = Window.partitionBy(col("slice"), col("event_type"))
+      .orderBy(key.map(_.desc): _*)
+    val carried = sliced
+      .withColumn("rev", row_number().over(wTail))
+      .filter(col("rev") <= frameLen)
+      .join(broadcast(pairs),
+        col("slice") === col("q") && col("event_type") === col("qtype"))
+      .filter(col("rev") <= col("need"))
+      .select(col("event_id"), col("event_type"), col("ts"),
+        col("value"), col("p").as("slice"))
+      .withColumn("carried", lit(true))
+    val cells = sliced.withColumn("carried", lit(false))
+      .unionByName(carried)
+    val w = Window.partitionBy(col("slice"), col("event_type"))
+      .orderBy(key: _*)
+      .rowsBetween(-frameLen, -1)
+    cells
       .withColumn("mu", avg(col("value")).over(w))
       .withColumn("sd", stddev_samp(col("value")).over(w))
       .withColumn("nw", count(lit(1)).over(w))
-      .filter(col("nw") >= 30 && col("sd") > 1e-9 &&
+      .filter(!col("carried") && col("nw") >= 30 && col("sd") > 1e-9 &&
         abs((col("value") - col("mu")) / col("sd")) > 3.0)
       .select(col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("tus"), col("value"),
