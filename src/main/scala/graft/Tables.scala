@@ -56,6 +56,18 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
+  /** On-disk bytes of one source table, via the Hadoop FileSystem API
+    * (works for local files, HDFS and object stores alike). This is
+    * the cheap pre-plan cardinality proxy adaptive operators use to
+    * pick a physical strategy — the same signal a catalog's table
+    * statistics would provide (and on a real deployment SHOULD
+    * provide; file-size probing is the stats-less fallback). */
+  def sourceBytes(s: SparkSession, d: String, name: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/$name.parquet")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getContentSummary(p).getLength
+  }
+
   /** Spread a scan across the cluster before compute-heavy per-row
     * work. Every test table is ONE parquet file with ONE row group —
     * an unsplittable single input partition — so expensive projections

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{QueryModule, Tables => T}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -84,6 +84,20 @@ object TimeSeries extends QueryModule {
     // otherwise mean 5 tasks streaming the whole corpus through the
     // window — the 100 TB ceiling the round-7 scaladoc could only
     // document). Overlap-split evaluation instead:
+    //
+    // ADAPTIVE cutover: the split costs ~4 extra tiny jobs (range
+    // sampling, per-cell counts, carry broadcast, union) — pure
+    // overhead when the corpus fits comfortably in a handful of
+    // tasks (measured at sf0.1: 2.9 s simple vs 4.5 s split; at sf1
+    // the ordering flips hard: 23.1 s simple vs 3.9 s split). Pick
+    // the plan from the source size the way a cost-based optimizer
+    // would from table stats: below ~8 MB of parquet the per-series
+    // window is already sub-second per task, so run the simple plan;
+    // above it, slice. Both plans produce BIT-identical output (the
+    // split's per-cell frames replay the same values in the same
+    // order — see below), so the cutover can never change results,
+    // only the physical strategy. AnomalySplitSpec pins both paths
+    // to the same rows.
     //  1. range-split the corpus on the window's own sort key
     //     (type, ts, id) into defaultParallelism ordered slices;
     //  2. every slice re-emits its trailing `frameLen` rows per
@@ -99,10 +113,28 @@ object TimeSeries extends QueryModule {
     //     values folded in the same order) and the z>3 cut cannot
     //     flip. Cost: one duplicated frameLen-row fringe per slice.
     val frameLen = 100
-    val nSlices = s.sparkContext.defaultParallelism
     val key = Seq(col("ts"), col("event_id"))
-    val sliced = T.events(s, d)
+    val base = T.events(s, d)
       .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+    val score = scoreAnomalies(frameLen, key) _
+    if (T.sourceBytes(s, d, "events") < (8L << 20)) {
+      // small corpus: one shuffle on the series key, window streams
+      // per series. The explicit-count repartition keeps AQE from
+      // coalescing the KB-sized series groups onto one task.
+      score(base
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("event_type"))
+        .withColumn("slice", lit(0)).withColumn("carried", lit(false)))
+    } else overlapSplit(s, base, frameLen, key, score)
+  }
+
+  /** The large-corpus physical strategy for [[tsAnomaly]]: range-split
+    * on the window's own sort key + exact trailing-frame carry. See
+    * the plan-choice comment in tsAnomaly for when this wins. */
+  private[graft] def overlapSplit(s: SparkSession, base: DataFrame, frameLen: Int,
+      key: Seq[Column], score: DataFrame => DataFrame): DataFrame = {
+    val nSlices = s.sparkContext.defaultParallelism
+    val sliced = base
       .repartitionByRange(nSlices, col("event_type") +: key: _*)
       .withColumn("slice", spark_partition_id())
     // A slice can hold FEWER than frameLen rows of a series (thin
@@ -141,8 +173,15 @@ object TimeSeries extends QueryModule {
       .select(col("event_id"), col("event_type"), col("ts"),
         col("value"), col("p").as("slice"))
       .withColumn("carried", lit(true))
-    val cells = sliced.withColumn("carried", lit(false))
-      .unionByName(carried)
+    score(sliced.withColumn("carried", lit(false)).unionByName(carried))
+  }
+
+  /** Shared z-score tail over per-(slice, series) cells: frame aggs,
+    * warm-up + degenerate-variance guards, the z>3 cut, output shape.
+    * Both physical strategies feed this with identical per-cell row
+    * sequences, so the scored rows are bit-identical. */
+  private[graft] def scoreAnomalies(frameLen: Int, key: Seq[Column])
+                            (cells: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("slice"), col("event_type"))
       .orderBy(key: _*)
       .rowsBetween(-frameLen, -1)

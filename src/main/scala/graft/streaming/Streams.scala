@@ -113,8 +113,23 @@ object Streams extends QueryModule {
     try f finally s.conf.set(key, prev)
   }
 
-  private def withStreamPartitions[T](s: SparkSession)(f: => T): T =
-    withConf(s, "spark.sql.shuffle.partitions", "4")(f)
+  private def withStreamPartitions[T](s: SparkSession, parts: Int)(f: => T): T =
+    withConf(s, "spark.sql.shuffle.partitions", parts.toString)(f)
+
+  /** State-store partition count sized from the SOURCE volume, the
+    * way a deployment sizes it to expected state: one state partition
+    * per ~1.5 MB of source parquet, clamped to [4, cores]. At the
+    * bench SF (2 MB of events) that is the tuned floor of 4 — a state
+    * store per core there is pure per-batch maintenance overhead —
+    * while 10× and 100× inputs fan the keyed state out (8 / 32)
+    * instead of funnelling megabytes of session state through 4
+    * tasks. The count is frozen into the checkpoint at start, which
+    * is exactly why it must be derived from data, not a constant. */
+  private def streamParts(s: SparkSession, d: String): Int = {
+    val bytes = graft.Tables.sourceBytes(s, d, "events")
+    math.max(4, math.min(s.sparkContext.defaultParallelism,
+      (bytes / (1L << 20) / 3 * 2).toInt))
+  }
 
   /** Run a streaming frame into a memory sink, driving it with `drive`
     * (AvailableNow-to-completion for the file-source queries; manual
@@ -127,7 +142,8 @@ object Streams extends QueryModule {
     * tables in the session catalog. */
   private def runStream(s: SparkSession, df: DataFrame, mode: String,
       trigger: Option[Trigger],
-      drive: org.apache.spark.sql.streaming.StreamingQuery => Unit): DataFrame = {
+      drive: org.apache.spark.sql.streaming.StreamingQuery => Unit,
+      parts: Int = 4): DataFrame = {
     val qn = "s_" + java.util.UUID.randomUUID.toString.replace("-", "")
     // Explicit RAM-backed checkpoint, deleted after the run. Two
     // reasons: Spark does NOT delete auto-created temp checkpoints on
@@ -143,7 +159,7 @@ object Streams extends QueryModule {
       else sys.props.getOrElse("java.io.tmpdir", "/tmp")
     val ckpt = s"$ckptBase/graft-ckpt/$qn"
     try {
-      withStreamPartitions(s) {
+      withStreamPartitions(s, parts) {
         var w = df.writeStream.format("memory").queryName(qn)
           .outputMode(mode).option("checkpointLocation", ckpt)
         trigger.foreach(t => w = w.trigger(t))
@@ -162,23 +178,33 @@ object Streams extends QueryModule {
       rm(new java.io.File(ckpt))
     }
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    // Hand the sink back AS the already-analyzed DataFrame, not a
+    // collect()→parallelize→createDataFrame roundtrip: the sink's
+    // LocalTableScan parallelizes its UnsafeRows over
+    // defaultParallelism slices with byte-level task serialization,
+    // while the roundtrip re-ships driver-side Row objects and runs
+    // a Catalyst converter per row on EVERY downstream evaluation —
+    // the sort's sampling pass + shuffle re-evaluate the source, so
+    // s_session's ~95k sf1 sessions paid the conversion four times
+    // per run (measured at sf1: 13.6 s → 11.0 s from this change,
+    // and it un-inverts the state-partition knob — with the
+    // roundtrip gone, 8 partitions beats 4 at sf1, 9.9 s).
+    // dropTempView only unhooks the catalog name; the resolved plan
+    // keeps the sink's rows alive exactly as the collected Seq did.
     val result = s.table(qn)
-    val rows = result.collect().toSeq
-    val schema = result.schema
     s.catalog.dropTempView(qn)
-    // slice the re-localized sink so one task never carries the whole
-    // result (s_session at sf0.1 holds ~100k session rows — a single
-    // slice ships a >10 MB task binary and serializes the downstream
-    // sort on one core)
-    val slices = math.max(1, math.min(32, rows.size / 4096 + 1))
-    s.createDataFrame(
-      s.sparkContext.parallelize(rows, slices).toJavaRDD(), schema)
+    result
   }
 
   /** Run a streaming frame to completion (AvailableNow). Unique sink
-    * name per run so warm-up + timed bench passes don't collide. */
-  private def runToBatch(s: SparkSession, df: DataFrame, mode: String): DataFrame =
-    runStream(s, df, mode, Some(Trigger.AvailableNow()), _.awaitTermination())
+    * name per run so warm-up + timed bench passes don't collide.
+    * File-source callers pass [[streamParts]] so keyed state fans out
+    * with the input; the hand-planted MemoryStream queries keep the
+    * kilobyte-state floor of 4. */
+  private def runToBatch(s: SparkSession, df: DataFrame, mode: String,
+      parts: Int = 4): DataFrame =
+    runStream(s, df, mode, Some(Trigger.AvailableNow()), _.awaitTermination(),
+      parts)
 
   private val wfmt = "yyyy-MM-dd HH:mm:ss"
   // DuckDB-side µs truncation of the ns event time (matches Spark's
@@ -193,7 +219,7 @@ object Streams extends QueryModule {
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), Det.r2(sum(col("value"))).as("total"))
-    runToBatch(s, agg, "update")
+    runToBatch(s, agg, "update", streamParts(s, d))
       .select(date_format(col("window.start"), wfmt).as("wstart"),
         col("event_type"), col("n"), col("total"))
       .orderBy(col("wstart"), col("event_type"))
@@ -214,7 +240,7 @@ object Streams extends QueryModule {
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour", "15 minutes"))
       .agg(count(lit(1)).as("n"), Det.r2(sum(col("value"))).as("total"))
-    runToBatch(s, agg, "update")
+    runToBatch(s, agg, "update", streamParts(s, d))
       .select(date_format(col("window.start"), wfmt).as("wstart"),
         col("n"), col("total"))
       .orderBy(col("wstart"))
@@ -248,7 +274,7 @@ object Streams extends QueryModule {
       .agg(count(lit(1)).as("n"), Det.r2(sum(col("value"))).as("total"))
 
   private def sSession(s: SparkSession, d: String): DataFrame = {
-    runToBatch(s, sessionFrame(s, d), "append")
+    runToBatch(s, sessionFrame(s, d), "append", streamParts(s, d))
       .select(col("user_id"),
         date_format(col("session_window.start"), wfmt).as("session_start"),
         date_format(col("session_window.end"), wfmt).as("session_end"),
@@ -296,7 +322,7 @@ object Streams extends QueryModule {
     val deduped = eventsStream(s, d)
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
-    runToBatch(s, deduped, "append")
+    runToBatch(s, deduped, "append", streamParts(s, d))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_distinct_users"))
       .orderBy(col("event_type"))
@@ -325,7 +351,7 @@ object Streams extends QueryModule {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         Det.r2(avg(col("user_events"))).as("avg_user_events"))
-    runToBatch(s, joined, "update")
+    runToBatch(s, joined, "update", streamParts(s, d))
       // update mode re-emits a group per batch; keep the final (max-n)
       // snapshot per type so a multi-batch source can't leave partials
       // (same convention as s_late / s_custom_state)
@@ -375,7 +401,7 @@ object Streams extends QueryModule {
           Iterator((uid, next.n, next.maxV, next.types.size.toLong))
       }
       .toDF("user_id", "n_events", "max_value", "n_types")
-    runToBatch(s, updated, "update")
+    runToBatch(s, updated, "update", streamParts(s, d))
       .groupBy(col("user_id"))
       .agg(max(col("n_events")).as("n_events"),
         Det.r2(max(col("max_value"))).as("max_value"),
@@ -410,7 +436,7 @@ object Streams extends QueryModule {
       .toDF("user_id", "n_events", "min_value", "max_value")
     withConf(s, "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
-      runToBatch(s, updated, "update")
+      runToBatch(s, updated, "update", streamParts(s, d))
     }
       .groupBy(col("user_id"))
       .agg(max(col("n_events")).as("n_events"),
@@ -453,7 +479,7 @@ object Streams extends QueryModule {
       col("user_id") === col("c_user_id") &&
         col("click_ts") >= col("purchase_ts") - expr("INTERVAL 2 HOURS") &&
         col("click_ts") <= col("purchase_ts"))
-    runToBatch(s, joined, "append")
+    runToBatch(s, joined, "append", streamParts(s, d))
       .select(col("user_id"),
         unix_micros(col("purchase_ts")).as("purchase_us"),
         unix_micros(col("click_ts")).as("click_us"),
@@ -579,7 +605,7 @@ object Streams extends QueryModule {
       else sys.props.getOrElse("java.io.tmpdir", "/tmp")
     val ckpt = s"$ckptBase/graft-ckpt/$qn"
     try {
-      withStreamPartitions(s) {
+      withStreamPartitions(s, 4) {
         val q = mem.toDF().toDF("user_id", "ts", "value")
           .writeStream.outputMode("update")
           // named so the exception-path cleanup below can find it —
