@@ -130,9 +130,12 @@ object LlmPipe extends QueryModule {
     * recursive CTE (min reachable id per node) — tractable at oracle
     * scale, exactly what the contraction avoids materializing at
     * 100 TB. */
-  private def dedupCc(s: SparkSession, d: String): DataFrame =
-    dedupCcLoop(loopFrame(
-      LlmExt.simhashPairs(s, d).select(col("da"), col("db"))))
+  private def dedupCc(s: SparkSession, d: String): DataFrame = {
+    val st = stagePairs(
+      LlmExt.simhashPairs(s, d).select(col("da"), col("db")))
+    if (st.edges <= localGraphMaxEdges(s)) ccLocal(st)
+    else dedupCcLoop(st.df)
+  }
 
   /** Re-root a frame into a CHILD session pinned to loop-scale conf.
     * The node/label frames an iterative graph query loops over are
@@ -158,14 +161,27 @@ object LlmPipe extends QueryModule {
     * pair rows, so the same code running on a 1000-executor cluster
     * with 10⁹ candidate edges plans ~250-way loop shuffles instead of
     * an 8-way constant that was only ever correct for this box. */
-  private[graft] def loopFrame(df: DataFrame): DataFrame = {
-    val rdd = df.rdd.persist(
+  private[graft] def loopFrame(df: DataFrame): DataFrame = stagePairs(df).df
+
+  /** A staged pair frame: the child-session loop frame plus the exact
+    * edge count the staging action already paid for, plus the parent
+    * session (for building driver-computed results). The count doubles
+    * as the COST-MODEL SIGNAL for the local-vs-distributed strategy
+    * pick below — the same role catalog row-count statistics play for
+    * a cost-based optimizer, except here it is exact and free (the
+    * persist+count job exists anyway to size the loop partitions). */
+  private[graft] final case class StagedPairs(
+      df: DataFrame, edges: Long, parent: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row])
+
+  private[graft] def stagePairs(in: DataFrame): StagedPairs = {
+    val rdd = in.rdd.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = rdd.count()
-    val ls = df.sparkSession.newSession()
+    val ls = in.sparkSession.newSession()
     ls.conf.set("spark.sql.shuffle.partitions", loopPartitions(n).toString)
     ls.conf.set("spark.sql.adaptive.enabled", "false")
-    ls.createDataFrame(rdd, df.schema)
+    StagedPairs(ls.createDataFrame(rdd, in.schema), n, in.sparkSession, rdd)
   }
 
   /** ~64 MB of (long, long) unsafe rows per loop partition. */
@@ -179,6 +195,193 @@ object LlmPipe extends QueryModule {
     math.max(8L,
       (rows + LoopRowsPerPart - 1) / LoopRowsPerPart)
       .min(Int.MaxValue.toLong).toInt
+
+  // ------------------------------------------- local-graph strategy pick
+
+  /** Edge-count ceiling under which the iterative graph family (CC /
+    * PageRank / keeper) solves ON THE DRIVER instead of running
+    * distributed loop rounds — the physical-strategy pick a cost-based
+    * optimizer would make from table statistics, made here from the
+    * EXACT edge count the staging job already paid for (stagePairs
+    * persists and counts the pair frame to size loop partitions; the
+    * strategy signal is free).
+    *
+    * Why this is the right 100 TB design and not a local-mode cheat:
+    * the near-dup candidate graph is |dup pairs| rows — a vanishing
+    * fraction of the corpus (sf0.1: ~40 k edges from 60 k docs) — and
+    * each distributed round costs several shuffle stages of pure
+    * scheduling latency on KB-sized frames (measured ~0.3-0.5 s/round
+    * × 8 rounds locally; on a busy 1000-executor cluster a driver
+    * round-trip is worse, not better). Below the ceiling the whole
+    * graph fits in two primitive long arrays (2 M edges ≈ 32 MB plus
+    * the union-find index — driver heaps are tens of GB), the solve is
+    * microseconds, and the heavy upstream (the corpus-scale simhash
+    * scan) still runs fully distributed. Above it — a truly dirty
+    * corpus at 100 TB can push candidate edges into the billions — the
+    * star-contraction / power-iteration loops take over unchanged.
+    * Both paths are pinned equal by LocalGraphStrategySpec.
+    *
+    * Override order: `spark.graft.graph.localMaxEdges` session conf
+    * (tests force each path), `GRAFT_GRAPH_LOCAL_MAX` env, default. */
+  private[graft] val LocalGraphMaxEdgesDefault: Long = 2L * 1000 * 1000
+
+  private[graft] def localGraphMaxEdges(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.graph.localMaxEdges")
+      .orElse(sys.env.get("GRAFT_GRAPH_LOCAL_MAX"))
+      .map(_.toLong).getOrElse(LocalGraphMaxEdgesDefault)
+
+  /** Driver-side r6 — bit-identical to Det.r6 / Det.sql6: every step
+    * is the same IEEE-754 double op Spark and DuckDB evaluate. */
+  private def r6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  /** The staged (da, db) pairs as two primitive arrays (driver path
+    * only — callers have already checked edges ≤ localGraphMaxEdges). */
+  private def collectEdges(st: StagedPairs): (Array[Long], Array[Long]) = {
+    val rows = st.rdd.map(r => (r.getLong(0), r.getLong(1))).collect()
+    val a = new Array[Long](rows.length)
+    val b = new Array[Long](rows.length)
+    var i = 0
+    while (i < rows.length) { a(i) = rows(i)._1; b(i) = rows(i)._2; i += 1 }
+    (a, b)
+  }
+
+  /** Node table for a symmetric edge list: distinct endpoint ids
+    * (sorted ascending) plus a dense id→index map. */
+  private def indexNodes(da: Array[Long], db: Array[Long])
+      : (Array[Long], scala.collection.mutable.LongMap[Int]) = {
+    val set = scala.collection.mutable.SortedSet.empty[Long]
+    da.foreach(set += _); db.foreach(set += _)
+    val nodes = set.toArray
+    val ix = scala.collection.mutable.LongMap.empty[Int]
+    var i = 0
+    while (i < nodes.length) { ix(nodes(i)) = i; i += 1 }
+    (nodes, ix)
+  }
+
+  /** Union-find (path halving + union by size) → per-node component
+    * min-label, the same fixpoint the star contraction converges to. */
+  private def unionFindLabels(nodes: Array[Long],
+      ix: scala.collection.mutable.LongMap[Int],
+      da: Array[Long], db: Array[Long]): Array[Long] = {
+    val parent = Array.tabulate(nodes.length)(identity)
+    val size = Array.fill(nodes.length)(1)
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    var i = 0
+    while (i < da.length) {
+      val ra = find(ix(da(i))); val rb = find(ix(db(i)))
+      if (ra != rb) {
+        if (size(ra) < size(rb)) { parent(ra) = rb; size(rb) += size(ra) }
+        else { parent(rb) = ra; size(ra) += size(rb) }
+      }
+      i += 1
+    }
+    // nodes is sorted ascending, so the first id seen per root is the
+    // component min — one pass, no second reduction
+    val minLbl = Array.fill(nodes.length)(Long.MaxValue)
+    i = 0
+    while (i < nodes.length) {
+      val r = find(i)
+      if (minLbl(r) == Long.MaxValue) minLbl(r) = nodes(i)
+      i += 1
+    }
+    Array.tabulate(nodes.length)(j => minLbl(find(j)))
+  }
+
+  /** Local CC: the exact (doc_id, cluster, cluster_size) frame
+    * dedupCcLoop produces, computed in one driver pass. */
+  private def ccLocal(st: StagedPairs): DataFrame = {
+    val (da, db) = collectEdges(st)
+    val (nodes, ix) = indexNodes(da, db)
+    val labels = unionFindLabels(nodes, ix, da, db)
+    val csize = scala.collection.mutable.LongMap.empty[Long]
+    labels.foreach(l => csize(l) = csize.getOrElse(l, 0L) + 1L)
+    val spark = st.parent
+    import spark.implicits._
+    nodes.indices
+      .map(i => (nodes(i), labels(i), csize(labels(i))))
+      .toDF("doc_id", "cluster", "cluster_size")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Local PageRank power iteration, mirroring pagerankOver (iters=1,
+    * exact 1/n start) and pagerankConvOver (r6-discretized start and
+    * per-round discretization) exactly: identical formula, identical
+    * r6 grid — only the FP summation order differs, which the 1e-6
+    * discretization absorbs (the same argument that already carries
+    * the Spark-vs-DuckDB hash match for the distributed path). */
+  private def prLocalRanks(nodes: Array[Long],
+      ix: scala.collection.mutable.LongMap[Int],
+      da: Array[Long], db: Array[Long],
+      iters: Int, discretizeInit: Boolean): Array[Double] = {
+    val n = nodes.length
+    val outdeg = new Array[Long](n)
+    var i = 0
+    while (i < da.length) {
+      outdeg(ix(da(i))) += 1; outdeg(ix(db(i))) += 1; i += 1
+    }
+    var rank = Array.fill(n)(
+      if (discretizeInit) r6d(1.0 / n) else 1.0 / n)
+    for (_ <- 1 to iters) {
+      val inmass = new Array[Double](n)
+      i = 0
+      while (i < da.length) {
+        val u = ix(da(i)); val v = ix(db(i))
+        inmass(v) += rank(u) / outdeg(u)
+        inmass(u) += rank(v) / outdeg(v)
+        i += 1
+      }
+      rank = Array.tabulate(n)(j => r6d(0.15 / n + 0.85 * inmass(j)))
+    }
+    rank
+  }
+
+  /** Local PageRank as the (doc_id, rank) frame of the distributed
+    * formulations, ordered by doc_id. */
+  private def prLocalDf(st: StagedPairs, iters: Int,
+      discretizeInit: Boolean): DataFrame = {
+    val (da, db) = collectEdges(st)
+    val (nodes, ix) = indexNodes(da, db)
+    val rank = prLocalRanks(nodes, ix, da, db, iters, discretizeInit)
+    val spark = st.parent
+    import spark.implicits._
+    nodes.indices.map(i => (nodes(i), rank(i)))
+      .toDF("doc_id", "rank")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Local keeper: union-find clusters + one local rank step + the
+    * per-cluster argmax (max rank, ties → min doc_id). */
+  private def keeperLocal(st: StagedPairs): DataFrame = {
+    val (da, db) = collectEdges(st)
+    val (nodes, ix) = indexNodes(da, db)
+    val labels = unionFindLabels(nodes, ix, da, db)
+    val rank = prLocalRanks(nodes, ix, da, db, 1, discretizeInit = false)
+    // per cluster: member count and the (rank desc, doc_id asc) argmax.
+    // nodes is sorted ascending, so strict > keeps the min-id tiebreak.
+    val best = scala.collection.mutable.LongMap.empty[(Long, Double, Long)]
+    var i = 0
+    while (i < nodes.length) {
+      val l = labels(i)
+      best(l) = best.get(l) match {
+        case None => (nodes(i), rank(i), 1L)
+        case Some((bd, br, cnt)) =>
+          if (rank(i) > br) (nodes(i), rank(i), cnt + 1L)
+          else (bd, br, cnt + 1L)
+      }
+      i += 1
+    }
+    val spark = st.parent
+    import spark.implicits._
+    best.toSeq
+      .map { case (cluster, (doc, r, cnt)) => (cluster, cnt, doc, r) }
+      .sortBy(_._1)
+      .toDF("cluster", "n_members", "keeper_doc", "keeper_rank")
+      .orderBy(col("cluster"))
+  }
 
   /** Package-visible so the property test can drive the contraction
     * over arbitrary random graphs against a reference union-find.
@@ -222,6 +425,7 @@ object LlmPipe extends QueryModule {
     var rounds = 0
     val MaxRounds = 20
     while (!converged && rounds < MaxRounds) {
+      val roundT0 = System.nanoTime()
       // min over the direct neighborhood — plain hash-min. Alone this
       // needs O(diameter) rounds (measured: diameter 16 on the sf0.1
       // dup graph ⇒ 16 rounds of fixed job overhead). edges and labels
@@ -268,6 +472,9 @@ object LlmPipe extends QueryModule {
       converged = nextSum == prevSum
       prevSum = nextSum
       rounds += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(f"[dedupCc] round $rounds%d took " +
+          f"${(System.nanoTime() - roundT0) / 1e9}%.3f s (sum=$nextSum%d)")
     }
     require(converged, s"hash-min did not converge in $MaxRounds rounds")
     if (sys.env.contains("GRAFT_CC_DEBUG"))
@@ -333,9 +540,13 @@ object LlmPipe extends QueryModule {
           .as("rank"))
   }
 
-  private def graphPagerank(s: SparkSession, d: String): DataFrame =
-    pagerankOver(LlmExt.simhashPairs(s, d).select(col("da"), col("db")))
-      .orderBy(col("doc_id"))
+  private def graphPagerank(s: SparkSession, d: String): DataFrame = {
+    val st = stagePairs(
+      LlmExt.simhashPairs(s, d).select(col("da"), col("db")))
+    if (st.edges <= localGraphMaxEdges(s))
+      prLocalDf(st, iters = 1, discretizeInit = false)
+    else pagerankOver(st.df).orderBy(col("doc_id"))
+  }
 
   private val graphPagerankSql =
     s"""WITH ${LlmExt.simhashFpsCtes},
@@ -432,10 +643,13 @@ object LlmPipe extends QueryModule {
     (ranks.select(col("id").as("doc_id"), col("rank")), masses.result())
   }
 
-  private def graphPagerankConv(s: SparkSession, d: String): DataFrame =
-    pagerankConvOver(loopFrame(
-      LlmExt.simhashPairs(s, d).select(col("da"), col("db"))))._1
-      .orderBy(col("doc_id"))
+  private def graphPagerankConv(s: SparkSession, d: String): DataFrame = {
+    val st = stagePairs(
+      LlmExt.simhashPairs(s, d).select(col("da"), col("db")))
+    if (st.edges <= localGraphMaxEdges(s))
+      prLocalDf(st, iters = PrIters, discretizeInit = true)
+    else pagerankConvOver(st.df)._1.orderBy(col("doc_id"))
+  }
 
   private val graphPagerankConvSql = {
     val iter = (prev: String, cur: String) =>
@@ -479,13 +693,15 @@ object LlmPipe extends QueryModule {
     * r6-discretized doubles, so the pick is deterministic. */
   private def llmKeeper(s: SparkSession, d: String): DataFrame = {
     // the pair graph is computed once — under the PARENT session's
-    // full parallelism (loopFrame re-roots after the corpus scan
-    // plans) — checkpointed, and shared by the CC loop, the rank
-    // iteration, and the final join, all of which run at loop scale
-    // in the pinned child session
-    val pairs = loopFrame(
+    // full parallelism (stagePairs re-roots after the corpus scan
+    // plans) — and shared by whichever strategy the edge count picks
+    val st = stagePairs(
       LlmExt.simhashPairs(s, d).select(col("da"), col("db")))
-      .localCheckpoint()
+    if (st.edges <= localGraphMaxEdges(s)) return keeperLocal(st)
+    // distributed path: checkpointed, and shared by the CC loop, the
+    // rank iteration, and the final join, all of which run at loop
+    // scale in the pinned child session
+    val pairs = st.df.localCheckpoint()
     val cc = dedupCcLoop(pairs)
     val pr = pagerankOver(pairs)
     val w = Window.partitionBy(col("cluster"))
