@@ -91,9 +91,9 @@ object Reshape extends QueryModule {
     val cnt = groupCounts(li, rf)
     // Two independent parallel rank passes (one per ordered column) —
     // the old single frame also paid two sorts, just on |groups| tasks.
-    val re = rankedBy(s, li, "l_returnflag", "l_extendedprice")
+    val re = ranked(s, d, li, "l_returnflag", "l_extendedprice")
       .join(broadcast(cnt), "l_returnflag")
-    val rq = rankedBy(s, li, "l_returnflag", "l_quantity")
+    val rq = ranked(s, d, li, "l_returnflag", "l_quantity")
       .join(broadcast(cnt), "l_returnflag")
     // bracketing order statistics of cut point p: zero-based ranks
     // floor((n-1)p) and ceil((n-1)p)
@@ -169,6 +169,43 @@ object Reshape extends QueryModule {
     * 1/nParts of a group — the right trade precisely when groups are
     * few and huge, which is what order statistics over a 3-value
     * grouping key are. */
+  /** Source-size ceiling under which the order-statistics family uses
+    * the single-shuffle per-group window rank instead of the two-phase
+    * range-split machinery — the same stats-driven physical pick as
+    * q_ts_anomaly's window split and the graph family's local solve.
+    * Below it, each group's sort fits one task comfortably and the
+    * range-split's extra jobs (sampling pass, cell counts, offset
+    * prefix sums, second exchange) are pure fixed cost — measured at
+    * sf0.1 (11 MB lineitem): simple ~2.2 s vs split ~3.8 s for MAD.
+    * Above it, per-group one-task sorts stop scaling (a billion-row
+    * group serializes onto one executor) and the range-split's 3×
+    * sf1 wins take over. Conf-overridable so the spec pins both
+    * paths equal on the same input. */
+  private val RankSplitMinBytes: Long = 64L << 20
+
+  private def rankSplitMinBytes(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.rank.splitMinBytes")
+      .map(_.toLong).getOrElse(RankSplitMinBytes)
+
+  /** rankedBy for inputs the cost model calls small: ONE shuffle on
+    * the group key, per-group external-sort window. Identical rank
+    * semantics (zero-based, ties in arbitrary order — value-selecting
+    * consumers are tie-permutation-invariant). */
+  private def rankedBySimple(df: DataFrame, g: String, v: String)
+      : DataFrame =
+    df.select(col(g), col(v))
+      .withColumn("r", row_number()
+        .over(Window.partitionBy(col(g)).orderBy(col(v)))
+        .cast("long") - 1L)
+
+  /** The strategy pick: simple per-group rank below the source-size
+    * ceiling, range-split distributed ranking above it. */
+  private def ranked(s: SparkSession, d: String, df: DataFrame,
+                     g: String, v: String): DataFrame =
+    if (T.sourceBytes(s, d, "lineitem") < rankSplitMinBytes(s))
+      rankedBySimple(df, g, v)
+    else rankedBy(s, df, g, v)
+
   private def rankedBy(s: SparkSession, df: DataFrame,
                        g: String, v: String): DataFrame = {
     val nParts = s.sparkContext.defaultParallelism
@@ -208,7 +245,7 @@ object Reshape extends QueryModule {
     val li = T.lineitem(s, d).select(rf, col("l_extendedprice"))
     // rankedBy is zero-based; the trim predicate below is stated on
     // 1-based ranks, hence the +1.
-    rankedBy(s, li, "l_returnflag", "l_extendedprice")
+    ranked(s, d, li, "l_returnflag", "l_extendedprice")
       .withColumn("r", col("r") + 1L)
       .join(broadcast(groupCounts(li, rf)), "l_returnflag")
       .filter(col("r") > floor(col("n") * 0.1) &&
@@ -260,7 +297,7 @@ object Reshape extends QueryModule {
     def medianOf(df: DataFrame, v: String, out: String,
                  counts: DataFrame): DataFrame = {
       val k = (col("nn") - 1) * lit(0.5)
-      rankedBy(s, df, "l_returnflag", v)
+      ranked(s, d, df, "l_returnflag", v)
         .join(broadcast(counts), "l_returnflag")
         .groupBy(rf).agg(
           max(col("n")).as("nn"),
@@ -273,7 +310,17 @@ object Reshape extends QueryModule {
     }
     val li = T.lineitem(s, d).select(rf, col("l_extendedprice"))
     val cnt = groupCounts(li, rf)
-    val med = medianOf(li, "l_extendedprice", "med", cnt)
+    // med is a |groups|-row frame referenced TWICE (the deviation
+    // join's broadcast build and the final result join). Left lazy,
+    // Catalyst inlines the whole first ranking pass at both reference
+    // sites and the fact table is ranked three times, not two
+    // (measured: the duplicate 32-task rank stages in the profile).
+    // Materializing it to a LocalRelation is exactly what the
+    // broadcast build would do anyway — |groups| rows on the driver —
+    // and makes the reuse explicit rather than hoping for
+    // ReuseExchange across differently-wrapped subtrees.
+    val med = { val m = medianOf(li, "l_extendedprice", "med", cnt)
+      s.createDataFrame(java.util.Arrays.asList(m.collect(): _*), m.schema) }
     val dev = li.join(broadcast(med), "l_returnflag")
       .select(rf, abs(col("l_extendedprice") - col("med")).as("adev"))
     med.join(medianOf(dev, "adev", "mad", cnt), "l_returnflag")
