@@ -162,19 +162,49 @@ object LlmExt extends QueryModule {
     * self-contained, not dependent on a pre-labeled column. */
   private def dedupEmbed(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val e = T.embeddings(s, d)
+    // Exact-vector collapse BEFORE the in-cell self-join — the dedup
+    // family composition (dedupSimhash/dedupFuzzy/dedupNgram), keyed
+    // by the vector itself: verbatim duplicate embeddings (heavy in
+    // crawl corpora, 10-way in the sf1 harness) land in the same cell
+    // and pay the |class_a|·|class_b| dot products for one answer.
+    // Join one representative per distinct vector, re-expand member
+    // pairs afterwards — the in-cell join cost tracks DISTINCT-vector
+    // geometry. Intra-class cos is computed from the class vector
+    // (self-cosine ≡ 1 under r4, but computed, not assumed, so the
+    // oracle's arithmetic is mirrored bit-for-bit).
+    val groups = T.embeddings(s, d)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("e"))
+      .groupBy(col("e"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
       .withColumn("cell", ivfCell(col("e")))
       .withColumn("nrm", sqrt(expr("graft_dot(e, e)")))
-    val cos = expr("graft_dot(a.e, b.e)") / (col("a.nrm") * col("b.nrm"))
-    e.as("a").join(e.as("b"),
-        col("a.cell") === col("b.cell") &&
-        col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.cell").as("cell"), col("a.vec_id").as("va"),
-        col("b.vec_id").as("vb"), Det.r4(cos).as("cos_sim"))
+      .localCheckpoint(false)
+    val selfCos = Det.r4(expr("graft_dot(e, e)") / (col("nrm") * col("nrm")))
+    val identical = groups.filter(size(col("ids")) > 1)
+      .select(col("cell"), selfCos.as("cos_sim"), explode(expr(
+        "flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids)), y -> struct(x, y))))"))
+        .as("p"))
+      .select(col("cell"), col("p.x").as("va"), col("p.y").as("vb"),
+        col("cos_sim"))
       .filter(col("cos_sim") >= 0.35)
-      .orderBy(col("cell"), col("va"), col("vb"))
+    val cos = expr("graft_dot(a.e, b.e)") / (col("a.nrm") * col("b.nrm"))
+    val cross = groups.as("a").join(groups.as("b"),
+        col("a.cell") === col("b.cell") &&
+        element_at(col("a.ids"), 1) < element_at(col("b.ids"), 1))
+      .select(col("a.cell").as("cell"), col("a.ids").as("xs"),
+        col("b.ids").as("ys"), Det.r4(cos).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.35)
+      // m×n re-expansion (disjoint member sets — least/greatest
+      // restores the global va < vb invariant)
+      .select(col("cell"), explode(col("xs")).as("u"), col("ys"),
+        col("cos_sim"))
+      .select(col("cell"), col("u"), explode(col("ys")).as("v"),
+        col("cos_sim"))
+      .select(col("cell"), least(col("u"), col("v")).as("va"),
+        greatest(col("u"), col("v")).as("vb"), col("cos_sim"))
+    identical.unionByName(cross).orderBy(col("cell"), col("va"), col("vb"))
   }
 
   private lazy val dedupEmbedSql =

@@ -99,15 +99,43 @@ object LlmQuality extends QueryModule {
     *    rounding up across the boundary. The slack makes the prefix
     *    one gram longer only when ⌈t'·n⌉ < ⌈t·n⌉ (n ≳ 4000). */
   private def dedupNgram(s: SparkSession, d: String): DataFrame = {
-    // materialize the gram build ONCE: toks feeds three join branches
-    // (frequency table, prefix selection, verification), and without a
-    // checkpoint each branch re-runs the split+hash+explode — the
-    // dominant CPU of the whole query — from the scan. This is the
-    // "tokenize once" stage a 100 TB pipeline would persist to DFS;
-    // localCheckpoint is its single-JVM equivalent (~16 bytes/gram).
-    val toks = ngramToks(s, d).localCheckpoint()
+    // Exact-content collapse BEFORE the prefix-filter join — the
+    // dedupFuzzy/dedupSimhash composition, keyed by the SORTED gram
+    // set so set-equal docs unify regardless of gram order. Verbatim
+    // duplicates share the gram set, so doc-level blocking inflates
+    // every prefix bucket linearly with the duplication factor and
+    // re-verifies the same class pair |class_a|·|class_b| times —
+    // superlinear on sf1's 10-way dup harness. Block and verify ONE
+    // representative per class, re-expand member pairs afterwards.
+    // The prefix-filter recall guarantee is untouched: it requires
+    // only a consistent global gram order (class doc-frequency is as
+    // valid as corpus doc-frequency), and class-level J equals every
+    // member pair's J (identical sets). NgramDupSpec pins the exact
+    // expansion.
+    val groups = Llm.docs(s, d)
+      .select(col("doc_id"), sort_array(ngramHashes("text", 4)).as("g"))
+      .groupBy(col("g"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .localCheckpoint(false)
+    // identical-content pairs: J = 1 exactly; gram-less docs
+    // (< 4 words) excluded on both engines
+    val identical = Llm.bucketPairs(
+        groups.filter(size(col("g")) > 0)
+          .select(col("g"), explode(col("ids")).as("doc_id")),
+        Seq(col("g")), col("doc_id"))
+      .select(col("x").as("da"), col("y").as("db"),
+        lit(1.0).as("jaccard"))
+    // materialize the rep gram build ONCE: toks feeds three join
+    // branches (frequency table, prefix selection, verification), and
+    // without a checkpoint each branch re-runs the explode from the
+    // grouped frame. This is the "tokenize once" stage a 100 TB
+    // pipeline would persist to DFS; localCheckpoint is its
+    // single-JVM equivalent (~16 bytes/gram).
+    val toks = groups
+      .select(col("ids").getItem(0).as("doc_id"), explode(col("g")).as("h"))
+      .localCheckpoint()
     val cand = ngramCandidatesFrom(toks)
-    cand
+    val repPairs = cand
       .select(col("da"), col("db"),
         explode(array(col("da"), col("db"))).as("doc_id"))
       .join(toks, "doc_id")
@@ -120,7 +148,17 @@ object LlmQuality extends QueryModule {
       .select(col("da"), col("db"),
         Det.r4(col("inter") / col("uni")).as("jaccard"))
       .filter(col("jaccard") >= JaccardT)
-      .orderBy(col("da"), col("db"))
+    // m×n re-expansion of each verified class pair (disjoint member
+    // sets — least/greatest restores the global da < db invariant)
+    val members = groups.select(col("ids").getItem(0).as("rid"), col("ids"))
+    val cross = repPairs
+      .join(members.select(col("rid").as("da"), col("ids").as("xs")), "da")
+      .join(members.select(col("rid").as("db"), col("ids").as("ys")), "db")
+      .select(explode(col("xs")).as("a"), col("ys"), col("jaccard"))
+      .select(col("a"), explode(col("ys")).as("b"), col("jaccard"))
+      .select(least(col("a"), col("b")).as("da"),
+        greatest(col("a"), col("b")).as("db"), col("jaccard"))
+    identical.unionByName(cross).orderBy(col("da"), col("db"))
   }
 
   // Ground truth via an EXACT inverted-index join (round 8, same
