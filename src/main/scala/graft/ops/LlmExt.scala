@@ -39,7 +39,11 @@ object LlmExt extends QueryModule {
     * MinHash banding). Verification = bit_count(xor) ≤ 3.
     * Scale shape: one explode + one map-side-combined groupBy for the
     * fingerprints; candidates from byte-bucket joins, never n². */
-  private def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+  /** The (doc_id, fp) fingerprint frame — the corpus-scale scan both
+    * the scored pair query and the class-graph accessor below start
+    * from. Lazy-checkpointed: every consumer reuses the one
+    * materialization of the 64-sum fingerprint aggregation. */
+  private def simhashFps(s: SparkSession, d: String): DataFrame = {
     val wh = h60(col("word"))
     val sums = (0 until SimBits).map(k =>
       sum(when(shiftright(wh, k).bitwiseAND(lit(1L)) === 1L, 1)
@@ -47,14 +51,57 @@ object LlmExt extends QueryModule {
     val fp = (0 until SimBits).map(k =>
       when(col(s"s$k") >= 0, lit(1L << k)).otherwise(lit(0L)))
       .reduce(_ + _)
-    val fps = Llm.docs(s, d)
+    Llm.docs(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .groupBy(col("doc_id"))
       .agg(sums.head, sums.tail: _*)
       .select(col("doc_id"), fp.as("fp"))
-      // Materialized once (lazy): both branches below reuse the frame
-      // instead of re-running the 64-sum fingerprint aggregation.
       .localCheckpoint(false)
+  }
+
+  /** CLASS-CONTRACTED view of the simhash near-dup graph, for the
+    * iterative graph family (LlmPipe's CC/keeper): verbatim duplicates
+    * share a fingerprint, so connectivity questions are answered on
+    * one node per DISTINCT fingerprint and members re-expand only at
+    * output time — iterative cost becomes duplication-invariant (the
+    * scored pair list is inherently quadratic in duplication; the
+    * graph algorithms on top of it are not, and re-expanding just to
+    * re-contract made them so).
+    * Returns (classes, classEdges):
+    *   classes    = (rep, ids, m): one row per fingerprint class —
+    *                sorted member ids, rep = min member, m = |ids|
+    *   classEdges = (ra, rb): rep pairs at fp hamming 1..3 (hamming-0
+    *                never crosses classes by construction; intra-class
+    *                connectivity is implied by the class itself)
+    * The expanded pair graph is exactly: the m≥2 classes' member
+    * cliques ∪ the complete bipartite expansion of every class edge —
+    * the identity dedupSimhash's scored output materializes and
+    * SimhashDupSpec pins. */
+  private[graft] def simhashClassGraph(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val classes = simhashFps(s, d).groupBy(col("fp"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .select(col("fp"), element_at(col("ids"), 1).as("rep"),
+        col("ids"), size(col("ids")).cast("long").as("m"))
+      .localCheckpoint(false)
+    val bands = classes.select(col("fp"), col("rep"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("b"),
+          shiftright(col("fp"), 16 * b).bitwiseAND(lit(65535L)).as("k"))): _*))
+        .as("bk"))
+      .select(col("fp"), col("rep"), col("bk.b"), col("bk.k"))
+    val classEdges = Llm.bucketPairs(bands, Seq(col("b"), col("k")),
+        struct(col("fp"), col("rep")))
+      .select(col("x.rep").as("ra"), col("y.rep").as("rb"),
+        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= 3)
+      .select(col("ra"), col("rb"))
+    (classes.select(col("rep"), col("ids"), col("m")), classEdges)
+  }
+
+  private def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val fps = simhashFps(s, d)
     // Exact-duplicate collapse BEFORE banding — the composition the
     // bucketPairs guard message prescribes. Identical texts share a
     // fingerprint, so doc-level banding lets every exact-dup class
@@ -88,6 +135,15 @@ object LlmExt extends QueryModule {
         bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).cast("long")
           .as("hamming"))
       .filter(col("hamming") <= 3) // ≥ 1 here: fps are distinct
+      // fan the m×n re-expansion out BEFORE the explodes: the class-
+      // pair frame is post-aggregation small (AQE coalesces it to ~2
+      // partitions by input bytes), but each row explodes to
+      // |xs|·|ys| output rows that feed six downstream graph
+      // consumers — without the spread the whole expansion serializes
+      // onto those 2 tasks (measured 8.5 s of a 42 s sf3 keeper run).
+      // One tiny round-robin exchange buys output-proportional
+      // parallelism — the T.par rationale, post-aggregation.
+      .repartition(s.sparkContext.defaultParallelism)
       .select(explode(col("xs")).as("a"), col("ys"), col("hamming"))
       .select(col("a"), explode(col("ys")).as("b"), col("hamming"))
       .select(least(col("a"), col("b")).as("da"),

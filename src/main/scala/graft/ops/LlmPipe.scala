@@ -130,11 +130,48 @@ object LlmPipe extends QueryModule {
     * recursive CTE (min reachable id per node) — tractable at oracle
     * scale, exactly what the contraction avoids materializing at
     * 100 TB. */
+  /** CLASS-CONTRACTED connected components (round 9): CC runs over
+    * LlmExt.simhashClassGraph — one node per distinct fingerprint —
+    * and members re-expand at output time. The expanded pair graph is
+    * member cliques ∪ complete-bipartite class edges, so its
+    * components are exactly the class-graph components with classes
+    * swapped for their member sets: component min doc = min rep (reps
+    * ARE class minima), cluster size = Σ class sizes. Iterative cost
+    * becomes DUPLICATION-INVARIANT — the scored pair list is
+    * inherently quadratic in verbatim duplication, the connectivity
+    * question on top of it is not (sf3's 30-way harness: 4.4M
+    * expanded edges vs ~2.5k class edges — the class graph takes the
+    * driver-local strategy where the expanded graph was forced into 8
+    * distributed rounds). The local-vs-distributed pick then applies
+    * AT CLASS LEVEL: an all-distinct corpus degenerates to the
+    * original graph and the loop machinery takes over unchanged. */
   private def dedupCc(s: SparkSession, d: String): DataFrame = {
-    val st = stagePairs(
-      LlmExt.simhashPairs(s, d).select(col("da"), col("db")))
-    if (st.edges <= localGraphMaxEdges(s)) ccLocal(st)
-    else dedupCcLoop(st.df)
+    val (classes, classEdges) = LlmExt.simhashClassGraph(s, d)
+    val st = stagePairs(classEdges.toDF("da", "db"))
+    val repLabels =
+      if (st.edges <= localGraphMaxEdges(s)) ccLocalLabels(st)
+      else dedupCcLoopLabels(st.df)
+    expandCc(classes, repLabels)
+  }
+
+  /** Expand class-level CC labels (id = rep, lbl = component min rep)
+    * to the member-level (doc_id, cluster, cluster_size) frame:
+    * classes absent from the edge set are isolated — m ≥ 2 classes
+    * form their own component (their members pair intra-class),
+    * isolated singletons have no pairs and drop out. */
+  private def expandCc(classes: DataFrame, repLabels: DataFrame)
+      : DataFrame = {
+    val lbl = classes
+      .join(repLabels.withColumnRenamed("id", "rep"), Seq("rep"), "left")
+      .filter(col("lbl").isNotNull || col("m") > 1)
+      .select(col("ids"), col("m"),
+        coalesce(col("lbl"), col("rep")).as("cluster"))
+    val sizes = lbl.groupBy(col("cluster"))
+      .agg(sum(col("m")).as("cluster_size"))
+    lbl.join(sizes, "cluster")
+      .select(explode(col("ids")).as("doc_id"), col("cluster"),
+        col("cluster_size"))
+      .orderBy(col("doc_id"))
   }
 
   /** Re-root a frame into a CHILD session pinned to loop-scale conf.
@@ -179,22 +216,37 @@ object LlmPipe extends QueryModule {
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = rdd.count()
     val ls = in.sparkSession.newSession()
-    ls.conf.set("spark.sql.shuffle.partitions", loopPartitions(n).toString)
+    ls.conf.set("spark.sql.shuffle.partitions",
+      loopPartitions(n, in.sparkSession.sparkContext.defaultParallelism)
+        .toString)
     ls.conf.set("spark.sql.adaptive.enabled", "false")
     StagedPairs(ls.createDataFrame(rdd, in.schema), n, in.sparkSession, rdd)
   }
 
-  /** ~64 MB of (long, long) unsafe rows per loop partition. */
+  /** ~64 MB of (long, long) unsafe rows per loop partition — the
+    * shuffle-efficiency ceiling once the graph outgrows the machine. */
   private[graft] val LoopRowsPerPart = 4L * 1000 * 1000
 
-  /** Loop shuffle-partition count for an edge frame of `rows` rows:
-    * max(8, ceil(rows / LoopRowsPerPart)), so the floor keeps all 32
-    * local cores busy enough on KB-sized frames while the count tracks
-    * input size linearly at cluster scale. */
-  private[graft] def loopPartitions(rows: Long): Int =
-    math.max(8L,
+  /** ~250k rows per loop task — the CPU-parallelism target for the
+    * per-round joins (each loop round is join+aggregate bound, and a
+    * 4M-row task serializes ~2 s of per-round work onto one core —
+    * measured at sf3, where the 8-partition floor left 24 of 32 cores
+    * idle through 8 contraction rounds). */
+  private[graft] val LoopTargetRows = 250L * 1000
+
+  /** Loop shuffle-partition count for an edge frame of `rows` rows on
+    * a machine/cluster with `cores` parallel slots: aim for
+    * [[LoopTargetRows]]-row tasks, capped at max(cores,
+    * rows/[[LoopRowsPerPart]]) — over-splitting beyond the available
+    * slots buys nothing UNLESS partitions would exceed ~64 MB, where
+    * the cap grows with the data again — floored at 8 so KB-sized
+    * frames keep a reasonable minimum spread. Monotone in rows. */
+  private[graft] def loopPartitions(rows: Long, cores: Int): Int = {
+    val want = (rows + LoopTargetRows - 1) / LoopTargetRows
+    val cap = math.max(cores.toLong,
       (rows + LoopRowsPerPart - 1) / LoopRowsPerPart)
-      .min(Int.MaxValue.toLong).toInt
+    math.max(8L, math.min(want, cap)).min(Int.MaxValue.toLong).toInt
+  }
 
   // ------------------------------------------- local-graph strategy pick
 
@@ -224,6 +276,12 @@ object LlmPipe extends QueryModule {
     * Override order: `spark.graft.graph.localMaxEdges` session conf
     * (tests force each path), `GRAFT_GRAPH_LOCAL_MAX` env, default. */
   private[graft] val LocalGraphMaxEdgesDefault: Long = 2L * 1000 * 1000
+
+  /** Node-count ceiling for broadcasting the per-round node-sized
+    * frames (labels / ranks, ~16 bytes a row → ≤ ~32 MB shipped per
+    * round) inside the distributed iterative loops. Above it the
+    * loops keep their shuffled sort-merge plans. */
+  private[graft] val BroadcastGraphNodes: Long = 2L * 1000 * 1000
 
   private[graft] def localGraphMaxEdges(s: SparkSession): Long =
     s.conf.getOption("spark.graft.graph.localMaxEdges")
@@ -291,96 +349,104 @@ object LlmPipe extends QueryModule {
     Array.tabulate(nodes.length)(j => minLbl(find(j)))
   }
 
-  /** Local CC: the exact (doc_id, cluster, cluster_size) frame
-    * dedupCcLoop produces, computed in one driver pass. */
-  private def ccLocal(st: StagedPairs): DataFrame = {
+  /** Local CC: the exact (id, lbl) label frame of dedupCcLoopLabels,
+    * computed in one driver union-find pass. */
+  private def ccLocalLabels(st: StagedPairs): DataFrame = {
     val (da, db) = collectEdges(st)
     val (nodes, ix) = indexNodes(da, db)
     val labels = unionFindLabels(nodes, ix, da, db)
-    val csize = scala.collection.mutable.LongMap.empty[Long]
-    labels.foreach(l => csize(l) = csize.getOrElse(l, 0L) + 1L)
     val spark = st.parent
     import spark.implicits._
-    nodes.indices
-      .map(i => (nodes(i), labels(i), csize(labels(i))))
-      .toDF("doc_id", "cluster", "cluster_size")
-      .orderBy(col("doc_id"))
+    nodes.indices.map(i => (nodes(i), labels(i))).toDF("id", "lbl")
   }
 
-  /** Local PageRank power iteration, mirroring pagerankOver (iters=1,
-    * exact 1/n start) and pagerankConvOver (r6-discretized start and
-    * per-round discretization) exactly: identical formula, identical
-    * r6 grid — only the FP summation order differs, which the 1e-6
-    * discretization absorbs (the same argument that already carries
-    * the Spark-vs-DuckDB hash match for the distributed path). */
-  private def prLocalRanks(nodes: Array[Long],
-      ix: scala.collection.mutable.LongMap[Int],
-      da: Array[Long], db: Array[Long],
+  /** Collected participating classes + class edges for the local
+    * weighted PageRank, or None when the class graph exceeds the
+    * driver ceiling. Participating = classes whose members have ≥ 1
+    * expanded edge: m ≥ 2 (intra-class clique) or linked by a class
+    * edge. The count guard matters independently of the edge count —
+    * a 100M-doc corpus of exact 2-way duplicates has ZERO class edges
+    * and 50M participating classes; that regime must stay
+    * distributed. */
+  private def classGraphLocal(s: SparkSession, classes: DataFrame,
+      st: StagedPairs)
+      : Option[(Array[Long], Array[Long], Array[Long], Array[Long])] = {
+    if (st.edges > localGraphMaxEdges(s)) return None
+    val linked = st.df.select(explode(array(col("da"), col("db")))
+      .as("rep")).distinct()
+    val cap = math.min(localGraphMaxEdges(s), Int.MaxValue.toLong - 1)
+    val parts = classes.select(col("rep"), col("m"))
+      .filter(col("m") > 1)
+      .unionByName(classes.select(col("rep"), col("m"))
+        .join(linked, Seq("rep"), "left_semi"))
+      .dropDuplicates("rep")
+      .limit((cap + 1).min(Int.MaxValue.toLong).toInt)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (parts.length > cap) return None
+    val sorted = parts.sortBy(_._1)
+    val (ea, eb) = collectEdges(st)
+    Some((sorted.map(_._1), sorted.map(_._2), ea, eb))
+  }
+
+  /** Weighted CLASS-LEVEL PageRank power iteration — the exact
+    * expanded-graph semantics computed per fingerprint class: member
+    * ranks are uniform within a class (by symmetry, preserved by
+    * every iteration), every member of C has
+    * outdeg = (m_C − 1) + Σ_{D~C} m_D, and the inbound mass of a
+    * member of C is (m_C−1)·r_C/od_C + Σ_{D~C} m_D·r_D/od_D. Only
+    * the FP grouping differs from the oracle's per-edge summation
+    * (k·x vs x summed k times — ~1e-16), which the per-iteration r6
+    * discretization absorbs: the argument that already carries the
+    * Spark-vs-DuckDB hash match for distributed summation order. */
+  private def prClassRanks(reps: Array[Long], m: Array[Long],
+      ea: Array[Long], eb: Array[Long],
       iters: Int, discretizeInit: Boolean): Array[Double] = {
-    val n = nodes.length
-    val outdeg = new Array[Long](n)
+    val ix = scala.collection.mutable.LongMap.empty[Int]
+    reps.indices.foreach(i => ix(reps(i)) = i)
+    val k = reps.length
+    val nbm = new Array[Long](k)
     var i = 0
-    while (i < da.length) {
-      outdeg(ix(da(i))) += 1; outdeg(ix(db(i))) += 1; i += 1
+    while (i < ea.length) {
+      val a = ix(ea(i)); val b = ix(eb(i))
+      nbm(a) += m(b); nbm(b) += m(a); i += 1
     }
-    var rank = Array.fill(n)(
-      if (discretizeInit) r6d(1.0 / n) else 1.0 / n)
+    val od = Array.tabulate(k)(j => (m(j) - 1) + nbm(j))
+    val n = m.sum.toDouble
+    var r = Array.fill(k)(if (discretizeInit) r6d(1.0 / n) else 1.0 / n)
     for (_ <- 1 to iters) {
-      val inmass = new Array[Double](n)
+      val inm = new Array[Double](k)
+      var j = 0
+      while (j < k) {
+        if (m(j) > 1) inm(j) += (m(j) - 1) * r(j) / od(j)
+        j += 1
+      }
       i = 0
-      while (i < da.length) {
-        val u = ix(da(i)); val v = ix(db(i))
-        inmass(v) += rank(u) / outdeg(u)
-        inmass(u) += rank(v) / outdeg(v)
+      while (i < ea.length) {
+        val a = ix(ea(i)); val b = ix(eb(i))
+        inm(b) += m(a) * r(a) / od(a)
+        inm(a) += m(b) * r(b) / od(b)
         i += 1
       }
-      rank = Array.tabulate(n)(j => r6d(0.15 / n + 0.85 * inmass(j)))
+      r = Array.tabulate(k)(j => r6d(0.15 / n + 0.85 * inm(j)))
     }
-    rank
+    r
   }
 
-  /** Local PageRank as the (doc_id, rank) frame of the distributed
-    * formulations, ordered by doc_id. */
-  private def prLocalDf(st: StagedPairs, iters: Int,
-      discretizeInit: Boolean): DataFrame = {
-    val (da, db) = collectEdges(st)
-    val (nodes, ix) = indexNodes(da, db)
-    val rank = prLocalRanks(nodes, ix, da, db, iters, discretizeInit)
-    val spark = st.parent
+  /** Class-local PageRank expanded to the member-level
+    * (doc_id, rank) frame — the class→member fan-out stays a
+    * distributed broadcast join + explode; only |classes| rows ever
+    * visit the driver. */
+  private def prClassDf(classes: DataFrame,
+      g: (Array[Long], Array[Long], Array[Long], Array[Long]),
+      iters: Int, discretizeInit: Boolean): DataFrame = {
+    val (reps, m, ea, eb) = g
+    val r = prClassRanks(reps, m, ea, eb, iters, discretizeInit)
+    val spark = classes.sparkSession
     import spark.implicits._
-    nodes.indices.map(i => (nodes(i), rank(i)))
-      .toDF("doc_id", "rank")
+    val ranks = reps.indices.map(i => (reps(i), r(i))).toDF("rep", "rank")
+    classes.join(broadcast(ranks), "rep") // inner: non-participants drop
+      .select(explode(col("ids")).as("doc_id"), col("rank"))
       .orderBy(col("doc_id"))
-  }
-
-  /** Local keeper: union-find clusters + one local rank step + the
-    * per-cluster argmax (max rank, ties → min doc_id). */
-  private def keeperLocal(st: StagedPairs): DataFrame = {
-    val (da, db) = collectEdges(st)
-    val (nodes, ix) = indexNodes(da, db)
-    val labels = unionFindLabels(nodes, ix, da, db)
-    val rank = prLocalRanks(nodes, ix, da, db, 1, discretizeInit = false)
-    // per cluster: member count and the (rank desc, doc_id asc) argmax.
-    // nodes is sorted ascending, so strict > keeps the min-id tiebreak.
-    val best = scala.collection.mutable.LongMap.empty[(Long, Double, Long)]
-    var i = 0
-    while (i < nodes.length) {
-      val l = labels(i)
-      best(l) = best.get(l) match {
-        case None => (nodes(i), rank(i), 1L)
-        case Some((bd, br, cnt)) =>
-          if (rank(i) > br) (nodes(i), rank(i), cnt + 1L)
-          else (bd, br, cnt + 1L)
-      }
-      i += 1
-    }
-    val spark = st.parent
-    import spark.implicits._
-    best.toSeq
-      .map { case (cluster, (doc, r, cnt)) => (cluster, cnt, doc, r) }
-      .sortBy(_._1)
-      .toDF("cluster", "n_members", "keeper_doc", "keeper_rank")
-      .orderBy(col("cluster"))
   }
 
   /** Package-visible so the property test can drive the contraction
@@ -388,6 +454,19 @@ object LlmPipe extends QueryModule {
     * Callers pass a loopFrame-rooted pair frame (q_llm_keeper shares
     * one checkpointed frame between this loop and PageRank). */
   private[graft] def dedupCcLoop(pairs: DataFrame): DataFrame = {
+    val labels = dedupCcLoopLabels(pairs)
+    val sizes = labels.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("id").as("doc_id"), col("lbl").as("cluster"),
+        col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The label fixpoint alone — (id, lbl) for every node of the pair
+    * graph — for callers (class-contracted dedupCc) that do their own
+    * size accounting during member expansion. */
+  private[graft] def dedupCcLoopLabels(pairs: DataFrame): DataFrame = {
     val ls = pairs.sparkSession
     // ONE job materializes both loop invariants: edges is marked for
     // lazy local checkpointing, labels' materialization below computes
@@ -413,14 +492,32 @@ object LlmPipe extends QueryModule {
     // corpus has no simhash dup edges at all); Long math, not Double,
     // so huge doc-id sums can't lose low bits to FP and fake a
     // convergence equality.
-    def materialize(df: DataFrame): (DataFrame, Long) = {
+    def materialize(df: DataFrame): (DataFrame, Long, Long) = {
       val cp = df.localCheckpoint(false)
-      val s = cp.rdd.aggregate(0L)((a, r) => a + r.getLong(1), _ + _)
-      (cp, s)
+      val (s, c) = cp.rdd.aggregate((0L, 0L))(
+        (a, r) => (a._1 + r.getLong(1), a._2 + 1L),
+        (a, b) => (a._1 + b._1, a._2 + b._2))
+      (cp, s, c)
     }
-    var (labels, prevSum) = materialize(
+    var (labels, prevSum, nNodes) = materialize(
       edges.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("lbl")))
+    // Checkpointed frames carry no catalyst stats (LogicalRDD sizes
+    // as "unknown = huge"), so every per-round join would plan as a
+    // sort-merge join and RE-SORT the edge frame each round — at sf3
+    // (8.8M directed edges) that was ~90 executor-CPU-s PER ROUND.
+    // The label/neighborhood frames are |nodes| rows; when that is
+    // broadcastable (dup graphs are cliquey — edges ≫ nodes — so the
+    // distributed-loop regime usually has bounded node counts even
+    // when the edge count forced it past the local solve), hint them
+    // broadcast: edges are probed in place, never sorted, and the
+    // only per-round exchange is the map-side-combined groupBy. Above
+    // the ceiling the SMJ plan stands — a 10⁹-node label frame must
+    // shuffle, not ship. The node count is exact and free (fused into
+    // the first materialize action).
+    val bcastLabels = nNodes <= BroadcastGraphNodes
+    def nodeSide(df: DataFrame): DataFrame =
+      if (bcastLabels) broadcast(df) else df
     var converged = false
     var rounds = 0
     val MaxRounds = 20
@@ -431,7 +528,8 @@ object LlmPipe extends QueryModule {
       // dup graph ⇒ 16 rounds of fixed job overhead). edges and labels
       // are co-partitioned on the join key (8, hash), so the only
       // exchange here is the groupBy(dst).
-      val nbrMin = edges.join(labels, edges("src") === labels("id"))
+      val nbrMin = edges.join(nodeSide(labels),
+          edges("src") === labels("id"))
         .groupBy(col("dst")).agg(min(col("lbl")).as("lbl"))
         .select(col("dst").as("id"), col("lbl"))
       // star contraction, not plain propagation: every node re-reads
@@ -452,7 +550,7 @@ object LlmPipe extends QueryModule {
       // formulation is gone. The inner join is total: symmetric edges
       // make every node somebody's dst, so nbrMin covers all of labels.
       val combined = labels
-        .join(nbrMin.withColumnRenamed("lbl", "nm"), "id")
+        .join(nodeSide(nbrMin.withColumnRenamed("lbl", "nm")), "id")
       val self = combined
         .select(col("id"), least(col("lbl"), col("nm")).as("lbl"))
       val up = combined.select(col("lbl").as("id"), col("nm").as("lbl"))
@@ -460,12 +558,13 @@ object LlmPipe extends QueryModule {
       // self is already partitioned on rid = id, so only the labels
       // side exchanges (by lbl)
       val down = labels
-        .join(self.select(col("id").as("rid"), col("lbl").as("rlbl")),
+        .join(nodeSide(
+            self.select(col("id").as("rid"), col("lbl").as("rlbl"))),
           labels("lbl") === col("rid"))
         .select(labels("id"), col("rlbl").as("lbl"))
       // self covers every id and is dominated-by-construction ≤ the old
       // label, so the old labels frame drops out of the union
-      val (next, nextSum) = materialize(
+      val (next, nextSum, _) = materialize(
         self.union(up).union(down)
           .groupBy(col("id")).agg(min(col("lbl")).as("lbl")))
       labels = next
@@ -479,12 +578,7 @@ object LlmPipe extends QueryModule {
     require(converged, s"hash-min did not converge in $MaxRounds rounds")
     if (sys.env.contains("GRAFT_CC_DEBUG"))
       System.err.println(s"[dedupCc] converged in $rounds rounds")
-    val sizes = labels.groupBy(col("lbl"))
-      .agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "lbl")
-      .select(col("id").as("doc_id"), col("lbl").as("cluster"),
-        col("cluster_size"))
-      .orderBy(col("doc_id"))
+    labels
   }
 
   private val dedupCcSql =
@@ -541,11 +635,19 @@ object LlmPipe extends QueryModule {
   }
 
   private def graphPagerank(s: SparkSession, d: String): DataFrame = {
-    val st = stagePairs(
-      LlmExt.simhashPairs(s, d).select(col("da"), col("db")))
-    if (st.edges <= localGraphMaxEdges(s))
-      prLocalDf(st, iters = 1, discretizeInit = false)
-    else pagerankOver(st.df).orderBy(col("doc_id"))
+    val (classes, classEdges) = LlmExt.simhashClassGraph(s, d)
+    val st = stagePairs(classEdges.toDF("da", "db"))
+    classGraphLocal(s, classes, st) match {
+      case Some(g) => prClassDf(classes, g, iters = 1,
+        discretizeInit = false)
+      case None =>
+        // low-duplication regime: the expanded pair graph is close to
+        // the class graph, so the distributed expanded machinery is
+        // the right tool and unchanged
+        pagerankOver(loopFrame(
+          LlmExt.simhashPairs(s, d).select(col("da"), col("db"))))
+          .orderBy(col("doc_id"))
+    }
   }
 
   private val graphPagerankSql =
@@ -619,8 +721,14 @@ object LlmPipe extends QueryModule {
           Det.r6(lit(1.0) / col("n")).as("rank")))
     val masses = Seq.newBuilder[Double]
     masses += mass0
+    // same stats-blind-SMJ fix as dedupCcLoop: the rank frame is
+    // |nodes| rows; when broadcastable, probe the edge-sized contrib
+    // frame in place instead of re-sorting it every iteration
+    def rankSide(df: DataFrame): DataFrame =
+      if (nNodes <= BroadcastGraphNodes) broadcast(df) else df
     for (_ <- 1 to iters) {
-      val next = contrib.join(ranks, contrib("src") === ranks("id"))
+      val next = contrib.join(rankSide(ranks),
+          contrib("src") === ranks("id"))
         .groupBy(col("dst"))
         .agg(sum(col("rank") / col("outdeg")).as("inmass"),
           max(col("n")).as("nn"))
@@ -644,11 +752,15 @@ object LlmPipe extends QueryModule {
   }
 
   private def graphPagerankConv(s: SparkSession, d: String): DataFrame = {
-    val st = stagePairs(
-      LlmExt.simhashPairs(s, d).select(col("da"), col("db")))
-    if (st.edges <= localGraphMaxEdges(s))
-      prLocalDf(st, iters = PrIters, discretizeInit = true)
-    else pagerankConvOver(st.df)._1.orderBy(col("doc_id"))
+    val (classes, classEdges) = LlmExt.simhashClassGraph(s, d)
+    val st = stagePairs(classEdges.toDF("da", "db"))
+    classGraphLocal(s, classes, st) match {
+      case Some(g) => prClassDf(classes, g, iters = PrIters,
+        discretizeInit = true)
+      case None => pagerankConvOver(loopFrame(
+          LlmExt.simhashPairs(s, d).select(col("da"), col("db"))))._1
+        .orderBy(col("doc_id"))
+    }
   }
 
   private val graphPagerankConvSql = {
@@ -692,18 +804,23 @@ object LlmPipe extends QueryModule {
     * structure) break by min doc_id; both engines sort the identical
     * r6-discretized doubles, so the pick is deterministic. */
   private def llmKeeper(s: SparkSession, d: String): DataFrame = {
-    // the pair graph is computed once — under the PARENT session's
-    // full parallelism (stagePairs re-roots after the corpus scan
-    // plans) — and shared by whichever strategy the edge count picks
-    val st = stagePairs(
-      LlmExt.simhashPairs(s, d).select(col("da"), col("db")))
-    if (st.edges <= localGraphMaxEdges(s)) return keeperLocal(st)
-    // distributed path: checkpointed, and shared by the CC loop, the
-    // rank iteration, and the final join, all of which run at loop
-    // scale in the pinned child session
-    val pairs = st.df.localCheckpoint()
-    val cc = dedupCcLoop(pairs)
-    val pr = pagerankOver(pairs)
+    // the CLASS graph is computed once and shared by CC and the rank
+    // step, whichever strategy the class-graph size picks
+    val (classes, classEdges) = LlmExt.simhashClassGraph(s, d)
+    val st = stagePairs(classEdges.toDF("da", "db"))
+    val (cc, pr) = classGraphLocal(s, classes, st) match {
+      case Some(g) =>
+        (expandCc(classes, ccLocalLabels(st)),
+          prClassDf(classes, g, iters = 1, discretizeInit = false))
+      case None =>
+        // low-duplication regime — distributed path over the expanded
+        // pairs: checkpointed, and shared by the CC loop and the rank
+        // iteration, both at loop scale in the pinned child session
+        val pairs = loopFrame(
+          LlmExt.simhashPairs(s, d).select(col("da"), col("db")))
+          .localCheckpoint()
+        (dedupCcLoop(pairs), pagerankOver(pairs))
+    }
     val w = Window.partitionBy(col("cluster"))
       .orderBy(col("rank").desc, col("doc_id"))
     cc.join(pr, "doc_id")

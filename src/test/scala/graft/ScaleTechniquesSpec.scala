@@ -111,22 +111,29 @@ class ScaleTechniquesSpec extends AnyFunSuite {
 
   test("iterative-loop partition count tracks input size (verdict r7 #3)") {
     import graft.ops.LlmPipe
+    val c = 32
     // floor: KB-sized local loop frames stay at 8 partitions
-    assert(LlmPipe.loopPartitions(0L) == 8)
-    assert(LlmPipe.loopPartitions(10000L) == 8)
-    assert(LlmPipe.loopPartitions(8L * LlmPipe.LoopRowsPerPart) == 8)
-    // above the floor the count is ceil(rows / LoopRowsPerPart):
-    // linear in the edge count, so a cluster-scale candidate graph
-    // plans proportionally wide loop shuffles from the same code path
-    assert(LlmPipe.loopPartitions(8L * LlmPipe.LoopRowsPerPart + 1) == 9)
-    assert(LlmPipe.loopPartitions(250L * LlmPipe.LoopRowsPerPart) == 250)
-    assert(LlmPipe.loopPartitions(1000L * LlmPipe.LoopRowsPerPart - 1)
+    assert(LlmPipe.loopPartitions(0L, c) == 8)
+    assert(LlmPipe.loopPartitions(10000L, c) == 8)
+    assert(LlmPipe.loopPartitions(8L * LlmPipe.LoopTargetRows, c) == 8)
+    // CPU regime: one partition per ~LoopTargetRows up to the core
+    // count (sf3's 4.4M-edge graph plans 18-wide rounds, not the old
+    // 8-partition floor that idled 24 of 32 cores)
+    assert(LlmPipe.loopPartitions(18L * LlmPipe.LoopTargetRows, c) == 18)
+    assert(LlmPipe.loopPartitions(100L * LlmPipe.LoopTargetRows, c) == 32)
+    assert(LlmPipe.loopPartitions(100L * LlmPipe.LoopTargetRows, 8) == 8)
+    // shuffle regime: once rows/LoopRowsPerPart exceeds the cores the
+    // count is ceil(rows / LoopRowsPerPart) — linear in the edge
+    // count, so a cluster-scale candidate graph plans proportionally
+    // wide loop shuffles from the same code path
+    assert(LlmPipe.loopPartitions(250L * LlmPipe.LoopRowsPerPart, c) == 250)
+    assert(LlmPipe.loopPartitions(1000L * LlmPipe.LoopRowsPerPart - 1, c)
       == 1000)
     // monotone: more edges never plan fewer partitions
     val probes = Seq(0L, 1L, 7L, 8L, 9L, 64L, 1024L)
       .map(_ * LlmPipe.LoopRowsPerPart)
-    assert(probes.map(LlmPipe.loopPartitions) ==
-      probes.map(LlmPipe.loopPartitions).sorted)
+    assert(probes.map(LlmPipe.loopPartitions(_, c)) ==
+      probes.map(LlmPipe.loopPartitions(_, c)).sorted)
     // and loopFrame actually pins the child session to the derived
     // count (small input => the 8 floor), without touching the caller
     import s.implicits._
