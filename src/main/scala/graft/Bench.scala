@@ -68,6 +68,14 @@ object Bench {
         n -> ((System.nanoTime() - t0) / 1e9, r)
       }.toMap
     val (batch, streaming) = names.partition(_.startsWith("q_"))
+    // Fixed untimed warm query before any timed pass: the first timed
+    // query of pass 1 otherwise absorbs session-wide cold start
+    // (first parquet footer read, first exchange, first codegen) on
+    // top of its own — min-of-2 usually discards it, but under box
+    // contention BOTH samples of the first query can land inflated
+    // (the round-9 driver record carried a 9.05 s min for a 1.2 s
+    // query). One cheap fixed query pays that tax outside the clock.
+    if (batch.nonEmpty) run("q_filter_pred")
     // Queries whose two samples disagree >1.5× get a THIRD sample:
     // min-of-2 under a 55-query JVM still shows ±60% swings for the
     // shuffle-heavy queries (observed round 3: q_fn_map 1.76→3.31 s
@@ -75,16 +83,21 @@ object Bench {
     // collapses most of that. Batch retries run before any streaming
     // query for the same state-store-residue reason as the main passes.
     def unstable(ns: Seq[String],
-                 ps: Seq[Map[String, (Double, Either[String, Unit])]]) =
+                 ps: Seq[Map[String, (Double, Either[String, Unit])]],
+                 ratio: Double = 1.5) =
       ns.filter { n =>
         val ts = ps.filter(_.contains(n)).map(_(n)._1)
-        ts.nonEmpty && ts.max / ts.min > 1.5
+        ts.nonEmpty && ts.max / ts.min > ratio
       }
     val b1 = pass(batch); val b2 = pass(batch)
     val b3 = pass(unstable(batch, Seq(b1, b2)))
+    // still >2.5× after three samples = the contention signature; one
+    // more draw before the record is written (round-9 verdict #4)
+    val b4 = pass(unstable(batch, Seq(b1, b2, b3), 2.5))
     val s1 = pass(streaming); val s2 = pass(streaming)
     val s3 = pass(unstable(streaming, Seq(s1, s2)))
-    val passes = Seq(b1, b2, b3, s1, s2, s3)
+    val s4 = pass(unstable(streaming, Seq(s1, s2, s3), 2.5))
+    val passes = Seq(b1, b2, b3, b4, s1, s2, s3, s4)
     val timed = names.map { n =>
       val rs = passes.filter(_.contains(n)).map(_(n))
       (n, rs.map(_._1).min, rs.map(_._1).max,

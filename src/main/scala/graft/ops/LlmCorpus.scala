@@ -3,7 +3,6 @@ package graft.ops
 import graft.QueryModule
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Corpus-statistics operators for the training-data pipeline (round
   * 7): line-level boilerplate detection (the CCNet/Dolma cleaning
@@ -37,16 +36,26 @@ object LlmCorpus extends QueryModule {
     * detector has real signal at every SF while body chunks stay
     * (almost) unique.
     *
-    * Shape: explode to distinct (doc, line) → line doc-frequency via
-    * count-over-(partition line) window ON THE SAME FRAME (the tfidf
-    * no-join-back trick: one shuffle on line both counts and marks
-    * carrier rows) → map-side-combined per-doc reduce. The corpus doc
-    * count rides in as a broadcast 1-row aggregate. Boilerplate cut:
-    * df ≥ max(ceil(5% of docs), 5) — the floor keeps tiny-SF exact-dup
-    * groups (df 2–4) out of the boilerplate class; both engines
-    * evaluate the identical integer-valued threshold. Shuffle volume
-    * is |distinct lines| short strings; production would md5/xxhash
-    * lines to 8 bytes first (the dedupNgram trade) — same shape. */
+    * Shape: explode to distinct (doc, line) — checkpointed ONCE, it
+    * feeds both the frequency aggregate and the per-doc reduce — →
+    * line doc-frequency via map-side-combined `groupBy(line).count()`
+    * → the lines at or above the cut broadcast-joined back as a
+    * boilerplate mark → map-side-combined per-doc reduce. The df step
+    * deliberately does NOT use a count-over-(partition line) window:
+    * a planted footer sits in ~1/7 of all documents, and an unordered
+    * window cannot partially aggregate, so at corpus scale ONE task
+    * would receive every carrier row of that line. The groupBy
+    * partial-aggregates the hot line on every map task, and the
+    * broadcast of the join-back side is PROVABLY bounded at any
+    * corpus size: Σdf = |(doc,line)| = N·L̄ (L̄ = avg lines/doc), so
+    * at most N·L̄/(0.05·N) = 20·L̄ lines can clear the 5% cut —
+    * independent of N. The corpus doc count rides in as a broadcast
+    * 1-row aggregate. Boilerplate cut: df ≥ max(ceil(5% of docs), 5)
+    * — the floor keeps tiny-SF exact-dup groups (df 2–4) out of the
+    * boilerplate class; both engines evaluate the identical
+    * integer-valued threshold. Shuffle volume is |distinct lines|
+    * short strings; production would md5/xxhash lines to 8 bytes
+    * first (the dedupNgram trade) — same shape. */
   private def boilerplate(s: SparkSession, d: String): DataFrame = {
     val docs = Llm.docs(s, d)
     // body chunks: tokens [i·L+1, i·L+L], i = 0 .. (n_tok-1)/L
@@ -61,16 +70,22 @@ object LlmCorpus extends QueryModule {
       .select(col("doc_id"),
         explode(concat(bodyLines, array(footer))).as("line"))
       .distinct() // line frequency = DOC frequency, not occurrence count
+      .localCheckpoint(false)
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val byLine = Window.partitionBy(col("line"))
     val cut = greatest(ceil(col("n_docs") * lit(0.05)), lit(5L))
+    // ≤ 20·L̄ rows at ANY corpus size (see Scaladoc) → always
+    // broadcastable; the big side never shuffles for the mark
+    val boilerLines = lines
+      .groupBy(col("line")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .filter(col("df") >= cut)
+      .select(col("line"), lit(1L).as("is_boiler"))
     val frac = col("n_boiler").cast("double") / col("n_lines")
     lines
-      .withColumn("df", count(lit(1)).over(byLine))
-      .crossJoin(broadcast(n))
+      .join(broadcast(boilerLines), Seq("line"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_lines"),
-        sum(when(col("df") >= cut, 1L).otherwise(0L)).as("n_boiler"))
+        sum(coalesce(col("is_boiler"), lit(0L))).as("n_boiler"))
       .select(col("doc_id"), col("n_lines"), col("n_boiler"),
         Det.r4(frac).as("boiler_frac"))
       .orderBy(col("doc_id"))

@@ -871,32 +871,43 @@ object LlmPipe extends QueryModule {
     * duplicated span. Per document: window count, cross-duplicated
     * window count, duplicated fraction, and a flag. Windows are
     * xxhash64'd longs (ngramHashes; the oracle compares the strings —
-    * identical up to ~1e-9 collisions). Shape at 100 TB: ONE shuffle
-    * of the (doc, window-hash) pairs — a count window over the hash
-    * both measures each window's doc frequency and marks its carrier
-    * rows in place — then a map-side-combined per-doc reduce. No
-    * shared-window table is materialized and no pairwise comparison
-    * ever happens, unlike the suffix-array formulation this
-    * approximates. */
+    * identical up to ~1e-9 collisions). Shape at 100 TB: span doc
+    * frequency via a map-side-combined `groupBy(h).count()` over the
+    * (doc, window-hash) pairs, the ≥2-doc spans joined back as a
+    * shared mark, then ONE per-doc reduce counting total and marked
+    * spans together. The df step deliberately does NOT use a count
+    * window over h: a boilerplate 20-token span recurs in millions of
+    * documents at corpus scale, and an unordered window cannot
+    * partially aggregate — ONE task would receive every carrier row
+    * of the hot span — where the groupBy partial-aggregates it on
+    * every map task. The pair set is derived twice (df aggregate +
+    * probe side) rather than checkpointed: re-exploding is one more
+    * codegen'd scan of the docs, while materializing ~20× the corpus
+    * would dominate the query. The shared-span side of the join is
+    * one row per duplicated span — AQE broadcasts it when small
+    * (keeping the probe side's doc-locality, so the final per-doc
+    * reduce is map-side combined down to ~|docs| rows) and
+    * skew-splits the sort-merge when it is not. No pairwise
+    * comparison ever happens, unlike the suffix-array formulation
+    * this approximates. */
   private def dedupSubstr(s: SparkSession, d: String): DataFrame = {
-    val toks = Llm.docs(s, d)
+    def pairs = Llm.docs(s, d)
       .filter(size(split(col("text"), " ")) >= 20)
       .select(col("doc_id"),
         explode(LlmQuality.ngramHashes("text", 20)).as("h"))
     val frac = col("n_shared_spans").cast("double") /
       col("n_spans").cast("double")
-    // doc-frequency per window via a COUNT window over h: ONE shuffle
-    // of the exploded pairs both counts a window's documents and marks
-    // every carrier row, where a groupBy-then-join-back formulation
-    // shuffles the 15M-row pair set twice (measured 4.6 s → 1.9 s at
-    // sf0.1). (doc_id, h) pairs are distinct per doc (ngramHashes
-    // dedups), so the per-partition count IS the doc frequency.
-    val byWindow = Window.partitionBy(col("h"))
-    toks
-      .withColumn("nd", count(lit(1)).over(byWindow))
+    // (doc_id, h) pairs are distinct per doc (ngramHashes dedups), so
+    // the count per h IS the doc frequency
+    val shared = pairs
+      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"), lit(1L).as("is_shared"))
+    pairs
+      .join(shared, Seq("h"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
-        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared_spans"))
+        sum(coalesce(col("is_shared"), lit(0L))).as("n_shared_spans"))
       .select(col("doc_id"), col("n_spans"), col("n_shared_spans"),
         Det.r4(frac).as("shared_frac"),
         (Det.r4(frac) >= 0.05).as("has_cross_dup"))

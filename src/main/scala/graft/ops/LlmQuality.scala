@@ -485,11 +485,19 @@ object LlmQuality extends QueryModule {
 
   /** TF-IDF top-3 terms per document — the topicality / keyword
     * signal quality-filter stacks and cluster-labelers use (salient
-    * terms also feed dedup triage: near-dups share them). Shape is
-    * three reuses of ONE exploded token pass: (doc, term) counts via
-    * hash agg, document frequency as a `count over (partition term)`
-    * window on the SAME frame (no groupBy+join back — one shuffle on
-    * term replaces two), then a per-doc row_number for the top-3 cut.
+    * terms also feed dedup triage: near-dups share them). Shape:
+    * (doc, term) counts via hash agg (checkpointed ONCE — it feeds
+    * both the df aggregate and the score projection), document
+    * frequency as a map-side-combined `groupBy(term).count()` joined
+    * back, then a per-doc row_number for the top-3 cut. The df step
+    * deliberately does NOT use a `count over (partition term)` window:
+    * term frequency is Zipfian — a stopword term appears in ~every
+    * document — and an unordered window cannot partially aggregate,
+    * so at corpus scale ONE task would receive every carrier row of
+    * the hot term. The groupBy partial-aggregates the hot term on
+    * every map task (shuffle = |vocab| partials), and the join back
+    * is an equi-join AQE can broadcast when the Heaps-bounded vocab
+    * is small and skew-split when it is not.
     * The ORDER is total (score DESC, term ASC): score is a pure
     * function of integer (tf, df, N) through libm `ln` — identical
     * doubles on both engines — and the term tie-break pins equal
@@ -502,11 +510,14 @@ object LlmQuality extends QueryModule {
       .filter(col("term") =!= "")
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val wTerm = Window.partitionBy(col("term"))
+    // tf rows are distinct (doc, term), so count-per-term IS the
+    // document frequency
+    val dfByTerm = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
-    tf.withColumn("df", count(lit(1)).over(wTerm))
+    tf.join(dfByTerm, "term")
       .crossJoin(broadcast(n))
       .withColumn("score",
         col("tf") * log(col("n_docs").cast("double") / col("df")))

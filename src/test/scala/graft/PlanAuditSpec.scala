@@ -119,6 +119,46 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"residual window operator:\n$p")
   }
 
+  /** Unordered-window gate (round 10, verdict #1): a
+    * `count/sum over (Window.partitionBy(key))` with no ORDER BY
+    * cannot partially aggregate — every carrier row of a partition
+    * key lands on ONE task. On a bounded key (rows-per-doc, a ≤50-row
+    * rerank set) that is fine; on a Zipfian unbounded key (a term, a
+    * line, a 20-token span hash) it is the single-reducer scale
+    * killer that made tfidf/boilerplate/dedup_substr `weak` in round
+    * 9. Those three now use map-side-combined groupBy+join-back; this
+    * gate keeps the shape from coming back anywhere. Every unordered
+    * Window node in a scored batch plan must justify its key's
+    * boundedness below. */
+  private val unorderedWindowAllowed: Map[String, String] = Map(
+    // per-document size window: rows per key = shingles of ONE doc
+    "q_llm_dedup_ngram" -> "partition doc_id — rows per key bounded by doc length",
+    // partition-less grand-total windows over POST-AGGREGATION frames
+    // whose row count is the group-key cardinality, not the corpus:
+    // 21 histogram buckets / |langs| / |funnel stages|
+    "q_agg_histogram" -> "partition-less total over the ≤21-bucket aggregate",
+    "q_llm_mixture" -> "partition-less total over the |langs|-row aggregate",
+    "q_win_funnel" -> "partition-less total over the |stages|-row aggregate")
+
+  for (name <- SparkEntry.queries.keys.toSeq.sorted if name.startsWith("q_")) {
+    test(s"$name has no unordered window on an unjustified key") {
+      val plan = SparkEntry.queries(name)(s, sf)
+        .queryExecution.executedPlan.toString
+      val unordered = plan.linesIterator
+        .filter(_.trim.matches("^[+\\-:*\\s]*Window .*"))
+        .filterNot(l => l.contains(" ASC") || l.contains(" DESC"))
+        .toList
+      if (unordered.nonEmpty)
+        assert(unorderedWindowAllowed.contains(name),
+          s"unordered Window in $name (justify boundedness or rewrite " +
+            s"as groupBy+join):\n${unordered.mkString("\n")}")
+      else
+        assert(!unorderedWindowAllowed.contains(name),
+          s"$name is allowlisted for an unordered window its plan no " +
+            "longer has — remove the stale entry so the gate stays exact")
+    }
+  }
+
   test("q_proj_rename prunes the orders scan to its 3 source columns") {
     val p = scanPlan("q_proj_rename")
     assert(p.contains(
