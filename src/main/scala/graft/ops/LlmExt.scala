@@ -280,16 +280,92 @@ object LlmExt extends QueryModule {
 
   // -------------------------------------------------------- q_llm_sim_ann
 
-  /** IVF-style approximate nearest neighbour: vectors are assigned to
-    * one of 32 deterministic cells (2·argmax|v[1..16]| + sign of that
-    * component — a trained k-means codebook in production, a fixed
-    * grid here so the oracle can replicate it), queries probe their
-    * own cell (nprobe=1) and rank exactly within it. The oracle
-    * implements the SAME algorithm — the hash-match checks
-    * implementation equivalence; recall vs the exact top-k is
-    * measured separately in AnnSpec. Scale: the corpus shuffles once
-    * on cell id; a probe touches |corpus|/cells vectors. */
-  private def simAnn(s: SparkSession, d: String): DataFrame = {
+  /** IVF approximate nearest neighbour with a TRAINED codebook
+    * (round 10, verdict r9 #3): the argmax+sign grid — whose cell
+    * boundaries ignore the data, so a boundary-sitting vector misses
+    * its neighbour cell by construction — now only SEEDS the
+    * codebook. Training is one Lloyd iteration: per-dim means per
+    * grid cell (the seed centroids), every vector re-assigned to its
+    * nearest seed, means recomputed over the new assignment. Queries
+    * probe their [[AnnNProbe]] nearest trained cells and rank exactly
+    * within them — the standard IVF recall lever (Johnson et al.
+    * 2017, faiss). All centroid components are r6-rounded so both
+    * engines carry identical doubles; argmin is min(struct(d2, cell))
+    * — a map-side-combined hash agg with a deterministic cell
+    * tie-break, no per-vector sort window. The oracle replicates the
+    * SAME training + probe pipeline in SQL — the hash-match checks
+    * implementation equivalence; recall (and its uplift over the
+    * untrained grid at nprobe 1 and 2) is measured in AnnSpec.
+    * Scale: every pass is one corpus scan against a ≤32-row broadcast
+    * codebook (training over the full corpus here; production trains
+    * on a sample — same shape), and the probe join touches
+    * nprobe/|cells| of the corpus. */
+  private[graft] val AnnNProbe = 2
+
+  private def simAnn(s: SparkSession, d: String): DataFrame =
+    simAnnTrained(s, d, AnnNProbe)
+
+  private[graft] def simAnnTrained(s: SparkSession, d: String,
+                                   nprobe: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = T.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+      .withColumn("gcell", ivfCell(col("e")))
+      .localCheckpoint(false) // feeds seed agg, Lloyd step, final probe
+    // per-dim mean per cell, r6-rounded, reassembled into a vector
+    def centroids(frame: DataFrame, cellCol: String): DataFrame =
+      frame.select(col(cellCol).as("ccell"), posexplode(col("e")))
+        .groupBy(col("ccell"), col("pos"))
+        .agg(Det.r6(avg(col("col"))).as("m"))
+        .groupBy(col("ccell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          _.getField("m")).as("cv"))
+    val d2 = expr("graft_dot(e, e) - 2 * graft_dot(e, cv) + graft_dot(cv, cv)")
+    // Lloyd iteration: assign to nearest seed, recompute means
+    val c0 = centroids(e, "gcell")
+    val assigned = e.crossJoin(broadcast(c0))
+      .select(col("vec_id"), col("e"), col("ccell"), d2.as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("ccell"))).as("best"),
+        first(col("e")).as("e")) // e is functionally determined by vec_id
+      .select(col("vec_id"), col("e"), col("best.ccell").as("c1cell"))
+    val code = centroids(assigned, "c1cell")
+    // corpus: final assignment to the TRAINED codebook (argmin agg)
+    val scored = e.crossJoin(broadcast(code))
+      .select(col("vec_id"), col("e"), col("ccell"), d2.as("d2"))
+    val corpus = scored.filter(col("vec_id") >= 5)
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("ccell"))).as("best"),
+        first(col("e")).as("ce"))
+      .select(col("vec_id").as("match_id"), col("ce"),
+        col("best.ccell").as("cell"),
+        sqrt(expr("graft_dot(ce, ce)")).as("cn"))
+    // queries: nprobe nearest trained cells each (bounded query side)
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2"), col("ccell"))
+    val probes = scored.filter(col("vec_id") < 5)
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("ccell").as("cell"),
+        sqrt(expr("graft_dot(e, e)")).as("qn"))
+    val cos = expr("graft_dot(qe, ce)") / (col("qn") * col("cn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_key").desc, col("match_id"))
+    broadcast(probes).join(corpus, "cell")
+      .select(col("query_id"), col("match_id"), col("cell"),
+        Det.r6(cos).as("cos_key"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("match_id"), col("cell"),
+        Det.r4(col("cos_key")).as("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The retired untrained-grid nprobe=1 variant, kept package-visible
+    * ONLY as AnnSpec's recall baseline (not scored). */
+  private[graft] def simAnnGrid(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val e = T.embeddings(s, d)
       .select(col("vec_id"),
@@ -315,19 +391,48 @@ object LlmExt extends QueryModule {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  private lazy val simAnnSql =
+  private lazy val simAnnSql = {
+    // d2 inline (no alias reuse inside OVER) — identical arithmetic to
+    // the Spark side's graft_dot expansion
+    def dd(v: String, cv: String) =
+      s"""list_dot_product($v, $v) - 2 * list_dot_product($v, $cv)
+         |               + list_dot_product($cv, $cv)""".stripMargin
     s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |cells AS (
-      |  SELECT vec_id, v, ${ivfCellSql("v")} AS cell
+      |e AS (
+      |  SELECT vec_id, v, ${ivfCellSql("v")} AS gcell
       |  FROM e0),
+      |c0d AS (
+      |  SELECT gcell AS ccell, i AS dim, ${Det.sql6("avg(v[i])")} AS m
+      |  FROM e, range(1, 65) t(i) GROUP BY ccell, dim),
+      |c0 AS (SELECT ccell, list(m ORDER BY dim) AS cv FROM c0d GROUP BY ccell),
+      |a1 AS (
+      |  SELECT vec_id, v, ccell,
+      |         row_number() OVER (PARTITION BY vec_id
+      |           ORDER BY ${dd("v", "cv")}, ccell) AS rn
+      |  FROM e CROSS JOIN c0),
+      |asg AS (SELECT vec_id, v, ccell AS c1cell FROM a1 WHERE rn = 1),
+      |c1d AS (
+      |  SELECT c1cell AS ccell, i AS dim, ${Det.sql6("avg(v[i])")} AS m
+      |  FROM asg, range(1, 65) t(i) GROUP BY ccell, dim),
+      |c1 AS (SELECT ccell, list(m ORDER BY dim) AS cv FROM c1d GROUP BY ccell),
+      |fa AS (
+      |  SELECT e.vec_id, e.v, c1.ccell,
+      |         row_number() OVER (PARTITION BY e.vec_id
+      |           ORDER BY ${dd("e.v", "c1.cv")}, c1.ccell) AS rn
+      |  FROM e CROSS JOIN c1),
+      |corpus AS (
+      |  SELECT vec_id AS match_id, v AS mv, ccell AS cell
+      |  FROM fa WHERE rn = 1 AND vec_id >= 5),
+      |probes AS (
+      |  SELECT vec_id AS query_id, v AS qv, ccell AS cell
+      |  FROM fa WHERE rn <= $AnnNProbe AND vec_id < 5),
       |s AS (
-      |  SELECT q.vec_id AS query_id, c.vec_id AS match_id, c.cell,
-      |         floor((list_dot_product(q.v, c.v) /
-      |                (sqrt(list_dot_product(q.v, q.v)) *
-      |                 sqrt(list_dot_product(c.v, c.v)))) * 1000000 + 0.5)
+      |  SELECT query_id, match_id, cell,
+      |         floor((list_dot_product(qv, mv) /
+      |                (sqrt(list_dot_product(qv, qv)) *
+      |                 sqrt(list_dot_product(mv, mv)))) * 1000000 + 0.5)
       |           / 1000000 AS cos_key
-      |  FROM cells q JOIN cells c ON q.cell = c.cell
-      |  WHERE q.vec_id < 5 AND c.vec_id >= 5),
+      |  FROM probes JOIN corpus USING (cell)),
       |r AS (
       |  SELECT query_id, match_id, cell, cos_key,
       |         row_number() OVER (PARTITION BY query_id
@@ -336,6 +441,7 @@ object LlmExt extends QueryModule {
       |SELECT query_id, rank, match_id, cell,
       |       floor(cos_key * 10000 + 0.5) / 10000 AS cos_sim
       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
 
   // --------------------------------------------------------- q_llm_lang_id
 

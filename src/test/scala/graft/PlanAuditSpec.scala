@@ -48,12 +48,16 @@ class PlanAuditSpec extends AnyFunSuite {
     * q_llm_dsir_weight: the two LM totals (raw + target gram counts)
     * ride one broadcast 1-row frame onto the ≤1024-row bucket table;
     * the nested loop multiplies by exactly one row.
+    * q_llm_sim_ann (round 10): the Lloyd-training and assignment
+    * passes each cross the corpus with the ≤32-row broadcast
+    * codebook — the kmeans multiplies-k-not-the-corpus shape; the
+    * probe join itself is an equi-join on cell.
     * Everything else must justify itself here before joining. */
   private val allowlisted =
     Set("q_llm_sim_search", "q_llm_kmeans", "q_llm_tfidf",
       "q_graph_pagerank", "q_agg_sketch_merge", "q_llm_keeper",
       "q_llm_perplexity", "q_llm_boilerplate", "q_llm_colloc",
-      "q_llm_dsir_weight")
+      "q_llm_dsir_weight", "q_llm_sim_ann")
 
   for (name <- SparkEntry.queries.keys.toSeq.sorted
        if name.startsWith("q_") && !allowlisted(name)) {
