@@ -156,8 +156,14 @@ object Llm extends QueryModule {
     // per class; re-expand member pairs afterwards. Verification work
     // drops with the square of the duplication factor; output is
     // unchanged (FuzzyDupSpec pins the exact expansion).
+    // sort_array canonicalizes the class key to the shingle SET
+    // (round-10 advice): without it, token-permuted docs with
+    // identical shingle sets land in separate classes — output stays
+    // correct via the LSH cross branch (equal sets ⇒ equal
+    // signatures), but the collapse is weaker than the set-keyed
+    // claim. Matches dedupNgram's canonicalization.
     val groups = docs(s, d)
-      .select(col("doc_id"), shingles3("text").as("g"))
+      .select(col("doc_id"), sort_array(shingles3("text")).as("g"))
       .groupBy(col("g"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       // reused by both branches + the rep join — materialize once

@@ -151,6 +151,9 @@ object LlmPipe extends QueryModule {
     val repLabels =
       if (st.edges <= localGraphMaxEdges(s)) ccLocalLabels(st)
       else dedupCcLoopLabels(st.df)
+    // both strategies have materialized by here (driver collect /
+    // per-round checkpoints), so the staged blocks can go
+    st.release()
     expandCc(classes, repLabels)
   }
 
@@ -209,7 +212,16 @@ object LlmPipe extends QueryModule {
     * persist+count job exists anyway to size the loop partitions). */
   private[graft] final case class StagedPairs(
       df: DataFrame, edges: Long, parent: SparkSession,
-      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row])
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) {
+    /** Drop the staged blocks once every consumer has MATERIALIZED
+      * (collected to the driver, or truncated its lineage with a
+      * checkpoint): without this, each graph-query invocation parks a
+      * pair RDD in the block manager until the GC-driven
+      * ContextCleaner happens to notice — an unbounded-latency leak
+      * in a long-lived session. Non-blocking: nothing re-reads the
+      * blocks after the release points below. */
+    def release(): Unit = { rdd.unpersist(blocking = false); () }
+  }
 
   private[graft] def stagePairs(in: DataFrame): StagedPairs = {
     val rdd = in.rdd.persist(
@@ -398,6 +410,14 @@ object LlmPipe extends QueryModule {
     * (k·x vs x summed k times — ~1e-16), which the per-iteration r6
     * discretization absorbs: the argument that already carries the
     * Spark-vs-DuckDB hash match for distributed summation order. */
+  /** Residual risk (accepted, round-10 advice): inbound mass sums
+    * here as (m·r)/od per neighbour in one sequential driver loop,
+    * while the distributed pagerankOver adds m copies of r/od in
+    * shuffle order — a ~1-ulp difference the per-iteration r6 floor
+    * absorbs EXCEPT when a rank sits within ~1e-15 of an r6 bucket
+    * boundary, where the two strategies (and the oracle) could
+    * diverge by 1e-6. Same convention as every other r6-absorption
+    * site; no straddle has been observed at sf0.001–sf3. */
   private def prClassRanks(reps: Array[Long], m: Array[Long],
       ea: Array[Long], eb: Array[Long],
       iters: Int, discretizeInit: Boolean): Array[Double] = {
@@ -638,15 +658,22 @@ object LlmPipe extends QueryModule {
     val (classes, classEdges) = LlmExt.simhashClassGraph(s, d)
     val st = stagePairs(classEdges.toDF("da", "db"))
     classGraphLocal(s, classes, st) match {
-      case Some(g) => prClassDf(classes, g, iters = 1,
-        discretizeInit = false)
+      case Some(g) =>
+        st.release() // class graph collected to the driver
+        prClassDf(classes, g, iters = 1, discretizeInit = false)
       case None =>
         // low-duplication regime: the expanded pair graph is close to
         // the class graph, so the distributed expanded machinery is
-        // the right tool and unchanged
-        pagerankOver(loopFrame(
-          LlmExt.simhashPairs(s, d).select(col("da"), col("db"))))
-          .orderBy(col("doc_id"))
+        // the right tool and unchanged. The class-edge staging served
+        // only as the strategy signal here — release it; the expanded
+        // staging is checkpointed eagerly so ITS blocks release too
+        // (pagerankOver is lazy and would otherwise pin them).
+        st.release()
+        val stx = stagePairs(
+          LlmExt.simhashPairs(s, d).select(col("da"), col("db")))
+        val pairs = stx.df.localCheckpoint()
+        stx.release()
+        pagerankOver(pairs).orderBy(col("doc_id"))
     }
   }
 
@@ -755,11 +782,19 @@ object LlmPipe extends QueryModule {
     val (classes, classEdges) = LlmExt.simhashClassGraph(s, d)
     val st = stagePairs(classEdges.toDF("da", "db"))
     classGraphLocal(s, classes, st) match {
-      case Some(g) => prClassDf(classes, g, iters = PrIters,
-        discretizeInit = true)
-      case None => pagerankConvOver(loopFrame(
-          LlmExt.simhashPairs(s, d).select(col("da"), col("db"))))._1
-        .orderBy(col("doc_id"))
+      case Some(g) =>
+        st.release() // class graph collected to the driver
+        prClassDf(classes, g, iters = PrIters, discretizeInit = true)
+      case None =>
+        st.release() // strategy signal only (see graphPagerank)
+        val stx = stagePairs(
+          LlmExt.simhashPairs(s, d).select(col("da"), col("db")))
+        // pagerankConvOver materializes every round internally, so
+        // its result is checkpoint-decoupled from the staging by the
+        // time it returns
+        val r = pagerankConvOver(stx.df)._1.orderBy(col("doc_id"))
+        stx.release()
+        r
     }
   }
 
@@ -810,15 +845,19 @@ object LlmPipe extends QueryModule {
     val st = stagePairs(classEdges.toDF("da", "db"))
     val (cc, pr) = classGraphLocal(s, classes, st) match {
       case Some(g) =>
-        (expandCc(classes, ccLocalLabels(st)),
+        val both = (expandCc(classes, ccLocalLabels(st)),
           prClassDf(classes, g, iters = 1, discretizeInit = false))
+        st.release() // class graph collected to the driver
+        both
       case None =>
         // low-duplication regime — distributed path over the expanded
         // pairs: checkpointed, and shared by the CC loop and the rank
         // iteration, both at loop scale in the pinned child session
-        val pairs = loopFrame(
+        st.release() // strategy signal only (see graphPagerank)
+        val stx = stagePairs(
           LlmExt.simhashPairs(s, d).select(col("da"), col("db")))
-          .localCheckpoint()
+        val pairs = stx.df.localCheckpoint()
+        stx.release() // pairs checkpoint is materialized (eager)
         (dedupCcLoop(pairs), pagerankOver(pairs))
     }
     val w = Window.partitionBy(col("cluster"))

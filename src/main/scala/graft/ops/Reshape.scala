@@ -91,9 +91,9 @@ object Reshape extends QueryModule {
     val cnt = groupCounts(li, rf)
     // Two independent parallel rank passes (one per ordered column) —
     // the old single frame also paid two sorts, just on |groups| tasks.
-    val re = ranked(s, d, li, "l_returnflag", "l_extendedprice")
+    val re = ranked(s, d, li, "lineitem", "l_returnflag", "l_extendedprice")
       .join(broadcast(cnt), "l_returnflag")
-    val rq = ranked(s, d, li, "l_returnflag", "l_quantity")
+    val rq = ranked(s, d, li, "lineitem", "l_returnflag", "l_quantity")
       .join(broadcast(cnt), "l_returnflag")
     // bracketing order statistics of cut point p: zero-based ranks
     // floor((n-1)p) and ceil((n-1)p)
@@ -199,10 +199,17 @@ object Reshape extends QueryModule {
         .cast("long") - 1L)
 
   /** The strategy pick: simple per-group rank below the source-size
-    * ceiling, range-split distributed ranking above it. */
+    * ceiling, range-split distributed ranking above it. `sizeTable`
+    * names the SOURCE table whose on-disk bytes proxy the frame's
+    * size (round-10 advice: previously hardcoded to lineitem, which
+    * would silently missize the strategy for a frame derived from
+    * any other table) — callers ranking a derived frame pass the
+    * table it was derived from (row-count-preserving derivations
+    * keep the proxy valid; aggMad's deviation frame is 1:1 with its
+    * lineitem source). */
   private def ranked(s: SparkSession, d: String, df: DataFrame,
-                     g: String, v: String): DataFrame =
-    if (T.sourceBytes(s, d, "lineitem") < rankSplitMinBytes(s))
+                     sizeTable: String, g: String, v: String): DataFrame =
+    if (T.sourceBytes(s, d, sizeTable) < rankSplitMinBytes(s))
       rankedBySimple(df, g, v)
     else rankedBy(s, df, g, v)
 
@@ -245,7 +252,7 @@ object Reshape extends QueryModule {
     val li = T.lineitem(s, d).select(rf, col("l_extendedprice"))
     // rankedBy is zero-based; the trim predicate below is stated on
     // 1-based ranks, hence the +1.
-    ranked(s, d, li, "l_returnflag", "l_extendedprice")
+    ranked(s, d, li, "lineitem", "l_returnflag", "l_extendedprice")
       .withColumn("r", col("r") + 1L)
       .join(broadcast(groupCounts(li, rf)), "l_returnflag")
       .filter(col("r") > floor(col("n") * 0.1) &&
@@ -297,7 +304,7 @@ object Reshape extends QueryModule {
     def medianOf(df: DataFrame, v: String, out: String,
                  counts: DataFrame): DataFrame = {
       val k = (col("nn") - 1) * lit(0.5)
-      ranked(s, d, df, "l_returnflag", v)
+      ranked(s, d, df, "lineitem", "l_returnflag", v)
         .join(broadcast(counts), "l_returnflag")
         .groupBy(rf).agg(
           max(col("n")).as("nn"),

@@ -389,10 +389,13 @@ object NormalizeQueries extends QueryModule {
   private def scanPartitioned(s: SparkSession, d: String): DataFrame = {
     val dir = graft.Scratch.dir("hivepart") + "/" +
       d.replaceAll("[^A-Za-z0-9.]", "_")
-    graft.Tables.events(s, d)
+    val dated = graft.Tables.events(s, d)
       .withColumn("event_date", to_date(col("ts")))
-      .write.mode("overwrite").partitionBy("event_date").parquet(dir)
-    s.read.parquet(dir)
+    dated.write.mode("overwrite").partitionBy("event_date").parquet(dir)
+    // explicit schema (the production scan rule): also keeps a
+    // zero-row write — which leaves no partition dirs to infer
+    // from — readable as an empty frame
+    s.read.schema(dated.schema).parquet(dir)
       .filter(col("event_date").between("2024-01-08", "2024-01-14"))
       .groupBy(col("event_date"), col("event_type"))
       .agg(count(lit(1)).as("n"),
