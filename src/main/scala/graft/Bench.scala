@@ -137,7 +137,11 @@ object Bench {
     // second
     val stamp = s"${System.currentTimeMillis / 1000}." +
       s"${ProcessHandle.current.pid}"
-    Files.writeString(Paths.get(s"/root/repo/bench_out.$stamp.json"), line)
+    // stamped history lives under tools/bench_history/ so the repo
+    // root carries only the fixed-name record the driver reads
+    val hist = Paths.get("/root/repo/tools/bench_history")
+    Files.createDirectories(hist)
+    Files.writeString(hist.resolve(s"bench_out.$stamp.json"), line)
     Files.writeString(Paths.get("/root/repo/bench_out.json"), line)
     println(line)
     spark.stop()

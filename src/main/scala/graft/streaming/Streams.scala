@@ -464,21 +464,30 @@ object Streams extends QueryModule {
     * the batch-join result, which is the oracle. Timestamps are
     * emitted as exact epoch µs (ties in a formatted-seconds rendering
     * would make the output order nondeterministic). */
-  private def sJoinStream(s: SparkSession, d: String): DataFrame = {
-    val clicks = eventsStream(s, d)
+  /** The stream-stream join construction, over an arbitrary events
+    * stream — package-visible so StreamingSpec can replay a LONGER
+    * multi-batch stream through the SAME shape and read its
+    * state-store metrics (the O(2 h of traffic) state claim below is
+    * asserted there, not just stated here). */
+  private[graft] def joinStreamShape(events: DataFrame): DataFrame = {
+    val clicks = events
       .filter(col("event_type") === "click")
       .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"),
         col("value").as("click_value"))
       .withWatermark("click_ts", "10 minutes")
-    val purchases = eventsStream(s, d)
+    val purchases = events
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts").as("purchase_ts"),
         col("value").as("purchase_value"))
       .withWatermark("purchase_ts", "10 minutes")
-    val joined = purchases.join(clicks,
+    purchases.join(clicks,
       col("user_id") === col("c_user_id") &&
         col("click_ts") >= col("purchase_ts") - expr("INTERVAL 2 HOURS") &&
         col("click_ts") <= col("purchase_ts"))
+  }
+
+  private def sJoinStream(s: SparkSession, d: String): DataFrame = {
+    val joined = joinStreamShape(eventsStream(s, d))
     runToBatch(s, joined, "append", streamParts(s, d))
       .select(col("user_id"),
         unix_micros(col("purchase_ts")).as("purchase_us"),
