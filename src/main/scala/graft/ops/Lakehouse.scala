@@ -160,6 +160,56 @@ object Lakehouse extends QueryModule {
        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
 
+  // ------------------------------------------------------------ q_join_bucketed
+
+  private val NBuckets = 8
+
+  /** Bucketed co-located join — the OTHER big layout lever at 100 TB
+    * (partition pruning kills the scan; bucketing kills the join
+    * shuffle): both join sides land as `bucketBy(N, key)` tables, so
+    * the shuffle is paid ONCE at write time and every subsequent join
+    * or aggregation on the key is exchange-free — rows with equal keys
+    * are already in the same bucket file on both sides. This is the
+    * standard lakehouse layout for a fact⋈fact join too big to
+    * broadcast (lineitem⋈orders here): at 100 TB the nightly join of
+    * two co-bucketed 50 TB tables moves ZERO bytes between executors.
+    * The join is forced to sort-merge (`hint("merge")`) so the
+    * demonstration doesn't silently degrade to a broadcast at test SF;
+    * ScaleTechniquesSpec asserts the executed join subtree contains no
+    * Exchange. The oracle runs the identical join over the ORIGINAL
+    * unpartitioned parquet — physical layout must never change
+    * results. Bucket count is 8 at test SF; a deployment sizes it to
+    * O(cluster cores) once and every co-bucketed writer agrees on it. */
+  private def joinBucketed(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.Scratch.dir("bucketed")
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val (liT, ordT) = (s"graft_bkt_li_$tag", s"graft_bkt_ord_$tag")
+    T.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_quantity"))
+      .write.mode("overwrite")
+      .bucketBy(NBuckets, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$dir/$liT").saveAsTable(liT)
+    T.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+      .write.mode("overwrite")
+      .bucketBy(NBuckets, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$dir/$ordT").saveAsTable(ordT)
+    s.table(liT)
+      .join(s.table(ordT).hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        Det.r2(sum(col("l_extendedprice"))).as("revenue"),
+        Det.r2(sum(col("l_quantity"))).as("total_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val joinBucketedSql =
+    s"""SELECT o_orderpriority, count(*) AS n_items,
+       |       ${Det.sql2("sum(l_extendedprice)")} AS revenue,
+       |       ${Det.sql2("sum(l_quantity)")} AS total_qty
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // -------------------------------------------------------------- q_lake_scd2
 
   /** Slowly-changing-dimension type 2 built from the raw event log:
@@ -318,6 +368,7 @@ object Lakehouse extends QueryModule {
     "q_merge_upsert" -> (mergeUpsert _),
     "q_ts_gapfill" -> (tsGapfill _),
     "q_join_skew_salted" -> (joinSkewSalted _),
+    "q_join_bucketed" -> (joinBucketed _),
     "q_lake_scd2" -> (lakeScd2 _),
     "q_dq_audit" -> (dqAudit _),
   )
@@ -327,6 +378,8 @@ object Lakehouse extends QueryModule {
     "q_ts_gapfill" -> tsGapfillSql,
     // deliberately the UNSALTED join: salting must not change results
     "q_join_skew_salted" -> joinSkewSaltedSql,
+    // deliberately the PLAIN-parquet join: layout must not change results
+    "q_join_bucketed" -> joinBucketedSql,
     "q_lake_scd2" -> lakeScd2Sql,
     "q_dq_audit" -> dqAuditSql,
   )

@@ -146,6 +146,34 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(lf.count() == 100L)
   }
 
+  test("q_join_bucketed joins with zero exchange below the sort-merge join") {
+    val df = SparkEntry.queries("q_join_bucketed")(s, d)
+    // descend through AQE wrappers to the SMJ, then assert its whole
+    // subtree is exchange-free: co-bucketed layout means the join's
+    // shuffle was paid once at write time, not per query
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    def all(p: SparkPlan): Seq[SparkPlan] = {
+      val through = p match {
+        case a: AdaptiveSparkPlanExec => all(a.executedPlan)
+        case q: QueryStageExec        => all(q.plan)
+        case _ => Nil
+      }
+      p +: (through ++ p.children.flatMap(all))
+    }
+    assert(df.collect().nonEmpty)
+    val nodes = all(df.queryExecution.executedPlan)
+    val smjs = nodes.collect { case j: SortMergeJoinExec => j }
+    assert(smjs.nonEmpty, "bucketed join did not plan as sort-merge:\n" +
+      df.queryExecution.executedPlan)
+    val belowJoin = smjs.flatMap(all)
+    assert(!belowJoin.exists(_.isInstanceOf[Exchange]),
+      "exchange below the bucketed join — the write-time shuffle was " +
+        "not reused:\n" + df.queryExecution.executedPlan)
+  }
+
   test("q_scan_partitioned prunes to 7 of 30 date partitions (verdict r9 #2)") {
     val df = SparkEntry.queries("q_scan_partitioned")(s, d)
     // the one-week filter must reach the scan as PARTITION pruning —
