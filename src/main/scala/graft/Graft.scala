@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The public, column-parameterized library surface.
+  *
+  * The scored `SparkEntry.queries` prove every operator against the
+  * DuckDB oracle on the test star schema; this facade is how a USER
+  * calls the same engine code on their own frames — each method is a
+  * thin adapter (rename user columns onto the internal contract,
+  * delegate, rename back), so the facade and the scored queries can
+  * never diverge in semantics. Everything scale-critical about the
+  * internals (stats-driven local-vs-distributed graph strategy,
+  * data-sized loop partitioning, checkpointed iteration, map-side
+  * combined aggregation, degenerate-bucket caps) is inherited, not
+  * reimplemented.
+  *
+  * Column arguments are names (not Columns) where the value must be
+  * referenced on both sides of an internal self-join — the rename
+  * happens once at the boundary, so user frames never need the
+  * engine's internal column vocabulary.
+  */
+object Graft {
+
+  /** Register the engine's native SQL functions (`graft_dot`,
+    * `graft_ngrams`, `graft_bloom_*`) on a session that was not
+    * built with `spark.sql.extensions=graft.GraftExtensions`. */
+  def registerFunctions(s: SparkSession): Unit =
+    _root_.graft.functions.GraftFunctions.register(s)
+
+  // ------------------------------------------------------------------ graph
+
+  /** Connected components over an undirected edge list — the dedup
+    * clustering core (q_llm_dedup_cc). Input: any frame with two id
+    * columns; output: one row per node, `(id, cluster, cluster_size)`
+    * with `cluster` = the component's minimum id. Inherits the
+    * checkpointed star-contraction loop with data-sized partitions;
+    * at most O(diameter) rounds of two shuffles each. */
+  def connectedComponents(edges: DataFrame, src: String, dst: String)
+      : DataFrame =
+    ops.LlmPipe.dedupCcLoop(ops.LlmPipe.loopFrame(
+        edges.select(col(src).cast("long").as("da"),
+          col(dst).cast("long").as("db"))))
+      .withColumnRenamed("doc_id", "id")
+
+  /** One damped PageRank pass (d = 0.85) over an undirected edge
+    * list: `(id, rank)`. The node-count scalar rides in as a 1-row
+    * broadcast — never a window over the node set. */
+  def pageRank(edges: DataFrame, src: String, dst: String): DataFrame =
+    ops.LlmPipe.pagerankOver(
+        edges.select(col(src).cast("long").as("da"),
+          col(dst).cast("long").as("db")))
+      .withColumnRenamed("doc_id", "id")
+
+  /** Iterated PageRank to a fixpoint probe: `(ranks, massPerIter)`.
+    * Ranks are r6-discretized each round, so iteration is
+    * deterministic across partitionings. */
+  def pageRankConverged(edges: DataFrame, src: String, dst: String,
+                        iters: Int = 12): (DataFrame, Seq[Double]) = {
+    val (ranks, masses) = ops.LlmPipe.pagerankConvOver(
+      ops.LlmPipe.loopFrame(
+        edges.select(col(src).cast("long").as("da"),
+          col(dst).cast("long").as("db"))), iters)
+    (ranks.withColumnRenamed("doc_id", "id"), masses)
+  }
+
+  // ------------------------------------------------------------------ dedup
+
+  /** LSH-style blocking: group by `keys` (band hashes, IVF cells,
+    * simhash bands — anything), emit each bucket's member pairs
+    * `(da, db)` with `da < db`. The standard candidate-generation
+    * step of every near-dup family; a degenerate bucket (> 1024
+    * members) fails loudly instead of exploding quadratically —
+    * collapse exact-duplicate content to one representative first
+    * (see q_llm_dedup_fuzzy's class collapse) if you hit it. */
+  def candidatePairs(df: DataFrame, keys: Seq[Column], member: Column)
+      : DataFrame =
+    ops.Llm.bucketPairs(df, keys, member)
+      .withColumnRenamed("x", "da").withColumnRenamed("y", "db")
+
+  /** Distinct 64-bit hashes of the word `width`-grams of a text
+    * column — the exact-set-similarity token stage (q_llm_dedup_ngram).
+    * Needs [[registerFunctions]] (or the GraftExtensions session
+    * config): backed by the native `graft_ngrams` expression, one
+    * pass over the string bytes, primitive long[] out. */
+  def ngramHashes(textCol: String, width: Int): Column =
+    ops.LlmQuality.ngramHashes(textCol, width)
+
+  // ------------------------------------------------------------------ text
+
+  /** Composite quality score in [0, 1] over a text column (length,
+    * type-token ratio, stopword ratio — the C4/Gopher-style corpus
+    * filter of q_llm_quality). Pure map-side expression. */
+  def qualityScore(text: Column): Column =
+    ops.LlmQuality.qualityScoreOf(text)
+
+  /** URL canonicalization (fragment / www / utm / trailing-slash
+    * normalization) — q_llm_dedup_url's key derivation. */
+  def canonicalUrl(url: Column): Column =
+    ops.LlmQuality.canonicalizeUrl(url)
+
+  // ------------------------------------------------------- event analytics
+
+  /** Linearly-weighted moving average over the trailing `width`+1
+    * rows per series, appended as a `wma` column. `order` (plus
+    * `tiebreak`) must be a total order within a series — pass the
+    * event id; real logs collide on timestamps constantly. One
+    * shuffle on the series key, O(1) state per row (the weighted sum
+    * decomposes into plain frame sums — exact at any scale). */
+  def weightedMovingAverage(df: DataFrame, series: String, order: String,
+                            value: String, width: Int,
+                            tiebreak: Seq[String] = Nil): DataFrame =
+    ops.TimeSeries.wmaOver(df, series, order, value, width, tiebreak)
+
+  /** Strictly-ordered funnel over an event stream: for each user the
+    * step-k anchor is their first step-k event strictly after their
+    * step-(k−1) anchor; output is `(depth, n_users, n_reached,
+    * conversion)` per funnel depth. One aggregation per step, all on
+    * the user key. */
+  def funnel(events: DataFrame, user: String, step: String, time: String,
+             steps: Seq[String]): DataFrame =
+    ops.Reshape.funnelOver(
+      events.select(col(user).as("user_id"), col(step).as("event_type"),
+        col(time).cast("long").as("tus")), steps)
+}

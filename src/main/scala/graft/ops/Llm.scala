@@ -65,8 +65,8 @@ object Llm extends QueryModule {
     * real bucket sizes. */
   private[ops] val MaxBucket = 1024
 
-  private[ops] def bucketPairs(df: DataFrame, keys: Seq[Column],
-                               member: Column): DataFrame =
+  private[graft] def bucketPairs(df: DataFrame, keys: Seq[Column],
+                                 member: Column): DataFrame =
     df.groupBy(keys: _*)
       .agg(sort_array(collect_list(member)).as("members"))
       .filter(size(col("members")) > 1)

@@ -34,8 +34,8 @@ object LlmQuality extends QueryModule {
     * Distinct-on-hashes == distinct-on-grams up to a |vocab|²/2⁶⁵
     * ≈ 1e-9 collision chance, the standard trade for exact set
     * similarity at corpus scale. */
-  private[ops] def ngramHashes(textCol: String, width: Int,
-                               distinct: Boolean = true): Column =
+  private[graft] def ngramHashes(textCol: String, width: Int,
+                                 distinct: Boolean = true): Column =
     expr(s"graft_ngrams($textCol, $width, $distinct)")
 
   /** (doc, gram-hash) pairs; hashes are distinct per doc. */
@@ -196,8 +196,12 @@ object LlmQuality extends QueryModule {
     * so q_llm_sample_importance (LlmTrain) samples with EXACTLY the
     * scoring function q_llm_quality reports — a sampler keyed to a
     * near-copy of the filter score silently diverges from the filter. */
-  private[ops] def qualityScore: Column = {
-    val w = split(col("text"), " ")
+  private[ops] def qualityScore: Column = qualityScoreOf(col("text"))
+
+  /** The same composite over an arbitrary text column — the
+    * [[graft.Graft]] facade's entry point. */
+  private[graft] def qualityScoreOf(text: Column): Column = {
+    val w = split(text, " ")
     val nTok = size(w).cast("double")
     val ttr = size(array_distinct(w)).cast("double") / nTok
     val stopRatio =

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The public facade's contract: every [[Graft]] method must work on
+  * a USER frame with arbitrary column names — no dependence on the
+  * test star schema or the engine's internal column vocabulary — and
+  * agree with an independently computed reference on small inputs.
+  * (The underlying operators' at-scale behavior is pinned by their
+  * own specs; this suite proves the boundary adapters.) */
+class GraftApiSpec extends AnyFunSuite {
+  private lazy val s = SparkTestBase.spark
+  import s.implicits._
+
+  test("connectedComponents clusters an arbitrary edge list") {
+    // two components {1,2,3,4} (path) and {7,8}; 9 isolated via self-edge
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L), (9L, 9L))
+      .toDF("left_node", "right_node")
+    val cc = Graft.connectedComponents(edges, "left_node", "right_node")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(cc.toSeq == Seq(
+      (1L, 1L, 4L), (2L, 1L, 4L), (3L, 1L, 4L), (4L, 1L, 4L),
+      (7L, 7L, 2L), (8L, 7L, 2L), (9L, 9L, 1L)))
+  }
+
+  test("pageRank conserves mass and ranks the hub highest") {
+    // star: 1 connected to 2,3,4,5 — the hub must outrank the leaves
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
+      .toDF("u", "v")
+    val pr = Graft.pageRank(edges, "u", "v").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(pr.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(pr(1L) > pr(2L))
+    assert(Set(2L, 3L, 4L, 5L).map(pr).size == 1, "leaves tie by symmetry")
+    assert(math.abs(pr.values.sum - 1.0) < 1e-4, s"mass drifted: $pr")
+    // converged variant: fixpoint masses stay ~1 every iteration
+    val (ranks, masses) = Graft.pageRankConverged(edges, "u", "v", iters = 6)
+    assert(ranks.count() == 5)
+    assert(masses.forall(m => math.abs(m - 1.0) < 1e-4))
+  }
+
+  test("candidatePairs emits per-bucket member pairs and nothing across buckets") {
+    val df = Seq(("x", 1L), ("x", 2L), ("x", 3L), ("y", 10L), ("y", 11L),
+        ("z", 99L))
+      .toDF("bucket_key", "item")
+    val pairs = Graft.candidatePairs(df, Seq(col("bucket_key")), col("item"))
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L)))
+  }
+
+  test("ngramHashes tokenizes a user column after registerFunctions") {
+    Graft.registerFunctions(s)
+    val n = Seq("a b c d e").toDF("body")
+      .select(size(Graft.ngramHashes("body", 3)).as("n"))
+      .head().getInt(0)
+    assert(n == 3, "5 words -> 3 distinct 3-grams")
+  }
+
+  test("qualityScore and canonicalUrl are plain column expressions") {
+    val r = Seq(("the the the the", "https://www.example.com/a/?utm_source=feed#frag"))
+      .toDF("content", "link")
+      .select(Graft.qualityScore(col("content")).as("q"),
+        Graft.canonicalUrl(col("link")).as("u"))
+      .head()
+    assert(r.getDouble(0) > 0.0 && r.getDouble(0) < 1.0)
+    assert(r.getString(1) == "https://example.com/a")
+  }
+
+  test("weightedMovingAverage matches the brute-force weights on a user frame") {
+    val df = Seq(("s", 1L, 10.0), ("s", 2L, 20.0), ("s", 3L, 30.0))
+      .toDF("sensor", "seq", "reading")
+    val got = Graft.weightedMovingAverage(df, "sensor", "seq", "reading", 2)
+      .orderBy($"seq").select($"wma").collect().map(_.getDouble(0)).toSeq
+    // trailing frames: [10] -> 10; [10,20] w=(1,2) -> 50/3; [10,20,30]
+    // w=(1,2,3) -> 140/6; r4-discretized
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    assert(got == Seq(r4(10.0), r4(50.0 / 3), r4(140.0 / 6)))
+  }
+
+  test("funnel chains strictly-after anchors over renamed event columns") {
+    val ev = Seq(
+      (1L, "view", 10L), (1L, "cart", 20L), (1L, "buy", 30L), // full depth
+      (2L, "view", 10L), (2L, "cart", 5L),                    // cart BEFORE view
+      (3L, "view", 10L)                                       // view only
+    ).toDF("uid", "action", "at")
+    val f = Graft.funnel(ev, "uid", "action", "at", Seq("view", "cart", "buy"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // depths: user1 -> 3, user2 -> 1 (cart precedes view: not chained),
+    // user3 -> 1
+    assert(f.toSeq == Seq((1L, 2L, 3L), (3L, 1L, 1L)))
+  }
+}
