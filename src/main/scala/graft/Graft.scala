@@ -65,6 +65,35 @@ object Graft {
     (ranks.withColumnRenamed("doc_id", "id"), masses)
   }
 
+  // ------------------------------------------------------------------ joins
+
+  /** As-of join: every `left` row joined to the LATEST `right` row
+    * with `rightTime` at-or-before its `leftTime` under the same
+    * `key` — appended as a nullable `asof_match` struct of the right
+    * row's columns. One shuffle on the key (union-both-sides + a
+    * single window pass), never the O(left × right) range-join
+    * blowup. Keep `(key, rightTime)` unique on the right side for a
+    * fully deterministic match at colliding instants. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTime: String, rightTime: String): DataFrame =
+    ops.Relational.asofOver(left, right, key, leftTime, rightTime)
+
+  /** Top k rows per group, ordered by `order` (append tie-break
+    * columns to make the cut deterministic). Emitted in exactly the
+    * rank-window + `<= k` filter shape the engine's TopKRewrite rule
+    * recognizes: on a session configured with
+    * `spark.sql.extensions=graft.GraftExtensions`, this plans as a
+    * bounded per-partition heap — shuffle bounded by k·|groups|
+    * regardless of group skew — and falls back to the plain window
+    * plan (correct, unbounded) elsewhere. */
+  def topKPerGroup(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+                   k: Int): DataFrame =
+    df.withColumn("__rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(keys: _*).orderBy(order: _*)))
+      .filter(col("__rank") <= k)
+      .drop("__rank")
+
   // ------------------------------------------------------------------ dedup
 
   /** LSH-style blocking: group by `keys` (band hashes, IVF cells,
@@ -86,6 +115,38 @@ object Graft {
     * pass over the string bytes, primitive long[] out. */
   def ngramHashes(textCol: String, width: Int): Column =
     ops.LlmQuality.ngramHashes(textCol, width)
+
+  // ------------------------------------------------------------- similarity
+
+  /** Exact brute-force cosine top-k: for each row of `queries`
+    * (BOUNDED — it is broadcast; the scale path for an unbounded
+    * query side is IVF cells, see q_llm_sim_ann), the k
+    * highest-cosine rows of `corpus`. Vector columns are arrays of
+    * numerics; dot products run on the native codegen `graft_dot`
+    * expression, norms computed once per row before the join. Output:
+    * `(query_id, rank, match_id, cos_sim)` with a discretized-cosine
+    * + id tie-break so row order can't flip on a last-ulp
+    * disagreement. */
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, id: String,
+                 vec: String, k: Int): DataFrame = {
+    registerFunctions(queries.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(id).as("query_id"),
+        transform(col(vec), x => x.cast("double")).as("qe"))
+      .withColumn("qn", sqrt(expr("graft_dot(qe, qe)")))
+    val c = corpus.select(col(id).as("match_id"),
+        transform(col(vec), x => x.cast("double")).as("ce"))
+      .withColumn("cn", sqrt(expr("graft_dot(ce, ce)")))
+    val cos = expr("graft_dot(qe, ce)") / (col("qn") * col("cn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_key").desc, col("match_id"))
+    broadcast(q).crossJoin(c)
+      .select(col("query_id"), col("match_id"), ops.Det.r6(cos).as("cos_key"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("match_id"),
+        ops.Det.r4(col("cos_key")).as("cos_sim"))
+  }
 
   // ------------------------------------------------------------------ text
 

@@ -269,32 +269,52 @@ object Relational extends QueryModule {
        | AND abs(c1.c_acctbal - c2.c_acctbal) <= $BandWidth
        |ORDER BY ca, cb""".stripMargin
 
+  /** Generic at-or-before as-of join core: for each left row, the
+    * latest right row with rightTime ≤ leftTime under the same key.
+    * Spark lacks a native as-of join; the scalable formulation is
+    * union-both-sides + one window pass — a single shuffle on the
+    * key, O(n log n) per partition, versus the naive range-join that
+    * explodes to O(left × right) per key. Output: every left column
+    * plus `asof_match`, the matched right row as a (nullable) struct.
+    * At equal times the right row IS visible (">=" semantics: right
+    * sorts before left on the side column); ties BETWEEN right rows
+    * at one instant resolve to the struct ordering of `last`, so
+    * callers wanting full determinism keep (key, rightTime) unique.
+    * Package-visible: the q_join_asof scored query and the
+    * [[graft.Graft.asofJoin]] facade both build on it. */
+  private[graft] def asofOver(left: DataFrame, right: DataFrame,
+      key: String, leftTime: String, rightTime: String): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    val l = left.select(col(key).as("__k"), col(leftTime).as("__t"),
+      lit(1).as("__side"),
+      struct(left.columns.toIndexedSeq.map(col): _*).as("__l"),
+      lit(null).cast(StructType(right.schema)).as("__r"))
+    val r = right.select(col(key).as("__k"), col(rightTime).as("__t"),
+      lit(0).as("__side"),
+      lit(null).cast(StructType(left.schema)).as("__l"),
+      struct(right.columns.toIndexedSeq.map(col): _*).as("__r"))
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("asof_match", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("__l.*"), col("asof_match"))
+  }
+
   /** As-of join: for each purchase, the latest click at-or-before it by
-    * the same user. Spark lacks a native as-of join; the scalable
-    * formulation is union-both-sides + one window pass — a single
-    * shuffle on (user_id), O(n log n) per partition, versus the naive
-    * range-join that explodes to O(clicks × purchases) per user.
+    * the same user — [[asofOver]] applied to the events log.
     * (Reference has no joins at all — SURVEY §2A note — this is
     * north-star surface.) */
   private def joinAsof(s: SparkSession, d: String): DataFrame = {
     val ev = T.events(s, d)
     val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts"), lit(0).as("side"),
-        lit(null).cast("long").as("buy_id"))
+      .select(col("user_id"), col("ts"))
     val buys = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"), lit(1).as("side"),
-        col("event_id").as("buy_id"))
-    // clicks sort before purchases at equal ts => ASOF ">=" semantics
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    clicks.unionByName(buys)
-      .withColumn("last_click_ts",
-        last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
-      .filter(col("side") === 1)
+      .select(col("user_id"), col("event_id").as("buy_id"), col("ts"))
+    asofOver(buys, clicks, "user_id", "ts", "ts")
       .select(col("user_id"), col("buy_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("buy_ts"),
-        date_format(col("last_click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        date_format(col("asof_match.ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
           .as("click_ts"))
       .orderBy(col("buy_id"))
   }

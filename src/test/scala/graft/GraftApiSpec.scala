@@ -80,6 +80,48 @@ class GraftApiSpec extends AnyFunSuite {
     assert(got == Seq(r4(10.0), r4(50.0 / 3), r4(140.0 / 6)))
   }
 
+  test("asofJoin matches the latest at-or-before right row per key") {
+    val quotes = Seq(("A", 10L, 1.0), ("A", 20L, 2.0), ("A", 30L, 3.0),
+        ("B", 15L, 9.0))
+      .toDF("sym", "qt", "px")
+    val trades = Seq(("A", 5L, 100L), ("A", 20L, 200L), ("A", 25L, 300L),
+        ("B", 10L, 400L))
+      .toDF("sym", "tt", "qty")
+    val got = Graft.asofJoin(trades, quotes, "sym", "tt", "qt")
+      .select($"sym", $"tt", $"qty", $"asof_match.px")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq == Seq(
+      ("A", 5L, 100L, None),          // no quote yet
+      ("A", 20L, 200L, Some(2.0)),    // equal time IS visible
+      ("A", 25L, 300L, Some(2.0)),
+      ("B", 10L, 400L, None)))        // B's quote is later
+  }
+
+  test("topKPerGroup keeps k rows per group under the declared order") {
+    val df = Seq(("g1", 1), ("g1", 5), ("g1", 3), ("g2", 9), ("g2", 2))
+      .toDF("grp", "score")
+    val got = Graft.topKPerGroup(df, Seq($"grp"), Seq($"score".desc), 2)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(got == Set(("g1", 5), ("g1", 3), ("g2", 9), ("g2", 2)))
+  }
+
+  test("cosineTopK ranks corpus vectors by cosine for each query") {
+    val queries = Seq((100L, Seq(1.0, 0.0))).toDF("vid", "emb")
+    val corpus = Seq(
+      (1L, Seq(2.0, 0.0)),   // cos 1.0 with the query
+      (2L, Seq(1.0, 1.0)),   // cos ~0.7071
+      (3L, Seq(0.0, 1.0))    // cos 0.0
+    ).toDF("vid", "emb")
+    val got = Graft.cosineTopK(queries, corpus, "vid", "emb", 2)
+      .orderBy($"rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (100L, 1L, 1L, 1.0), (100L, 2L, 2L, 0.7071)))
+  }
+
   test("funnel chains strictly-after anchors over renamed event columns") {
     val ev = Seq(
       (1L, "view", 10L), (1L, "cart", 20L), (1L, "buy", 30L), // full depth
