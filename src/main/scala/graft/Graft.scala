@@ -108,6 +108,32 @@ object Graft {
     ops.Llm.bucketPairs(df, keys, member)
       .withColumnRenamed("x", "da").withColumnRenamed("y", "db")
 
+  /** MinHash-LSH near-duplicate pairs over any (id, text) frame — the
+    * full q_llm_dedup_fuzzy pipeline (exact-content class collapse →
+    * 12 seeded minhashes over one rep per class → 4 bands × r=3 →
+    * bucket join → exact shingle-set Jaccard verification → member
+    * re-expansion): `(da, db, jaccard)` with `da < db` and jaccard ≥
+    * `minJaccard`. Candidate cost tracks DISTINCT-content geometry —
+    * verbatim duplication (heavy in every crawl corpus) adds output
+    * rows, not verification work. */
+  def nearDuplicatePairs(docs: DataFrame, id: String, text: String,
+                         minJaccard: Double = 0.5): DataFrame = {
+    registerFunctions(docs.sparkSession)
+    ops.Llm.fuzzyPairsOver(
+      docs.select(col(id).cast("long").as("doc_id"), col(text).as("text")),
+      minJaccard)
+  }
+
+  /** [[nearDuplicatePairs]] composed with [[connectedComponents]]:
+    * one row per document that belongs to a near-dup cluster,
+    * `(id, cluster, cluster_size)` — pick `min(id)` per cluster as
+    * the keeper and anti-join the rest away for the classic corpus
+    * dedup stage (q_llm_dedup_apply's shape). */
+  def nearDuplicateClusters(docs: DataFrame, id: String, text: String,
+                            minJaccard: Double = 0.5): DataFrame =
+    connectedComponents(
+      nearDuplicatePairs(docs, id, text, minJaccard), "da", "db")
+
   /** Distinct 64-bit hashes of the word `width`-grams of a text
     * column — the exact-set-similarity token stage (q_llm_dedup_ngram).
     * Needs [[registerFunctions]] (or the GraftExtensions session

@@ -142,7 +142,15 @@ object Llm extends QueryModule {
     * n²·Jᵣ·b, and each one pays an exact-Jaccard verification).
     * The oracle IS all-pairs O(n²): fine as ground truth at test
     * scale, which is exactly what LSH avoids at 100 TB. */
-  private def dedupFuzzy(s: SparkSession, d: String): DataFrame = {
+  private def dedupFuzzy(s: SparkSession, d: String): DataFrame =
+    fuzzyPairsOver(docs(s, d))
+
+  /** The whole pipeline above over an arbitrary (doc_id, text) frame —
+    * package-visible as the [[graft.Graft.nearDuplicatePairs]] facade
+    * core, so the user path and the oracle-verified scored path are
+    * the same code. */
+  private[graft] def fuzzyPairsOver(docsF: DataFrame,
+                                    minJaccard: Double = 0.5): DataFrame = {
     val nBands = 4
     // Exact-content collapse BEFORE the LSH — the dedupSimhash
     // composition, keyed here by the full shingle SET (the signature
@@ -162,7 +170,7 @@ object Llm extends QueryModule {
     // correct via the LSH cross branch (equal sets ⇒ equal
     // signatures), but the collapse is weaker than the set-keyed
     // claim. Matches dedupNgram's canonicalization.
-    val groups = docs(s, d)
+    val groups = docsF
       .select(col("doc_id"), sort_array(shingles3("text")).as("g"))
       .groupBy(col("g"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
@@ -214,7 +222,7 @@ object Llm extends QueryModule {
       .select(col("xs"), col("ys"),
         Det.r4(inter / (size(col("ga")) + size(col("gb")) - inter))
           .as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= minJaccard)
       // m×n re-expansion of the verified class pair (disjoint member
       // sets — least/greatest restores the global da < db invariant)
       .select(explode(col("xs")).as("a"), col("ys"), col("jaccard"))

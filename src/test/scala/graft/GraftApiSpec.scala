@@ -80,6 +80,23 @@ class GraftApiSpec extends AnyFunSuite {
     assert(got == Seq(r4(10.0), r4(50.0 / 3), r4(140.0 / 6)))
   }
 
+  test("nearDuplicatePairs + clusters find the planted near-dup on user columns") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val docsF = Seq(
+      (10L, base),
+      (11L, base + " extra"),                        // near-dup of 10
+      (12L, base),                                   // exact dup of 10
+      (13L, "completely different words in this unrelated document about spark engines and scale")
+    ).toDF("document_key", "body")
+    val pairs = Graft.nearDuplicatePairs(docsF, "document_key", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((10L, 11L), (10L, 12L), (11L, 12L)))
+    val clusters = Graft
+      .nearDuplicateClusters(docsF, "document_key", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(clusters == Set((10L, 10L, 3L), (11L, 10L, 3L), (12L, 10L, 3L)))
+  }
+
   test("asofJoin matches the latest at-or-before right row per key") {
     val quotes = Seq(("A", 10L, 1.0), ("A", 20L, 2.0), ("A", 30L, 3.0),
         ("B", 15L, 9.0))
