@@ -176,6 +176,13 @@ object Graft {
 
   // ------------------------------------------------------------------ text
 
+  /** Marker-word language-ID heuristic over a text column (fixed
+    * priority ladder de → fr → es → zh → en → und) — q_llm_lang_id's
+    * predictor. Pure map-side expression; swap in an n-gram model's
+    * scores for production-grade ID, the plumbing is identical. */
+  def languageId(text: Column): Column =
+    ops.LlmExt.langIdOf(text)
+
   /** Composite quality score in [0, 1] over a text column (length,
     * type-token ratio, stopword ratio — the C4/Gopher-style corpus
     * filter of q_llm_quality). Pure map-side expression. */
@@ -199,6 +206,17 @@ object Graft {
                             value: String, width: Int,
                             tiebreak: Seq[String] = Nil): DataFrame =
     ops.TimeSeries.wmaOver(df, series, order, value, width, tiebreak)
+
+  /** Gaps-and-islands sessionization: appends a per-`user`
+    * `session_id` (1-based) that increments wherever consecutive
+    * `timeUs` values (µs epoch) are ≥ `gapUs` apart. `timeUs` plus
+    * `tiebreak` must totally order a user's events — pass the event
+    * id; collisions are the rule in real logs. One shuffle on the
+    * user key, which a per-session `groupBy(user, "session_id")`
+    * downstream reuses. */
+  def sessionize(events: DataFrame, user: String, timeUs: String,
+                 tiebreak: Seq[String], gapUs: Long): DataFrame =
+    ops.Reshape.sessionIdsOver(events, user, timeUs, tiebreak, gapUs)
 
   /** Strictly-ordered funnel over an event stream: for each user the
     * step-k anchor is their first step-k event strictly after their

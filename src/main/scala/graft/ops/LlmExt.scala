@@ -451,19 +451,23 @@ object LlmExt extends QueryModule {
     * vocabulary is shared across languages, so the heuristic mostly
     * resolves to 'en' — the matrix makes that honest rather than
     * hiding it behind an accuracy scalar. */
-  private def langId(s: SparkSession, d: String): DataFrame = {
-    val words = split(col("text"), " ")
+  /** The marker-word ladder over an arbitrary text column — the
+    * [[graft.Graft.languageId]] facade core. */
+  private[graft] def langIdOf(text: Column): Column = {
+    val words = split(text, " ")
     def has(ws: String*): Column =
       ws.map(w => array_contains(words, w)).reduce(_ || _)
-    val predicted =
-      when(has("der", "die", "das", "und"), "de")
-        .when(has("le", "les", "une"), "fr")
-        .when(has("el", "los", "una"), "es")
-        .when(has("的", "是"), "zh")
-        .when(has("the", "a", "of"), "en")
-        .otherwise("und")
+    when(has("der", "die", "das", "und"), "de")
+      .when(has("le", "les", "une"), "fr")
+      .when(has("el", "los", "una"), "es")
+      .when(has("的", "是"), "zh")
+      .when(has("the", "a", "of"), "en")
+      .otherwise("und")
+  }
+
+  private def langId(s: SparkSession, d: String): DataFrame = {
     Llm.docs(s, d)
-      .select(col("lang"), predicted.as("predicted"))
+      .select(col("lang"), langIdOf(col("text")).as("predicted"))
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("predicted"))

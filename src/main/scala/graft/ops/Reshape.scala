@@ -425,19 +425,33 @@ object Reshape extends QueryModule {
     * session aggregation (same partitioning); at 100 TB user_id is a
     * high-cardinality key, so partitions stay balanced — the same
     * argument as q_win_frame's r1 fix. */
-  private def sessionize(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("tus"), col("event_id"))
-    val gapUs = 30L * 60 * 1000 * 1000
-    T.events(s, d)
-      .select(col("user_id"), col("event_id"), col("value"),
-        unix_micros(col("ts")).as("tus"))
-      // break flag first (windows can't nest inside an aggregate)
-      .withColumn("brk", when(lag(col("tus"), 1).over(w).isNull ||
-        col("tus") - lag(col("tus"), 1).over(w) >= gapUs, 1L).otherwise(0L))
+  /** The gaps-and-islands core over any keyed event frame: appends a
+    * per-`user` `session_id` (1-based) that increments wherever the
+    * gap between consecutive `timeUs` values reaches `gapUs`.
+    * `timeUs` (+ `tiebreak`) must totally order a user's events —
+    * real logs collide on timestamps constantly, pass the event id.
+    * One shuffle on the user key; package-visible as the
+    * [[graft.Graft.sessionize]] facade core. */
+  private[graft] def sessionIdsOver(ev: DataFrame, user: String,
+      timeUs: String, tiebreak: Seq[String], gapUs: Long): DataFrame = {
+    val w = Window.partitionBy(col(user))
+      .orderBy((timeUs +: tiebreak).map(col): _*)
+    // break flag first (windows can't nest inside an aggregate)
+    ev.withColumn("brk", when(lag(col(timeUs), 1).over(w).isNull ||
+        col(timeUs) - lag(col(timeUs), 1).over(w) >= gapUs, 1L).otherwise(0L))
       .withColumn("session_id",
         sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding,
           Window.currentRow)))
+      .drop("brk")
+  }
+
+  private def sessionize(s: SparkSession, d: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000 * 1000
+    sessionIdsOver(
+      T.events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"),
+          unix_micros(col("ts")).as("tus")),
+      "user_id", "tus", Seq("event_id"), gapUs)
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
         min(col("tus")).as("start_us"),

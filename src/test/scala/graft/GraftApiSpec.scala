@@ -139,6 +139,24 @@ class GraftApiSpec extends AnyFunSuite {
       (100L, 1L, 1L, 1.0), (100L, 2L, 2L, 0.7071)))
   }
 
+  test("sessionize breaks sessions at the gap threshold per user") {
+    val ev = Seq(
+      ("u1", 0L, 1L), ("u1", 100L, 2L), ("u1", 1000L, 3L), // gap >= 500 breaks
+      ("u2", 0L, 4L))
+      .toDF("who", "at_us", "eid")
+    val got = Graft.sessionize(ev, "who", "at_us", Seq("eid"), gapUs = 500L)
+      .select($"who", $"eid", $"session_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("u1", 1L, 1L), ("u1", 2L, 1L), ("u1", 3L, 2L),
+      ("u2", 4L, 1L)))
+  }
+
+  test("languageId applies the marker ladder to a user column") {
+    val got = Seq("der hund und katze", "le chat", "plainword")
+      .toDF("t").select(Graft.languageId($"t")).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("de", "fr", "und"))
+  }
+
   test("funnel chains strictly-after anchors over renamed event columns") {
     val ev = Seq(
       (1L, "view", 10L), (1L, "cart", 20L), (1L, "buy", 30L), // full depth
