@@ -120,9 +120,14 @@ class GraftApiSpec extends AnyFunSuite {
   test("topKPerGroup keeps k rows per group under the declared order") {
     val df = Seq(("g1", 1), ("g1", 5), ("g1", 3), ("g2", 9), ("g2", 2))
       .toDF("grp", "score")
-    val got = Graft.topKPerGroup(df, Seq($"grp"), Seq($"score".desc), 2)
-      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    val topk = Graft.topKPerGroup(df, Seq($"grp"), Seq($"score".desc), 2)
+    val got = topk.collect().map(r => (r.getString(0), r.getInt(1))).toSet
     assert(got == Set(("g1", 5), ("g1", 3), ("g2", 9), ("g2", 2)))
+    // on this extensions-configured session the facade's plan shape
+    // must lower to the bounded-heap operator pair, not a full window
+    val p = topk.queryExecution.executedPlan.toString
+    assert(p.contains("PartialTopK") && p.contains("FinalTopK"),
+      s"TopK rewrite did not fire on the facade shape:\n$p")
   }
 
   test("cosineTopK ranks corpus vectors by cosine for each query") {
