@@ -174,6 +174,26 @@ object Graft {
         ops.Det.r4(col("cos_key")).as("cos_sim"))
   }
 
+  /** Trained-IVF approximate nearest neighbour — the scale path when
+    * the query side is too large to broadcast for [[cosineTopK]]:
+    * one frame holding queries AND corpus (`isQuery` marks the query
+    * rows), a ≤32-cell codebook grid-seeded and refined by one Lloyd
+    * iteration over the frame, each query probing its `nprobe`
+    * nearest cells with exact cosine rerank inside. Every pass is one
+    * corpus scan against the broadcast codebook; the probe join
+    * touches ~nprobe/cells of the corpus. Recall rises with `nprobe`
+    * (AnnSpec's measured ladder); q_llm_sim_ann is this same code on
+    * the test embeddings. */
+  def ivfTopK(vectors: DataFrame, id: String, vec: String,
+              isQuery: Column, k: Int, nprobe: Int = 2): DataFrame = {
+    registerFunctions(vectors.sparkSession)
+    ops.LlmExt.ivfTopKOver(
+      vectors.select(col(id).cast("long").as("vec_id"),
+        transform(col(vec), x => x.cast("double")).as("e"),
+        isQuery.as("qf")),
+      k, nprobe)
+  }
+
   // ------------------------------------------------------------------ text
 
   /** Marker-word language-ID heuristic over a text column (fixed

@@ -308,9 +308,25 @@ object LlmExt extends QueryModule {
   private[graft] def simAnnTrained(s: SparkSession, d: String,
                                    nprobe: Int): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val e = T.embeddings(s, d)
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("e"))
+    ivfTopKOver(
+      T.embeddings(s, d)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("e"),
+          (col("vec_id") < 5).as("qf")),
+      k = 5, nprobe = nprobe)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The trained-IVF pipeline over an arbitrary (vec_id, e, qf)
+    * frame — `qf` = true marks the query rows, everything else is
+    * corpus. Package-visible as the [[graft.Graft.ivfTopK]] facade
+    * core (the scored q_llm_sim_ann is the vec_id<5 split of the
+    * embeddings table through the SAME code). The codebook trains on
+    * ALL vectors of the frame (grid seed + one Lloyd iteration);
+    * production trains on a sample — identical shape. */
+  private[graft] def ivfTopKOver(e0: DataFrame,
+                                 k: Int, nprobe: Int): DataFrame = {
+    val e = e0
       .withColumn("gcell", ivfCell(col("e")))
       .localCheckpoint(false) // feeds seed agg, Lloyd step, final probe
     // per-dim mean per cell, r6-rounded, reassembled into a vector
@@ -333,8 +349,8 @@ object LlmExt extends QueryModule {
     val code = centroids(assigned, "c1cell")
     // corpus: final assignment to the TRAINED codebook (argmin agg)
     val scored = e.crossJoin(broadcast(code))
-      .select(col("vec_id"), col("e"), col("ccell"), d2.as("d2"))
-    val corpus = scored.filter(col("vec_id") >= 5)
+      .select(col("vec_id"), col("e"), col("ccell"), d2.as("d2"), col("qf"))
+    val corpus = scored.filter(!col("qf"))
       .groupBy(col("vec_id"))
       .agg(min(struct(col("d2"), col("ccell"))).as("best"),
         first(col("e")).as("ce"))
@@ -344,7 +360,7 @@ object LlmExt extends QueryModule {
     // queries: nprobe nearest trained cells each (bounded query side)
     val wProbe = Window.partitionBy(col("vec_id"))
       .orderBy(col("d2"), col("ccell"))
-    val probes = scored.filter(col("vec_id") < 5)
+    val probes = scored.filter(col("qf"))
       .withColumn("prn", row_number().over(wProbe))
       .filter(col("prn") <= nprobe)
       .select(col("vec_id").as("query_id"), col("e").as("qe"),
@@ -357,10 +373,9 @@ object LlmExt extends QueryModule {
       .select(col("query_id"), col("match_id"), col("cell"),
         Det.r6(cos).as("cos_key"))
       .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 5)
+      .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("match_id"), col("cell"),
         Det.r4(col("cos_key")).as("cos_sim"))
-      .orderBy(col("query_id"), col("rank"))
   }
 
   /** The retired untrained-grid nprobe=1 variant, kept package-visible

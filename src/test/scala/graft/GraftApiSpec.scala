@@ -162,6 +162,27 @@ class GraftApiSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("de", "fr", "und"))
   }
 
+  test("ivfTopK finds the co-directional corpus vector for a flagged query") {
+    val vecs = Seq(
+      (100L, Seq(1.0, 0.05), "query"),
+      (1L, Seq(2.0, 0.1), "corpus"),   // exactly co-directional: cos 1.0
+      (2L, Seq(1.0, 0.8), "corpus"),
+      (3L, Seq(-1.0, 0.0), "corpus"),
+      (4L, Seq(0.0, 1.0), "corpus"))
+      .toDF("key", "v", "kind")
+    val got = Graft.ivfTopK(vecs, "key", "v", $"kind" === "query",
+        k = 2, nprobe = 4)
+      .orderBy($"rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    assert(got.nonEmpty && got.head == (100L, 1L, 1L, 1.0),
+      s"nearest neighbour missed: ${got.toSeq}")
+    assert(got.forall(_._1 == 100L))
+    // ranks contiguous, cosine non-increasing
+    assert(got.map(_._2).toSeq == (1L to got.length).toSeq)
+    val cs = got.map(_._4).toSeq
+    assert(cs == cs.sorted.reverse)
+  }
+
   test("funnel chains strictly-after anchors over renamed event columns") {
     val ev = Seq(
       (1L, "view", 10L), (1L, "cart", 20L), (1L, "buy", 30L), // full depth
