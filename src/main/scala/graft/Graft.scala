@@ -203,6 +203,14 @@ object Graft {
   def languageId(text: Column): Column =
     ops.LlmExt.langIdOf(text)
 
+  /** BPE token-count estimate over a text column: GPT-2-shape
+    * pre-tokenization (letter/digit/punctuation runs) with the
+    * ~4-chars-per-token budgeting rule per pre-token — the standard
+    * estimate when the merge table isn't at hand (q_llm_tokenize's
+    * n_bpe_est). Pure map-side expression. */
+  def tokenCountEstimate(text: Column): Column =
+    ops.LlmExt.bpeTokenEstimate(text)
+
   /** Composite quality score in [0, 1] over a text column (length,
     * type-token ratio, stopword ratio — the C4/Gopher-style corpus
     * filter of q_llm_quality). Pure map-side expression. */

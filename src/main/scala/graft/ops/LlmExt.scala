@@ -562,15 +562,25 @@ object LlmExt extends QueryModule {
     * and a BPE token-count estimate via the ~4-chars-per-token rule
     * (ceil(len/4) per pre-token — the standard budgeting heuristic
     * when the merge table isn't available). Pure map-side. */
+  /** GPT-2-shape pre-tokenization of a text column (letter runs /
+    * digit runs / punctuation runs). */
+  private[graft] def preTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[a-z0-9]+|[^a-z0-9\\s]+"), lit(0))
+
+  /** BPE token-count estimate via the ~4-chars-per-token rule over
+    * the pre-tokens — the budgeting heuristic when the merge table
+    * isn't at hand; [[graft.Graft.tokenCountEstimate]]'s core. */
+  private[graft] def bpeTokenEstimate(text: Column): Column =
+    aggregate(preTokens(text), lit(0L),
+      (acc, t) => acc + ceil(length(t).cast("double") / 4.0).cast("long"))
+
   private def tokenize(s: SparkSession, d: String): DataFrame = {
-    val pre = regexp_extract_all(col("text"), lit("[a-z0-9]+|[^a-z0-9\\s]+"), lit(0))
+    val pre = preTokens(col("text"))
     Llm.docs(s, d)
       .select(col("doc_id"), col("lang"), col("n_chars"),
         size(split(col("text"), " ")).cast("long").as("n_ws"),
         size(pre).cast("long").as("n_pre"),
-        aggregate(pre, lit(0L),
-          (acc, t) => acc + ceil(length(t).cast("double") / 4.0).cast("long"))
-          .as("n_bpe_est"))
+        bpeTokenEstimate(col("text")).as("n_bpe_est"))
       .withColumn("chars_per_tok",
         Det.r4(col("n_chars") / col("n_bpe_est").cast("double")))
       .drop("n_chars")

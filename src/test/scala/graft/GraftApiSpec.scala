@@ -156,6 +156,13 @@ class GraftApiSpec extends AnyFunSuite {
       ("u2", 4L, 1L)))
   }
 
+  test("tokenCountEstimate applies the 4-chars-per-token rule per pre-token") {
+    // "abcdefgh xy" -> pre-tokens [abcdefgh, xy] -> ceil(8/4)+ceil(2/4) = 3
+    val n = Seq("abcdefgh xy").toDF("txt")
+      .select(Graft.tokenCountEstimate($"txt")).head().getLong(0)
+    assert(n == 3L)
+  }
+
   test("languageId applies the marker ladder to a user column") {
     val got = Seq("der hund und katze", "le chat", "plainword")
       .toDF("t").select(Graft.languageId($"t")).collect().map(_.getString(0))
