@@ -134,6 +134,25 @@ object Graft {
     connectedComponents(
       nearDuplicatePairs(docs, id, text, minJaccard), "da", "db")
 
+  /** Train/eval decontamination (the GPT-3 appendix-C / Dolma stage)
+    * over two user frames: every (train_id, eval_id) pair sharing at
+    * least one verbatim word `gramWidth`-gram, with the shared-gram
+    * count. The physical shape is q_llm_decontaminate's — benchmarks
+    * are tiny, so the eval gram index BROADCASTS and the training
+    * corpus streams once map-side against it; no shuffle touches the
+    * corpus until the post-join pair aggregation. */
+  def decontaminate(train: DataFrame, eval: DataFrame, id: String,
+                    text: String, gramWidth: Int = 8): DataFrame = {
+    registerFunctions(train.sparkSession)
+    def grams(df: DataFrame, as: String) =
+      df.select(col(id).cast("long").as(as), col(text).as("__t"))
+        .select(col(as),
+          explode(ops.LlmQuality.ngramHashes("__t", gramWidth)).as("h"))
+    grams(train, "train_id").join(broadcast(grams(eval, "eval_id")), "h")
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Distinct 64-bit hashes of the word `width`-grams of a text
     * column — the exact-set-similarity token stage (q_llm_dedup_ngram).
     * Needs [[registerFunctions]] (or the GraftExtensions session

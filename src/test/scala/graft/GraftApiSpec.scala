@@ -97,6 +97,17 @@ class GraftApiSpec extends AnyFunSuite {
     assert(clusters == Set((10L, 10L, 3L), (11L, 10L, 3L), (12L, 10L, 3L)))
   }
 
+  test("decontaminate flags the train doc sharing an 8-gram with eval") {
+    val leak = "one two three four five six seven eight"
+    val train = Seq((1L, leak + " tail words here"),
+        (2L, "totally clean training document with no overlap at all present"))
+      .toDF("k", "body")
+    val eval = Seq((50L, "prefix words " + leak)).toDF("k", "body")
+    val got = Graft.decontaminate(train, eval, "k", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 50L, 1L)))
+  }
+
   test("asofJoin matches the latest at-or-before right row per key") {
     val quotes = Seq(("A", 10L, 1.0), ("A", 20L, 2.0), ("A", 30L, 3.0),
         ("B", 15L, 9.0))
