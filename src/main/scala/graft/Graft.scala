@@ -20,6 +20,13 @@ import org.apache.spark.sql.functions._
   * referenced on both sides of an internal self-join — the rename
   * happens once at the boundary, so user frames never need the
   * engine's internal column vocabulary.
+  *
+  * Id columns (graph nodes, document ids, vector ids) must be
+  * LONG-CASTABLE — the internals key their joins, mins and structs on
+  * longs. A non-numeric string id casts to NULL and corrupts results
+  * silently; derive a surrogate first (`xxhash64(col("key"))` — the
+  * same trick the engine uses for salts) and keep a mapping frame to
+  * translate back.
   */
 object Graft {
 
