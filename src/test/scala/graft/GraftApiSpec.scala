@@ -97,6 +97,20 @@ class GraftApiSpec extends AnyFunSuite {
     assert(clusters == Set((10L, 10L, 3L), (11L, 10L, 3L), (12L, 10L, 3L)))
   }
 
+  test("facade methods survive empty inputs") {
+    val noEdges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Graft.connectedComponents(noEdges, "a", "b").count() == 0)
+    assert(Graft.pageRank(noEdges, "a", "b").count() == 0)
+    val noDocs = Seq.empty[(Long, String)].toDF("k", "t")
+    assert(Graft.nearDuplicatePairs(noDocs, "k", "t").count() == 0)
+    assert(Graft.decontaminate(noDocs, noDocs, "k", "t").count() == 0)
+    val noEvents = Seq.empty[(String, Long, Long)].toDF("u", "t", "e")
+    assert(Graft.sessionize(noEvents, "u", "t", Seq("e"), 100L).count() == 0)
+    assert(Graft.funnel(noEvents, "u", "u", "t", Seq("x", "y")).count() == 0)
+    val noVecs = Seq.empty[(Long, Seq[Double])].toDF("k", "v")
+    assert(Graft.cosineTopK(noVecs, noVecs, "k", "v", 3).count() == 0)
+  }
+
   test("decontaminate flags the train doc sharing an 8-gram with eval") {
     val leak = "one two three four five six seven eight"
     val train = Seq((1L, leak + " tail words here"),
