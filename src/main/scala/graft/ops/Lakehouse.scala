@@ -83,11 +83,20 @@ object Lakehouse extends QueryModule {
     * so a 1000-series × 10-year grid is still ~88k rows per task at
     * worst. */
   private def tsGapfill(s: SparkSession, d: String): DataFrame = {
+    // avg via an exact long sum on a 1e-6 grid, NOT avg(double):
+    // double summation is order-dependent to the last ulp, and at a
+    // 30-way-duplicated SF a cell average landed exactly on an r4
+    // boundary (46.09875), flipping the two engines to opposite sides.
+    // floor(x·1e6+0.5) is the same IEEE op on both engines, the long
+    // sum is exact and order-INDEPENDENT, and the final divides are
+    // one double op each — deterministic at any scale and partitioning.
     val hourly = T.events(s, d)
       .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"),
-        col("value"))
+        floor(col("value") * 1e6 + 0.5).cast("long").as("v6"))
       .groupBy(col("event_type"), col("hr"))
-      .agg(count(lit(1)).as("n_events"), Det.r4(avg(col("value"))).as("avg_val"))
+      .agg(count(lit(1)).as("n_events"),
+        Det.r4(sum(col("v6")).cast("double") / 1e6 / count(lit(1)))
+          .as("avg_val"))
     val spine = hourly
       .groupBy(col("event_type"))
       .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
@@ -108,7 +117,9 @@ object Lakehouse extends QueryModule {
     s"""WITH h AS (
        |  SELECT event_type,
        |         date_trunc('hour', make_timestamp(epoch_us(ts))) AS hr,
-       |         count(*) AS n_events, ${Det.sql4("avg(value)")} AS avg_val
+       |         count(*) AS n_events,
+       |         ${Det.sql4("sum(floor(value * 1000000 + 0.5)::BIGINT)::DOUBLE" +
+      " / 1000000 / count(*)")} AS avg_val
        |  FROM events GROUP BY event_type, hr),
        |b AS (SELECT event_type, min(hr) AS h0, max(hr) AS h1
        |      FROM h GROUP BY event_type),

@@ -179,38 +179,68 @@ object TimeSeries extends QueryModule {
   /** Shared z-score tail over per-(slice, series) cells: frame aggs,
     * warm-up + degenerate-variance guards, the z>3 cut, output shape.
     * Both physical strategies feed this with identical per-cell row
-    * sequences, so the scored rows are bit-identical. */
+    * sequences, so the scored rows are bit-identical.
+    *
+    * The frame statistics run on EXACT integer sums of a 1e-4 grid,
+    * not avg/stddev over doubles: windowed double aggregation is
+    * association-dependent (Spark folds the frame sequentially,
+    * DuckDB folds a segment tree), so identical frames still disagree
+    * in the last ulp — and at a 30-way-duplicated SF seven z-scores
+    * sat close enough to the 3.0 cut to flip between engines. With
+    * S1 = Σv4 and S2 = Σv4² exact (order-independent) longs, every
+    * derived double (mu, var, sd, z) is one fixed IEEE op sequence
+    * over identical inputs — identical on any engine, at any scale,
+    * under any partitioning. The 1e-4 input grid changes a z-score by
+    * ≤1e-4/sd, far inside the cut's meaning; the degenerate-variance
+    * guard becomes var > 0 (deterministic for the same reason). */
   private[graft] def scoreAnomalies(frameLen: Int, key: Seq[Column])
                             (cells: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("slice"), col("event_type"))
       .orderBy(key: _*)
       .rowsBetween(-frameLen, -1)
+    val z = (col("v4") - col("mu4")) / col("sd4")
     cells
-      .withColumn("mu", avg(col("value")).over(w))
-      .withColumn("sd", stddev_samp(col("value")).over(w))
+      .withColumn("v4", floor(col("value") * 1e4 + lit(0.5)).cast("long"))
+      .withColumn("s1", sum(col("v4")).over(w))
+      .withColumn("s2", sum(col("v4") * col("v4")).over(w))
       .withColumn("nw", count(lit(1)).over(w))
-      .filter(!col("carried") && col("nw") >= 30 && col("sd") > 1e-9 &&
-        abs((col("value") - col("mu")) / col("sd")) > 3.0)
+      .withColumn("mu4", col("s1").cast("double") / col("nw"))
+      .withColumn("var4",
+        (col("s2").cast("double") -
+          col("s1").cast("double") * col("s1").cast("double") / col("nw")) /
+          (col("nw") - 1))
+      .withColumn("sd4", sqrt(col("var4")))
+      .filter(!col("carried") && col("nw") >= 30 && col("var4") > 0.0 &&
+        abs(z) > 3.0)
       .select(col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("tus"), col("value"),
-        Det.r4((col("value") - col("mu")) / col("sd")).as("z"))
+        Det.r4(z).as("z"))
       .orderBy(col("event_id"))
   }
 
   private val tsAnomalySql =
-    s"""WITH w AS (
+    s"""WITH v AS (
        |  SELECT event_id, event_type, epoch_us(make_timestamp(epoch_us(ts))) AS tus,
-       |         value,
-       |         avg(value) OVER win AS mu,
-       |         stddev_samp(value) OVER win AS sd,
+       |         value, floor(value * 10000 + 0.5)::BIGINT AS v4, ts
+       |  FROM events),
+       |w AS (
+       |  SELECT event_id, event_type, tus, value, v4,
+       |         sum(v4) OVER win AS s1,
+       |         sum(v4 * v4) OVER win AS s2,
        |         count(*) OVER win AS nw
-       |  FROM events
+       |  FROM v
        |  WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
-       |                 ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING))
+       |                 ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING)),
+       |st AS (
+       |  SELECT event_id, event_type, tus, value, v4,
+       |         s1::DOUBLE / nw AS mu4,
+       |         (s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / nw) / (nw - 1) AS var4,
+       |         nw
+       |  FROM w)
        |SELECT event_id, event_type, tus, value,
-       |       ${Det.sql4("(value - mu) / sd")} AS z
-       |FROM w
-       |WHERE nw >= 30 AND sd > 1e-9 AND abs((value - mu) / sd) > 3.0
+       |       ${Det.sql4("(v4 - mu4) / sqrt(var4)")} AS z
+       |FROM st
+       |WHERE nw >= 30 AND var4 > 0.0 AND abs((v4 - mu4) / sqrt(var4)) > 3.0
        |ORDER BY event_id""".stripMargin
 
   // --------------------------------------------------------------- q_ts_wma
