@@ -272,14 +272,22 @@ object TimeSeries extends QueryModule {
     val byOrd = Window.partitionBy(col(series))
       .orderBy((order +: tiebreak).map(col): _*)
     val frame = byOrd.rowsBetween(-width, 0)
+    // frame sums run on a 1e-4 integer grid (the anomaly/gapfill
+    // convention): windowed DOUBLE sums are association-dependent
+    // across engines (sequential fold vs segment tree), so an r4
+    // boundary can flip; Σ(v4·rn) and Σv4 as longs are exact and
+    // order-independent, and the closing divides are a fixed IEEE op
+    // sequence over identical inputs. Grid error ≤ 1e-4 on the
+    // smoother, absorbed by the r4 output discretization's meaning.
     df.withColumn("rn", row_number().over(byOrd).cast("long"))
-      .withColumn("s1", sum(col(value) * col("rn")).over(frame))
-      .withColumn("s0", sum(col(value)).over(frame))
+      .withColumn("v4w", floor(col(value) * 1e4 + lit(0.5)).cast("long"))
+      .withColumn("s1", sum(col("v4w") * col("rn")).over(frame))
+      .withColumn("s0", sum(col("v4w")).over(frame))
       .withColumn("c", count(lit(1)).over(frame))
       .withColumn("wma",
-        Det.r4((col("s1") + (col("c") - col("rn")) * col("s0")) /
-          (col("c") * (col("c") + 1) / 2)))
-      .drop("rn", "s1", "s0", "c")
+        Det.r4((col("s1") + (col("c") - col("rn")) * col("s0")).cast("double") /
+          (col("c") * (col("c") + 1) / 2) / 1e4))
+      .drop("rn", "v4w", "s1", "s0", "c")
   }
 
   /** Linearly-weighted moving average over the trailing 21-row frame
@@ -297,19 +305,21 @@ object TimeSeries extends QueryModule {
     s"""WITH r AS (
        |  SELECT event_type, epoch_us(make_timestamp(epoch_us(ts))) AS tus,
        |         value, event_id,
+       |         floor(value * 10000 + 0.5)::BIGINT AS v4w,
        |         row_number() OVER (PARTITION BY event_type
        |                            ORDER BY ts, event_id) AS rn
        |  FROM events),
        |f AS (
        |  SELECT event_type, tus, value, rn,
-       |         sum(value * rn) OVER win AS s1,
-       |         sum(value) OVER win AS s0,
+       |         sum(v4w * rn) OVER win AS s1,
+       |         sum(v4w) OVER win AS s0,
        |         count(*) OVER win AS c
        |  FROM r
        |  WINDOW win AS (PARTITION BY event_type ORDER BY tus, event_id
        |                 ROWS BETWEEN 20 PRECEDING AND CURRENT ROW))
        |SELECT event_type, tus, value,
-       |       ${Det.sql4("(s1 + (c - rn) * s0) / (c * (c + 1) / 2)")} AS wma
+       |       ${Det.sql4(
+      "(s1 + (c - rn) * s0)::DOUBLE / (c * (c + 1) / 2) / 10000")} AS wma
        |FROM f ORDER BY event_type, tus, value, wma""".stripMargin
 
   // ------------------------------------------------------------ q_ts_interp
