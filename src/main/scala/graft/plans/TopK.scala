@@ -237,6 +237,14 @@ object TopK {
           if a.exprId == rn.exprId => Some(v)
         case LessThan(a: AttributeReference, IntLimit(v))
           if a.exprId == rn.exprId && v > 1 => Some(v - 1)
+        // rn === 1 is the ubiquitous "pick the top row per group" idiom;
+        // for row_number it is identical to rn <= 1 (ranks are dense from
+        // 1), so it qualifies for the bounded-heap plan. Only 1 is safe:
+        // rn === k for k > 1 selects a single rank, not a prefix.
+        case EqualTo(a: AttributeReference, IntLimit(1))
+          if a.exprId == rn.exprId => Some(1)
+        case EqualTo(IntLimit(1), a: AttributeReference)
+          if a.exprId == rn.exprId => Some(1)
         case _ => None
       }
 

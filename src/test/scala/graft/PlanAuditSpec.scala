@@ -123,6 +123,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"residual window operator:\n$p")
   }
 
+  /** q_llm_keeper's hub pick is `row_number === 1` per cluster (round
+    * 10, verdict #1). Cluster membership is exactly what explodes at
+    * 100 TB — a boilerplate near-dup cluster is millions of docs — and
+    * the un-rewritten window sorts every member on ONE task. The
+    * `EqualTo(rn, 1)` case in TopKRewrite.limitOf makes the idiom plan
+    * as the bounded-heap pair; this pins the executed plan. */
+  test("q_llm_keeper hub pick plans as PartialTopK/FinalTopK, not a window") {
+    val p = SparkEntry.queries("q_llm_keeper")(s, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartialTopK"), s"TopK rewrite did not fire:\n$p")
+    assert(p.contains("FinalTopK"), s"TopK rewrite did not fire:\n$p")
+    assert(!p.contains("Window"), s"residual window operator:\n$p")
+  }
+
   /** Unordered-window gate (round 10, verdict #1): a
     * `count/sum over (Window.partitionBy(key))` with no ORDER BY
     * cannot partially aggregate — every carrier row of a partition

@@ -97,6 +97,39 @@ class TopKSpec extends AnyFunSuite {
     assert(df.count() == 0) // always-false predicate stays always-false
   }
 
+  test("rn === 1 (top-row-per-group idiom) is rewritten; === 2 is not") {
+    // rn === 1 is equivalent to rn <= 1 for row_number (ranks are dense
+    // from 1) — the ubiquitous hub-pick shape must get the bounded heap
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val top1 = Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"))
+    val str1 = top1.queryExecution.executedPlan.toString
+    assert(str1.contains("PartialTopK") && str1.contains("FinalTopK"),
+      s"=== 1 not rewritten:\n$str1")
+
+    // result must equal the un-rewritten formulation
+    val plain = s.newSession()
+    plain.conf.set("spark.sql.optimizer.excludedRules",
+      "graft.plans.TopK$TopKRewrite")
+    val baseline = Tables.orders(plain, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"))
+    assert(!baseline.queryExecution.executedPlan.toString.contains("PartialTopK"))
+    assert(top1.collect().toSet == baseline.collect().toSet)
+
+    // === k for k > 1 selects one rank, not a prefix — must NOT rewrite
+    val eq2 = Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 2)
+    val str2 = eq2.queryExecution.executedPlan.toString
+    assert(!str2.contains("PartialTopK") && !str2.contains("FinalTopK"))
+    assert(eq2.count() > 0)
+  }
+
   test("global top-k (empty partitionBy) is left to the builtin path") {
     val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
     val df = Tables.orders(s, d)
