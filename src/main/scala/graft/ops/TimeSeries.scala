@@ -15,6 +15,19 @@ import org.apache.spark.sql.expressions.Window
   */
 object TimeSeries extends QueryModule {
 
+  /** 1e-4 integer grid with a fail-fast domain guard. The exact frame
+    * sums below are only exact while every partial stays inside Long:
+    * Spark multiplies BIGINTs with silent wraparound under non-ANSI
+    * semantics while DuckDB errors (or widens to HUGEINT), so outside
+    * the guarded domain the engines would silently diverge. `maxAbs`
+    * is derived per call site from the worst-case sum the grid value
+    * feeds; a row outside it raises instead of wrapping. */
+  private def grid4(v: Column, maxAbs: Double, ctx: String): Column =
+    when(abs(v) <= lit(maxAbs), floor(v * 1e4 + lit(0.5)).cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"graft $ctx: |value| exceeds the exact-arithmetic domain " +
+          s"(±$maxAbs) of the 1e-4 integer grid: "), v.cast("string"))))
+
   // --------------------------------------------------------- q_ts_downsample
 
   /** OHLC downsampling: per (event_type, hour) emit open / high /
@@ -189,18 +202,26 @@ object TimeSeries extends QueryModule {
     * sat close enough to the 3.0 cut to flip between engines. With
     * S1 = Σv4 and S2 = Σv4² exact (order-independent) longs, every
     * derived double (mu, var, sd, z) is one fixed IEEE op sequence
-    * over identical inputs — identical on any engine, at any scale,
-    * under any partitioning. The 1e-4 input grid changes a z-score by
+    * over identical inputs — identical on any engine and under any
+    * partitioning, within the guarded value domain below. The 1e-4 input grid changes a z-score by
     * ≤1e-4/sd, far inside the cut's meaning; the degenerate-variance
-    * guard becomes var > 0 (deterministic for the same reason). */
+    * guard becomes var > 0 (deterministic for the same reason).
+    * Exactness holds on the GUARDED domain: S2 = Σv4² must fit Long,
+    * so |value| is capped at √(Long.Max/frameLen)/1e4 (≈3.0e4 for the
+    * 100-row frame) and an out-of-domain row raises instead of
+    * silently wrapping (grid4). */
   private[graft] def scoreAnomalies(frameLen: Int, key: Seq[Column])
                             (cells: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("slice"), col("event_type"))
       .orderBy(key: _*)
       .rowsBetween(-frameLen, -1)
     val z = (col("v4") - col("mu4")) / col("sd4")
+    // 0.99 safety factor keeps frameLen·v4² strictly inside Long after
+    // the grid's own +0.5 rounding slack
+    val maxAbs = math.floor(
+      0.99 * math.sqrt(Long.MaxValue.toDouble / frameLen)) / 1e4
     cells
-      .withColumn("v4", floor(col("value") * 1e4 + lit(0.5)).cast("long"))
+      .withColumn("v4", grid4(col("value"), maxAbs, "anomaly"))
       .withColumn("s1", sum(col("v4")).over(w))
       .withColumn("s2", sum(col("v4") * col("v4")).over(w))
       .withColumn("nw", count(lit(1)).over(w))
@@ -259,7 +280,8 @@ object TimeSeries extends QueryModule {
     * bounded-frame aggregates — the same cost as a plain moving
     * average. (The exponential variant decomposes the same way only
     * via (1−α)^±rn terms that overflow at corpus row counts — the
-    * linear weighting is the one that is exact at any scale.)
+    * linear weighting is the one whose terms stay in Long across the
+    * guarded domain below.)
     * Package-visible so the property test can drive it over random
     * series against a brute-force weighted average — the decomposition
     * identity is the part worth proving. */
@@ -279,8 +301,17 @@ object TimeSeries extends QueryModule {
     // order-independent, and the closing divides are a fixed IEEE op
     // sequence over identical inputs. Grid error ≤ 1e-4 on the
     // smoother, absorbed by the r4 output discretization's meaning.
+    // Exact on the GUARDED domain: Σ(v4w·rn) over the (width+1)-row
+    // frame fits Long while |value| ≤ 1e5 (grid ≤ 1e9) AND the series
+    // is shorter than rnMax rows — rn is a global per-series row
+    // number, so series length is part of the domain. Out-of-domain
+    // raises instead of wrapping.
+    val rnMax = Long.MaxValue / ((width + 1).toLong * 1000000000L)
     df.withColumn("rn", row_number().over(byOrd).cast("long"))
-      .withColumn("v4w", floor(col(value) * 1e4 + lit(0.5)).cast("long"))
+      .withColumn("rn", when(col("rn") <= lit(rnMax), col("rn"))
+        .otherwise(raise_error(lit(s"graft wma: series longer than " +
+          s"$rnMax rows exceeds the exact-arithmetic domain"))))
+      .withColumn("v4w", grid4(col(value), 1e5, "wma"))
       .withColumn("s1", sum(col("v4w") * col("rn")).over(frame))
       .withColumn("s0", sum(col("v4w")).over(frame))
       .withColumn("c", count(lit(1)).over(frame))

@@ -81,6 +81,38 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(bad.isEmpty, "linear interpolation bounded by its anchors")
   }
 
+  test("integer-grid domain guard raises on out-of-domain values") {
+    // wma: |value| beyond 1e5 would wrap Σ(v4w·rn) in Long — must
+    // raise, not silently diverge from an ANSI engine
+    val big = Seq(("a", 1L, 1e7, 1L), ("a", 2L, 2.0, 2L))
+      .toDF("event_type", "ts", "value", "event_id")
+    val e1 = intercept[Exception] {
+      graft.ops.TimeSeries.wmaOver(big, "event_type", "ts", "value", 20,
+        tiebreak = Seq("event_id")).collect()
+    }
+    assert(e1.getMessage.contains("exact-arithmetic domain"),
+      s"unexpected failure: ${e1.getMessage}")
+    // in-domain values are untouched by the guard
+    val ok = Seq(("a", 1L, 99999.0, 1L), ("a", 2L, -99999.0, 2L))
+      .toDF("event_type", "ts", "value", "event_id")
+    val out = graft.ops.TimeSeries.wmaOver(ok, "event_type", "ts", "value",
+      20, tiebreak = Seq("event_id")).collect()
+    assert(out.length == 2 && math.abs(
+      out.head.getAs[Double]("wma") - 99999.0) < 1e-3)
+    // anomaly: |value| beyond √(Long.Max/frame)/1e4 ≈ 3.0e4 would wrap
+    // S2 = Σv4² — must raise
+    val cells = Seq.tabulate(40)(i =>
+        (i.toLong, "a", new java.sql.Timestamp(i * 1000L),
+          if (i == 35) 1e6 else 1.0, 0L, false))
+      .toDF("event_id", "event_type", "ts", "value", "slice", "carried")
+    val e2 = intercept[Exception] {
+      graft.ops.TimeSeries.scoreAnomalies(100,
+        Seq(col("ts"), col("event_id")))(cells).collect()
+    }
+    assert(e2.getMessage.contains("exact-arithmetic domain"),
+      s"unexpected failure: ${e2.getMessage}")
+  }
+
   test("anomaly: flagged rows exceed the threshold, warm-up respected") {
     val anom = SparkEntry.queries("q_ts_anomaly")(s, SparkTestBase.sfDir)
       .collect()
