@@ -61,4 +61,10 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     modules.flatMap(_.oracles).toMap
+
+  /** The same map with large-SF substitutions applied — see
+    * [[QueryModule.scaleOracles]]. Used by the sf3 (30×) gate only;
+    * the driver's gate reads [[oracleSql]]. */
+  def oracleSqlScale: Map[String, String] =
+    oracleSql ++ modules.flatMap(_.scaleOracles).toMap
 }

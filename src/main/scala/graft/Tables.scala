@@ -94,4 +94,15 @@ trait QueryModule {
   /** DuckDB-dialect SQL over bare table names (driver registers views).
     * Omit a key for non-SQL-expressible ops → weaker rows-only check. */
   def oracles: Map[String, String]
+  /** Large-SF replacements for oracles whose primary formulation is
+    * intractable for DuckDB at 30× (e.g. recursive CTEs over the
+    * EXPANDED near-dup graph — sf3 measured 25–90+ min each). A scale
+    * oracle must be mathematically equivalent to the primary oracle —
+    * same result, different derivation (the graph trio's use the
+    * class-contraction identities the engine's own strategy specs
+    * prove) — and is exercised against the primary at the small SFs
+    * by ScaleOracleSpec. The sf3 gate (tools/check.py
+    * --scale-oracle) substitutes these; the driver's sf0.01 gate
+    * keeps the primary, independent formulation. */
+  def scaleOracles: Map[String, String] = Map.empty
 }

@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir) = args.filterNot(_.startsWith("--"))
+    // --oracle-only: write just the oracle SQL JSONs (no query runs) —
+    // lets tools/check.py re-test an edited oracle without a full
+    // 125-query dump.
+    val oracleOnly = args.contains("--oracle-only")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -25,7 +29,9 @@ object Verify {
     // no dump directory, and a correctness checker that iterates over
     // dumps (rather than the registry) under-reports the breakage.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val toRun = if (oracleOnly) Map.empty[String, (SparkSession, String) =>
+      org.apache.spark.sql.DataFrame] else SparkEntry.queries
+    toRun.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -49,6 +55,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Large-SF oracle variants (class-contracted graph trio) for the
+    // sf3 gate — the driver ignores this file; check.py --scale-oracle
+    // reads it instead of oracle_sql.json.
+    val scaleJson = SparkEntry.oracleSqlScale
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql_scale.json"), scaleJson)
     // Always written (empty object when clean) so "no errors recorded"
     // is distinguishable from "error channel didn't exist".
     val errJson = errors

@@ -1034,6 +1034,145 @@ object LlmPipe extends QueryModule {
        |FROM nt JOIN dg ON nt.node = dg.node
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- scale (sf3) oracle variants
+
+  /** Class-contracted DuckDB oracles for the iterative graph trio.
+    *
+    * The PRIMARY oracles derive everything from the EXPANDED per-doc
+    * pair graph — maximally independent of the engine, but at sf3
+    * (150k docs, 30-way duplication, 4.4M expanded directed edges)
+    * DuckDB needs 25 min (cc, keeper) to 90+ min (pagerank_conv's
+    * 12 chained CTEs) per query. These variants restate the SAME
+    * result over the class graph (one node per distinct fingerprint,
+    * ~5k nodes / ~2.5k edges regardless of duplication factor), using
+    * the contraction identities the engine's strategy specs prove:
+    *
+    *  - connectivity: the expanded component of a doc is the union of
+    *    the members of its class's class-graph component; the
+    *    min-doc-id label is the min class rep (rep = min member);
+    *    cluster size is Σ m over the component's classes.
+    *  - PageRank: member ranks are uniform within a class (symmetry,
+    *    preserved by every iteration); every member of C has
+    *    outdeg = (m_C − 1) + Σ_{D~C} m_D, and inbound mass
+    *    (m_C−1)·r_C/od_C + Σ_{D~C} m_D·r_D/od_D — the per-class
+    *    grouping of the same summands the expanded oracle adds
+    *    per-edge (k·x vs x added k times, ~1e-16, absorbed by the
+    *    per-iteration r6 discretization both sides apply).
+    *  - keeper: within a class ranks tie, so the (rank DESC, doc_id)
+    *    argmax over docs equals the (rank DESC, rep) argmax over
+    *    classes.
+    *
+    * ScaleOracleSpec runs each variant against the primary oracle's
+    * registered Spark result at the small SFs (where both are
+    * tractable) — the variants are VALIDATED restatements, not a
+    * second trust root. The sf3 gate (check.py --scale-oracle)
+    * substitutes them so the 30× correctness row for
+    * q_graph_pagerank_conv can actually complete (VERDICT r10 gap). */
+  // MATERIALIZED stops DuckDB inlining these under the 12-deep pr CTE
+  // chain (inlining re-plans the documents scan per reference —
+  // exponential scan count, observed as fd exhaustion at sf0.01).
+  private val classGraphCtes =
+    """cls AS MATERIALIZED (
+      |  SELECT fp, min(doc_id) AS rep, count(*) AS m
+      |  FROM fps GROUP BY fp),
+      |ce AS MATERIALIZED (
+      |  SELECT a.rep AS ra, b.rep AS rb, a.m AS ma, b.m AS mb
+      |  FROM cls a JOIN cls b ON a.rep < b.rep
+      |  WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+      |part AS MATERIALIZED (
+      |  SELECT rep, m FROM cls WHERE m > 1
+      |  UNION
+      |  SELECT rep, m FROM cls
+      |  WHERE rep IN (SELECT ra FROM ce UNION SELECT rb FROM ce)),
+      |du AS MATERIALIZED (
+      |  SELECT ra AS rep, rb AS nbr FROM ce
+      |  UNION ALL SELECT rb AS rep, ra AS nbr FROM ce)""".stripMargin
+
+  private val classRankCtes =
+    """nbm AS MATERIALIZED (
+      |  SELECT rep, sum(nm) AS nbm FROM (
+      |    SELECT ra AS rep, mb AS nm FROM ce
+      |    UNION ALL SELECT rb AS rep, ma AS nm FROM ce) t
+      |  GROUP BY rep),
+      |od AS MATERIALIZED (
+      |  SELECT p.rep, p.m, (p.m - 1) + coalesce(b.nbm, 0) AS od
+      |  FROM part p LEFT JOIN nbm b ON p.rep = b.rep),
+      |nn AS MATERIALIZED (SELECT sum(m) AS n FROM part)""".stripMargin
+
+  /** Reachability over class edges + member expansion (shared by the
+    * cc and keeper variants). */
+  private val classCcCtes =
+    """r AS (
+      |  SELECT rep AS id, rep AS reach FROM part
+      |  UNION
+      |  SELECT r.id, du.nbr FROM r JOIN du ON r.reach = du.rep),
+      |c AS (SELECT id, min(reach) AS cluster FROM r GROUP BY id),
+      |sz AS (
+      |  SELECT c.cluster, sum(p.m) AS cluster_size
+      |  FROM c JOIN part p ON p.rep = c.id GROUP BY c.cluster)""".stripMargin
+
+  private val dedupCcScaleSql =
+    s"""WITH RECURSIVE ${LlmExt.simhashFpsCtes},
+       |$classGraphCtes,
+       |$classCcCtes
+       |SELECT f.doc_id, c.cluster, sz.cluster_size::BIGINT AS cluster_size
+       |FROM fps f JOIN cls cl ON f.fp = cl.fp
+       |     JOIN c ON c.id = cl.rep JOIN sz ON sz.cluster = c.cluster
+       |ORDER BY doc_id""".stripMargin
+
+  private val graphPagerankConvScaleSql = {
+    val iter = (prev: String, cur: String) =>
+      s"""$cur AS (
+         |  SELECT o.rep,
+         |         ${Det.sql6(
+           "0.15 / any_value(nn.n) + 0.85 * (" +
+           "any_value((o.m - 1) * ps.rank / o.od) + " +
+           "coalesce(sum(o2.m * pn.rank / o2.od), 0))")} AS rank
+         |  FROM od o JOIN $prev ps ON ps.rep = o.rep CROSS JOIN nn
+         |       LEFT JOIN du ON du.rep = o.rep
+         |       LEFT JOIN od o2 ON o2.rep = du.nbr
+         |       LEFT JOIN $prev pn ON pn.rep = du.nbr
+         |  GROUP BY o.rep)"""
+    val chain = (1 to PrIters)
+      .map(i => iter(s"pr${i - 1}", s"pr$i")).mkString(",\n")
+    s"""WITH ${LlmExt.simhashFpsCtes},
+       |$classGraphCtes,
+       |$classRankCtes,
+       |pr0 AS (
+       |  SELECT rep, ${Det.sql6("1.0 / nn.n")} AS rank
+       |  FROM part CROSS JOIN nn),
+       |$chain
+       |SELECT f.doc_id, p.rank
+       |FROM fps f JOIN cls c ON f.fp = c.fp
+       |     JOIN pr$PrIters p ON c.rep = p.rep
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  private val llmKeeperScaleSql =
+    s"""WITH RECURSIVE ${LlmExt.simhashFpsCtes},
+       |$classGraphCtes,
+       |$classRankCtes,
+       |$classCcCtes,
+       |pr AS (
+       |  SELECT o.rep,
+       |         ${Det.sql6(
+         "0.15 / any_value(nn.n) + 0.85 * (" +
+         "any_value((o.m - 1) * (1.0 / nn.n) / o.od) + " +
+         "coalesce(sum(o2.m * (1.0 / nn.n) / o2.od), 0))")} AS rank
+       |  FROM od o CROSS JOIN nn
+       |       LEFT JOIN du ON du.rep = o.rep
+       |       LEFT JOIN od o2 ON o2.rep = du.nbr
+       |  GROUP BY o.rep),
+       |k AS (
+       |  SELECT c.cluster, c.id, pr.rank,
+       |         row_number() OVER (PARTITION BY c.cluster
+       |                            ORDER BY pr.rank DESC, c.id) AS rn
+       |  FROM c JOIN pr ON c.id = pr.rep)
+       |SELECT k.cluster, sz.cluster_size::BIGINT AS n_members,
+       |       k.id AS keeper_doc, k.rank AS keeper_rank
+       |FROM k JOIN sz ON sz.cluster = k.cluster
+       |WHERE rn = 1 ORDER BY k.cluster""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1056,5 +1195,11 @@ object LlmPipe extends QueryModule {
     "q_graph_pagerank_conv" -> graphPagerankConvSql,
     "q_graph_triangles" -> graphTrianglesSql,
     "q_llm_keeper" -> llmKeeperSql,
+  )
+
+  override val scaleOracles: Map[String, String] = Map(
+    "q_llm_dedup_cc" -> dedupCcScaleSql,
+    "q_graph_pagerank_conv" -> graphPagerankConvScaleSql,
+    "q_llm_keeper" -> llmKeeperScaleSql,
   )
 }

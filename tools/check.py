@@ -53,7 +53,12 @@ def compare(name, con):
     import duckdb  # noqa
     spark_df = con.execute(
         f"SELECT * FROM parquet_scan('{OUT}/{name}/*.parquet')").df()
-    with open(f"{OUT}/oracle_sql.json") as f:
+    # --scale-oracle: large-SF oracle variants (class-contracted graph
+    # trio) — use for the sf3 gate where the primary recursive-CTE
+    # oracles run 25-90+ min each in DuckDB.
+    oracle_file = ("oracle_sql_scale.json" if "--scale-oracle" in FLAGS
+                   else "oracle_sql.json")
+    with open(f"{OUT}/{oracle_file}") as f:
         sqls = json.load(f)
     if name not in sqls:
         print(f"  {name}: NO ORACLE (rows={len(spark_df)})")
