@@ -23,12 +23,58 @@ import org.apache.spark.sql.functions._
   *
   * Id columns (graph nodes, document ids, vector ids) must be
   * LONG-CASTABLE — the internals key their joins, mins and structs on
-  * longs. A non-numeric string id casts to NULL and corrupts results
-  * silently; derive a surrogate first (`xxhash64(col("key"))` — the
-  * same trick the engine uses for salts) and keep a mapping frame to
-  * translate back.
+  * longs. This contract is ENFORCED, not just documented: a non-null
+  * id whose long cast comes back NULL raises at execution time with
+  * the offending value, instead of silently corrupting clusters and
+  * ranks. For string-keyed frames use [[withSurrogateIds]] first and
+  * keep its mapping frame to translate back.
   */
 object Graft {
+
+  /** Fail fast when a user frame already contains a column name the
+    * method is about to generate or append — `withColumn`/`drop` on a
+    * clashing name would silently shadow or delete the user's data. */
+  private def requireFresh(df: DataFrame, method: String,
+                           reserved: String*): Unit = {
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"graft.$method: input frame already has column(s) " +
+        s"${clash.mkString(", ")}, which this method generates " +
+        "internally or appends to the output — rename them first")
+  }
+
+  /** Long cast with the id contract enforced map-side: a NON-NULL
+    * value that casts to NULL (string key, uuid, …) raises with the
+    * value instead of flowing through as NULL and corrupting joins.
+    * `try_cast` so the SAME contract message fires under ANSI and
+    * non-ANSI sessions alike. Zero extra jobs — the check rides
+    * inside the existing scan. */
+  private def longId(c: Column, method: String): Column = {
+    val cast = c.try_cast("long")
+    when(c.isNotNull && cast.isNull,
+      raise_error(concat(
+        lit(s"graft.$method: id value '"), c.cast("string"),
+        lit("' is not long-castable — derive a surrogate first " +
+          "(Graft.withSurrogateIds) and keep its mapping frame"))))
+      .otherwise(cast)
+  }
+
+  /** String/arbitrary-keyed frames → the engine's long-id contract:
+    * returns (the frame with an appended xxhash64 surrogate column,
+    * the distinct (surrogate, original) mapping frame to translate
+    * results back). The surrogate is content-derived, so it is stable
+    * across retries, engines and runs — the same property the
+    * engine's sampling keys rely on. 64-bit hashing means collisions
+    * are birthday-bounded (~2^-64 per pair); for corpora in the many
+    * billions of keys, pre-check with a distinct-count comparison of
+    * the two columns before trusting cluster boundaries. */
+  def withSurrogateIds(df: DataFrame, idCol: String,
+                       surrogate: String = "graft_id")
+      : (DataFrame, DataFrame) = {
+    requireFresh(df, "withSurrogateIds", surrogate)
+    val withId = df.withColumn(surrogate, xxhash64(col(idCol)))
+    (withId, withId.select(col(surrogate), col(idCol)).distinct())
+  }
 
   /** Register the engine's native SQL functions (`graft_dot`,
     * `graft_ngrams`, `graft_bloom_*`) on a session that was not
@@ -47,8 +93,8 @@ object Graft {
   def connectedComponents(edges: DataFrame, src: String, dst: String)
       : DataFrame =
     ops.LlmPipe.dedupCcLoop(ops.LlmPipe.loopFrame(
-        edges.select(col(src).cast("long").as("da"),
-          col(dst).cast("long").as("db"))))
+        edges.select(longId(col(src), "connectedComponents").as("da"),
+          longId(col(dst), "connectedComponents").as("db"))))
       .withColumnRenamed("doc_id", "id")
 
   /** One damped PageRank pass (d = 0.85) over an undirected edge
@@ -56,8 +102,8 @@ object Graft {
     * broadcast — never a window over the node set. */
   def pageRank(edges: DataFrame, src: String, dst: String): DataFrame =
     ops.LlmPipe.pagerankOver(
-        edges.select(col(src).cast("long").as("da"),
-          col(dst).cast("long").as("db")))
+        edges.select(longId(col(src), "pageRank").as("da"),
+          longId(col(dst), "pageRank").as("db")))
       .withColumnRenamed("doc_id", "id")
 
   /** Iterated PageRank to a fixpoint probe: `(ranks, massPerIter)`.
@@ -67,8 +113,8 @@ object Graft {
                         iters: Int = 12): (DataFrame, Seq[Double]) = {
     val (ranks, masses) = ops.LlmPipe.pagerankConvOver(
       ops.LlmPipe.loopFrame(
-        edges.select(col(src).cast("long").as("da"),
-          col(dst).cast("long").as("db"))), iters)
+        edges.select(longId(col(src), "pageRankConverged").as("da"),
+          longId(col(dst), "pageRankConverged").as("db"))), iters)
     (ranks.withColumnRenamed("doc_id", "id"), masses)
   }
 
@@ -82,8 +128,10 @@ object Graft {
     * blowup. Keep `(key, rightTime)` unique on the right side for a
     * fully deterministic match at colliding instants. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
-               leftTime: String, rightTime: String): DataFrame =
+               leftTime: String, rightTime: String): DataFrame = {
+    requireFresh(left, "asofJoin", "asof_match")
     ops.Relational.asofOver(left, right, key, leftTime, rightTime)
+  }
 
   /** Top k rows per group, ordered by `order` (append tie-break
     * columns to make the cut deterministic). Emitted in exactly the
@@ -94,12 +142,16 @@ object Graft {
     * regardless of group skew — and falls back to the plain window
     * plan (correct, unbounded) elsewhere. */
   def topKPerGroup(df: DataFrame, keys: Seq[Column], order: Seq[Column],
-                   k: Int): DataFrame =
-    df.withColumn("__rank",
+                   k: Int): DataFrame = {
+    // collision-proof temp name: first __graft_rankN the frame lacks
+    val rank = Iterator.from(0).map(i => s"__graft_rank$i")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(rank,
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy(keys: _*).orderBy(order: _*)))
-      .filter(col("__rank") <= k)
-      .drop("__rank")
+      .filter(col(rank) <= k)
+      .drop(rank)
+  }
 
   // ------------------------------------------------------------------ dedup
 
@@ -127,7 +179,8 @@ object Graft {
                          minJaccard: Double = 0.5): DataFrame = {
     registerFunctions(docs.sparkSession)
     ops.Llm.fuzzyPairsOver(
-      docs.select(col(id).cast("long").as("doc_id"), col(text).as("text")),
+      docs.select(longId(col(id), "nearDuplicatePairs").as("doc_id"),
+        col(text).as("text")),
       minJaccard)
   }
 
@@ -152,7 +205,8 @@ object Graft {
                     text: String, gramWidth: Int = 8): DataFrame = {
     registerFunctions(train.sparkSession)
     def grams(df: DataFrame, as: String) =
-      df.select(col(id).cast("long").as(as), col(text).as("__t"))
+      df.select(longId(col(id), "decontaminate").as(as),
+          col(text).as("__t"))
         .select(col(as),
           explode(ops.LlmQuality.ngramHashes("__t", gramWidth)).as("h"))
     grams(train, "train_id").join(broadcast(grams(eval, "eval_id")), "h")
@@ -166,7 +220,12 @@ object Graft {
     * config): backed by the native `graft_ngrams` expression, one
     * pass over the string bytes, primitive long[] out. */
   def ngramHashes(textCol: String, width: Int): Column =
-    ops.LlmQuality.ngramHashes(textCol, width)
+    ngramHashes(col(textCol), width)
+
+  /** Column form — the name overload resolves via `col`, so both
+    * treat the argument as an identifier, never as SQL text. */
+  def ngramHashes(text: Column, width: Int): Column =
+    ops.LlmQuality.ngramHashesOf(text, width)
 
   // ------------------------------------------------------------- similarity
 
@@ -214,7 +273,7 @@ object Graft {
               isQuery: Column, k: Int, nprobe: Int = 2): DataFrame = {
     registerFunctions(vectors.sparkSession)
     ops.LlmExt.ivfTopKOver(
-      vectors.select(col(id).cast("long").as("vec_id"),
+      vectors.select(longId(col(id), "ivfTopK").as("vec_id"),
         transform(col(vec), x => x.cast("double")).as("e"),
         isQuery.as("qf")),
       k, nprobe)
@@ -258,8 +317,11 @@ object Graft {
     * decomposes into plain frame sums — exact at any scale). */
   def weightedMovingAverage(df: DataFrame, series: String, order: String,
                             value: String, width: Int,
-                            tiebreak: Seq[String] = Nil): DataFrame =
+                            tiebreak: Seq[String] = Nil): DataFrame = {
+    requireFresh(df, "weightedMovingAverage",
+      "wma", "rn", "v4w", "s1", "s0", "c")
     ops.TimeSeries.wmaOver(df, series, order, value, width, tiebreak)
+  }
 
   /** Gaps-and-islands sessionization: appends a per-`user`
     * `session_id` (1-based) that increments wherever consecutive
@@ -269,8 +331,10 @@ object Graft {
     * user key, which a per-session `groupBy(user, "session_id")`
     * downstream reuses. */
   def sessionize(events: DataFrame, user: String, timeUs: String,
-                 tiebreak: Seq[String], gapUs: Long): DataFrame =
+                 tiebreak: Seq[String], gapUs: Long): DataFrame = {
+    requireFresh(events, "sessionize", "session_id", "brk")
     ops.Reshape.sessionIdsOver(events, user, timeUs, tiebreak, gapUs)
+  }
 
   /** Strictly-ordered funnel over an event stream: for each user the
     * step-k anchor is their first step-k event strictly after their

@@ -36,7 +36,15 @@ object LlmQuality extends QueryModule {
     * similarity at corpus scale. */
   private[graft] def ngramHashes(textCol: String, width: Int,
                                  distinct: Boolean = true): Column =
-    expr(s"graft_ngrams($textCol, $width, $distinct)")
+    ngramHashesOf(col(textCol), width, distinct)
+
+  /** Column-based form: resolves the registered function directly, so
+    * the text argument is a Column, never SQL text — a user column
+    * name needing quoting (spaces, dots, hyphens) works, and an
+    * arbitrary SQL fragment can't ride in through the facade. */
+  private[graft] def ngramHashesOf(text: Column, width: Int,
+                                   distinct: Boolean = true): Column =
+    call_function("graft_ngrams", text, lit(width), lit(distinct))
 
   /** (doc, gram-hash) pairs; hashes are distinct per doc. */
   private def ngramToks(s: SparkSession, d: String): DataFrame =

@@ -227,4 +227,70 @@ class GraftApiSpec extends AnyFunSuite {
     // user3 -> 1
     assert(f.toSeq == Seq((1L, 2L, 3L), (3L, 1L, 1L)))
   }
+
+  // ------------------------------------------------- id / name contracts
+
+  test("a non-long-castable id fails loudly, not silently") {
+    val edges = Seq(("doc-a", "doc-b"), ("doc-b", "doc-c"))
+      .toDF("s", "d")
+    val e = intercept[Exception] {
+      Graft.connectedComponents(edges, "s", "d").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(m => m.contains("not long-castable") &&
+      m.contains("doc-a")), s"expected the contract error, got: $e")
+  }
+
+  test("withSurrogateIds round-trips a string-keyed graph") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("x", "y"))
+      .toDF("s", "d")
+    val (es, smap) = Graft.withSurrogateIds(edges, "s", "sid")
+    val (ed, dmap) = Graft.withSurrogateIds(es, "d", "did")
+    val cc = Graft.connectedComponents(ed, "sid", "did")
+    // translate cluster members back to original keys via both maps
+    val names = cc.join(smap.withColumnRenamed("sid", "id")
+        .withColumnRenamed("s", "name")
+      .union(dmap.withColumnRenamed("did", "id")
+        .withColumnRenamed("d", "name")).distinct(), "id")
+    val byCluster = names.collect()
+      .groupBy(_.getAs[Long]("cluster"))
+      .map(_._2.map(_.getAs[String]("name")).toSet).toSet
+    assert(byCluster == Set(Set("a", "b", "c"), Set("x", "y")))
+  }
+
+  test("generated/appended column collisions fail fast or are avoided") {
+    // appended-name collision: loud failure
+    val withWma = Seq((1L, 1L, 1.0, 0.0)).toDF("k", "t", "v", "wma")
+    val e = intercept[IllegalArgumentException] {
+      Graft.weightedMovingAverage(withWma, "k", "t", "v", 2)
+    }
+    assert(e.getMessage.contains("wma"))
+    val withSess = Seq((1L, 1L, 1L)).toDF("u", "t", "session_id")
+    intercept[IllegalArgumentException] {
+      Graft.sessionize(withSess, "u", "t", Nil, 10L)
+    }
+    val withMatch = Seq((1L, 1L, "x")).toDF("k", "t", "asof_match")
+    intercept[IllegalArgumentException] {
+      Graft.asofJoin(withMatch, Seq((1L, 0L)).toDF("k", "t"),
+        "k", "t", "t")
+    }
+    // temp-name collision: topKPerGroup generates a fresh rank name,
+    // so a user __graft_rank0 column passes through untouched
+    val df = Seq(("g", 3, "keep"), ("g", 1, "keep2"), ("h", 9, "keep3"))
+      .toDF("grp", "score", "__graft_rank0")
+    val out = Graft.topKPerGroup(df, Seq($"grp"), Seq($"score".desc), 1)
+      .orderBy($"grp").collect()
+    assert(out.map(_.getAs[String]("__graft_rank0")).toSeq ==
+      Seq("keep", "keep3"))
+  }
+
+  test("ngramHashes accepts column names that need quoting") {
+    Graft.registerFunctions(s)
+    val n = Seq("a b c d e").toDF("body text-col")
+      .select(size(Graft.ngramHashes(col("`body text-col`"), 3)).as("n"))
+      .head().getInt(0)
+    assert(n == 3)
+  }
 }

@@ -146,11 +146,14 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(lf.count() == 100L)
   }
 
-  test("q_join_bucketed joins with zero exchange below the sort-merge join") {
-    val df = SparkEntry.queries("q_join_bucketed")(s, d)
+  test("q_join_bucketed joins with zero exchange at two bucket counts") {
     // descend through AQE wrappers to the SMJ, then assert its whole
     // subtree is exchange-free: co-bucketed layout means the join's
-    // shuffle was paid once at write time, not per query
+    // shuffle was paid once at write time, not per query. Run at the
+    // session-sized default AND an explicit override — bucket count is
+    // a layout knob (spark.graft.buckets, sized from parallelism since
+    // r11; the old constant 8 capped join parallelism at 8), and
+    // layout must change neither the plan property nor the rows.
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
@@ -163,15 +166,27 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       }
       p +: (through ++ p.children.flatMap(all))
     }
-    assert(df.collect().nonEmpty)
-    val nodes = all(df.queryExecution.executedPlan)
-    val smjs = nodes.collect { case j: SortMergeJoinExec => j }
-    assert(smjs.nonEmpty, "bucketed join did not plan as sort-merge:\n" +
-      df.queryExecution.executedPlan)
-    val belowJoin = smjs.flatMap(all)
-    assert(!belowJoin.exists(_.isInstanceOf[Exchange]),
-      "exchange below the bucketed join — the write-time shuffle was " +
-        "not reused:\n" + df.queryExecution.executedPlan)
+    def runOnce(): Seq[String] = {
+      val df = SparkEntry.queries("q_join_bucketed")(s, d)
+      val rows = df.collect().map(_.toString).toSeq
+      assert(rows.nonEmpty)
+      val nodes = all(df.queryExecution.executedPlan)
+      val smjs = nodes.collect { case j: SortMergeJoinExec => j }
+      assert(smjs.nonEmpty, "bucketed join did not plan as sort-merge:\n" +
+        df.queryExecution.executedPlan)
+      val belowJoin = smjs.flatMap(all)
+      assert(!belowJoin.exists(_.isInstanceOf[Exchange]),
+        "exchange below the bucketed join — the write-time shuffle was " +
+          "not reused:\n" + df.queryExecution.executedPlan)
+      rows
+    }
+    val atDefault = runOnce() // buckets = defaultParallelism
+    s.conf.set("spark.graft.buckets", "4")
+    try {
+      val atFour = runOnce()
+      assert(atDefault == atFour,
+        "bucket count changed query results — layout leaked into values")
+    } finally s.conf.unset("spark.graft.buckets")
   }
 
   test("q_scan_partitioned prunes to 7 of 30 date partitions (verdict r9 #2)") {
