@@ -138,27 +138,73 @@ object Lakehouse extends QueryModule {
 
   private val NSalt = 8
 
-  /** The salting rewrite for skewed join keys, oracle-checked against
-    * the PLAIN join it replaces (identical result is the whole
-    * point): the fact side gets a deterministic salt in [0, NSalt)
+  /** Hot-key-share crossover below which salting measurably LOSES
+    * (SaltBench, sf1/sf3: wins 1.40-1.71× at ≥30% planted hot-key
+    * share, loses under uniform keys — the ×NSalt dim inflation and
+    * second hash column aren't free). `spark.graft.salt.minHotShare`
+    * overrides. */
+  private def minHotShare(s: SparkSession): Double =
+    s.conf.getOption("spark.graft.salt.minHotShare").map(_.toDouble)
+      .getOrElse(0.30)
+
+  /** Sampled key-histogram probe: share of the fact side's sampled
+    * rows carried by its single hottest key. One column-pruned
+    * sample-scan job (the scan reads ONE column; fraction sized so
+    * the aggregated sample is ~1e4 rows at test SF — at 100 TB you'd
+    * drop the fraction, the estimator only needs enough rows to
+    * resolve shares near the 0.30 threshold). Deterministic seed so
+    * the route — never the results, both branches are oracle-equal —
+    * is stable across runs. */
+  private[graft] def hotKeyShare(df: DataFrame, key: String,
+                                 fraction: Double = 0.02): Double = {
+    val r = df.select(col(key).as("__k")).sample(fraction, seed = 7L)
+      .groupBy(col("__k")).count()
+      .agg(max(col("count")).cast("double"), sum(col("count")).cast("double"))
+      .head()
+    if (r.isNullAt(1) || r.getDouble(1) == 0.0) 0.0
+    else r.getDouble(0) / r.getDouble(1)
+  }
+
+  /** Route for [[joinSkewSalted]]: salted iff the probe sees a hot
+    * key at-or-past the measured crossover. `spark.graft.salt.force`
+    * (salted|plain) pins a branch for specs and benchmarks. */
+  private[graft] def saltRoute(s: SparkSession, li: DataFrame): Boolean =
+    s.conf.getOption("spark.graft.salt.force") match {
+      case Some("salted") => true
+      case Some("plain")  => false
+      case _ => hotKeyShare(li, "l_suppkey") >= minHotShare(s)
+    }
+
+  /** The salting rewrite for skewed join keys as a STATS-DRIVEN pick
+    * (the LocalGraphStrategy pattern): a sampled key-histogram probe
+    * routes between the plain shuffle join and the salted two-phase
+    * shape — the fact side gets a deterministic salt in [0, NSalt)
     * hashed from its row identity; the dimension side replicates each
     * row NSalt times (explode over the salt range); the join key
     * becomes (key, salt) so one hot key's rows spread across NSalt
-    * reducers instead of one. At 100 TB this is the manual fallback
-    * when AQE's skew split can't help (e.g. a skewed key feeding an
-    * aggregation that needs the join's partitioning); the dimension
-    * inflation is ×NSalt on the SMALL side only. */
+    * reducers instead of one. At 100 TB the salted branch is the
+    * manual fallback when AQE's skew split can't help (e.g. a skewed
+    * key feeding an aggregation that needs the join's partitioning);
+    * the dimension inflation is ×NSalt on the SMALL side only. Both
+    * branches are oracle-equal (the whole point — SaltRouteSpec
+    * forces each and pins equality); the probe picks the one the
+    * key distribution actually rewards. */
   private def joinSkewSalted(s: SparkSession, d: String): DataFrame = {
     val li = T.lineitem(s, d)
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         col("l_extendedprice"))
-      .withColumn("salt",
-        pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(NSalt)))
     val sup = T.supplier(s, d)
       .select(col("s_suppkey"), col("s_nationkey"))
-      .withColumn("salt", explode(sequence(lit(0L), lit(NSalt - 1L))))
-    li.join(sup,
-        li("l_suppkey") === sup("s_suppkey") && li("salt") === sup("salt"))
+    val joined =
+      if (saltRoute(s, li)) {
+        val lis = li.withColumn("salt",
+          pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(NSalt)))
+        val sups = sup
+          .withColumn("salt", explode(sequence(lit(0L), lit(NSalt - 1L))))
+        lis.join(sups,
+          lis("l_suppkey") === sups("s_suppkey") && lis("salt") === sups("salt"))
+      } else li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+    joined
       .groupBy(col("s_nationkey"))
       .agg(count(lit(1)).as("n_items"),
         Det.r2(sum(col("l_extendedprice"))).as("revenue"))
