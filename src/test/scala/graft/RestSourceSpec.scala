@@ -94,6 +94,40 @@ class RestSourceSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("HTTP X-Ratelimit headers defer subsequent fetches end-to-end") {
+    // the full meetup.rkt:9-26 loop over a real socket: the server
+    // reports <3 requests remaining with a reset ~0.4s out on EVERY
+    // response; the first fetch's headers must defer the remaining
+    // chapter partitions until the reset deadline
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", { exchange =>
+      val body = """{"chapter": "x", "id": "r1"}""".getBytes("UTF-8")
+      exchange.getResponseHeaders.add("X-Ratelimit-Remaining", "1")
+      exchange.getResponseHeaders.add("X-Ratelimit-Reset",
+        ((System.currentTimeMillis() + 400L) / 1000L + 1L).toString)
+      exchange.sendResponseHeaders(200, body.length)
+      exchange.getResponseBody.write(body)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val t0 = System.nanoTime()
+      s.read.format("graft.sources.rest.RestSource")
+        .option("chaptersFile", s"$fx/chapters.jsonl")
+        .option("transport",
+          s"http://127.0.0.1:${server.getAddress.getPort}")
+        .option("ratePerSecond", "1000")
+        .load().count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      assert(sec >= 0.3,
+        f"expected HTTP-header-driven defer across partitions, took $sec%.2fs")
+    } finally {
+      server.stop(0)
+      graft.sources.rest.Throttle.clearDefer()
+    }
+  }
+
   test("an unregistered transport name fails loudly") {
     val e = intercept[Exception] {
       s.read.format("graft.sources.rest.RestSource")

@@ -25,9 +25,10 @@ for p in ["java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
 
 def run_verify():
     cp = "target/scala-2.13/classes:/opt/spark/jars/*"
+    # query names restrict the Spark dump too (targeted re-verification)
     cmd = (["java", "-cp", cp] + ADD_OPENS +
            ["-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
-            "-Xmx8g", "graft.Verify", SF, OUT])
+            "-Xmx8g", "graft.Verify", SF, OUT] + ONLY)
     env = dict(os.environ,
                SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "8"))
     r = subprocess.run(cmd, cwd="/root/repo", env=env,
