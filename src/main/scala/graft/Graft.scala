@@ -307,6 +307,76 @@ object Graft {
   def canonicalUrl(url: Column): Column =
     ops.LlmQuality.canonicalizeUrl(url)
 
+  // ------------------------------------------------------- dedup apply
+
+  /** Keep only the rows of `docs` whose `id` appears in
+    * `keepers(keeperId)` — the semi-join materialization step that
+    * CONSUMES any dedup stage's keeper set (q_llm_dedup_apply's
+    * shape). Broadcast when the keeper set is small; a key-partitioned
+    * shuffle semi-join at corpus scale — AQE picks. No second pass
+    * over the payload columns either way. */
+  def applyKeepers(docs: DataFrame, id: String,
+                   keepers: DataFrame, keeperId: String): DataFrame =
+    docs.join(keepers, docs(id) === keepers(keeperId), "left_semi")
+
+  /** Exact-content dedup, applied: keep the minimum-`id` row per
+    * identical `text` value, dropping the other verbatim copies.
+    * Groups on the 256-bit content digest, so the shuffle carries
+    * 32 bytes per row instead of the document text; `id` can be any
+    * orderable type (min picks the keeper). */
+  def dedupExact(docs: DataFrame, id: String, text: String): DataFrame = {
+    val k = docs
+      .select(col(id).as("__gid"), sha2(col(text).cast("string"), 256).as("__h"))
+      .groupBy(col("__h")).agg(min(col("__gid")).as("__keep"))
+      .select(col("__keep"))
+    applyKeepers(docs, id, k, "__keep")
+  }
+
+  /** [[nearDuplicateClusters]], applied: drop every clustered
+    * document except its cluster's minimum-id representative —
+    * verbatim AND near-duplicate copies collapse to one survivor.
+    * Cluster labels ARE the min member id, so the drop set is just
+    * the members that aren't their own label; unclustered docs pass
+    * through untouched via the anti-join. */
+  def nearDuplicateApply(docs: DataFrame, id: String, text: String,
+                         minJaccard: Double = 0.5): DataFrame = {
+    val losers = nearDuplicateClusters(docs, id, text, minJaccard)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as("__drop"))
+    docs.join(losers, docs(id).cast("long") === losers("__drop"),
+      "left_anti")
+  }
+
+  // ------------------------------------------------------------ resampling
+
+  /** Regular-grid resampling of an irregular (series, time, value)
+    * log — the q_ts_gapfill / q_ts_interp spine on a user frame:
+    * buckets `timeUs` (epoch µs) onto the `stepUs` grid, averages
+    * `value` per cell (`avg_val`, r4), then emits each series' DENSE
+    * grid from its first to last observed cell with `n_obs`,
+    * `avg_val` (null in gaps), `ff_val` (last observation carried
+    * forward) and `interp_val` (linear between neighbors, edge
+    * fallback). The heavy input collapses to |series × cells| rows at
+    * the first aggregation; the spine derives from each series' own
+    * bounds (no calendar cartesian); both fill directions share one
+    * series-partitioned exchange. */
+  def resampleGrid(df: DataFrame, series: String, timeUs: String,
+                   value: String, stepUs: Long): DataFrame = {
+    require(stepUs > 0, s"graft.resampleGrid: stepUs must be > 0")
+    requireFresh(df, "resampleGrid",
+      "bucket_us", "n_obs", "avg_val", "ff_val", "interp_val")
+    val buckets = df
+      .select(col(series),
+        (floor(col(timeUs).cast("long") / stepUs).cast("long") * stepUs)
+          .as("bucket_us"),
+        col(value).cast("double").as("__v"))
+      .groupBy(col(series), col("bucket_us"))
+      .agg(count(lit(1)).as("n_obs"), ops.Det.r4(avg(col("__v"))).as("avg_val"))
+    ops.TimeSeries.gridSpineOver(buckets, series, "bucket_us", "avg_val",
+        stepUs)
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+  }
+
   // ------------------------------------------------------- event analytics
 
   /** Linearly-weighted moving average over the trailing `width`+1

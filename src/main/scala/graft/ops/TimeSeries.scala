@@ -373,31 +373,58 @@ object TimeSeries extends QueryModule {
       .groupBy(col("event_type"), col("hr"))
       .agg(count(lit(1)).as("n_events"),
         Det.r4(avg(col("value"))).as("avg_val"))
-    val spine = hourly
-      .groupBy(col("event_type"))
-      .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
-      .select(col("event_type"),
-        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR")))
-          .as("hr"))
-    val g = spine.join(hourly, Seq("event_type", "hr"), "left")
-      .withColumn("hour_us", unix_micros(col("hr")))
-    val back = Window.partitionBy(col("event_type")).orderBy(col("hour_us"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fwd = Window.partitionBy(col("event_type")).orderBy(col("hour_us"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val obsT = when(col("avg_val").isNotNull, col("hour_us"))
-    val pv = last(col("avg_val"), ignoreNulls = true).over(back)
-    val pt = last(obsT, ignoreNulls = true).over(back)
-    val nv = first(col("avg_val"), ignoreNulls = true).over(fwd)
-    val nt = first(obsT, ignoreNulls = true).over(fwd)
-    g.select(col("event_type"), col("hour_us"),
+      .select(col("event_type"), unix_micros(col("hr")).as("hour_us"),
+        col("n_events"), col("avg_val"))
+    gridSpineOver(hourly, "event_type", "hour_us", "avg_val",
+        3600L * 1000000L)
+      .select(col("event_type"), col("hour_us"),
         coalesce(col("n_events"), lit(0L)).as("n_events"), col("avg_val"),
-        Det.r6(when(col("avg_val").isNotNull, col("avg_val"))
+        col("interp_val"))
+      .orderBy(col("event_type"), col("hour_us"))
+  }
+
+  /** Dense-grid spine + gap fills over a pre-bucketed
+    * (series, bucket-epoch-µs, value, …) frame: one row per series
+    * per `stepUs` from that series' min to max bucket, carrying every
+    * input column (null in gaps) plus `ff_val` (last observation
+    * carried forward — q_ts_gapfill's fill) and `interp_val` (linear
+    * between the nearest observed cell on each side, single-neighbor
+    * fallback at the edges, r6-discretized — q_ts_interp's fill).
+    *
+    * Shape, which is the whole point at scale: the spine derives from
+    * each series' own bounds row (`sequence` + explode — no cartesian
+    * against a calendar table), the anchors come from IGNORE NULLS
+    * window lookups (no self-join against the observations), and both
+    * sort directions share the series partitioning so Spark plans ONE
+    * exchange feeding the window operators. The grid is
+    * |series × cells| rows — vanishing vs the raw log that built it.
+    * [[graft.Graft.resampleGrid]] is the user-facing adapter;
+    * q_ts_interp runs through this same core. */
+  private[graft] def gridSpineOver(buckets: DataFrame, series: String,
+      bucketUs: String, value: String, stepUs: Long): DataFrame = {
+    val spine = buckets
+      .groupBy(col(series))
+      .agg(min(col(bucketUs)).as("__h0"), max(col(bucketUs)).as("__h1"))
+      .select(col(series),
+        explode(sequence(col("__h0"), col("__h1"), lit(stepUs)))
+          .as(bucketUs))
+    val g = spine.join(buckets, Seq(series, bucketUs), "left")
+    val back = Window.partitionBy(col(series)).orderBy(col(bucketUs))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col(series)).orderBy(col(bucketUs))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsT = when(col(value).isNotNull, col(bucketUs))
+    val pv = last(col(value), ignoreNulls = true).over(back)
+    val pt = last(obsT, ignoreNulls = true).over(back)
+    val nv = first(col(value), ignoreNulls = true).over(fwd)
+    val nt = first(obsT, ignoreNulls = true).over(fwd)
+    g.withColumn("ff_val", pv)
+      .withColumn("interp_val",
+        Det.r6(when(col(value).isNotNull, col(value))
           .when(pv.isNull, nv)
           .when(nv.isNull, pv)
           .otherwise(pv + (nv - pv) *
-            (col("hour_us") - pt) / (nt - pt))).as("interp_val"))
-      .orderBy(col("event_type"), col("hour_us"))
+            (col(bucketUs) - pt) / (nt - pt))))
   }
 
   private val tsInterpSql =

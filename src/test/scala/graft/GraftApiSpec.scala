@@ -286,6 +286,54 @@ class GraftApiSpec extends AnyFunSuite {
       Seq("keep", "keep3"))
   }
 
+  test("applyKeepers / dedupExact keep the min-id representative per content") {
+    val docs = Seq(
+      (10L, "same words here"), (3L, "same words here"),
+      (7L, "same words here"), (5L, "unique doc")
+    ).toDF("doc_key", "body")
+    val kept = Graft.dedupExact(docs, "doc_key", "body")
+      .select("doc_key").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(3L, 5L), s"kept ${kept.toSeq}")
+    // applyKeepers with an explicit keeper frame
+    val keepers = Seq(10L, 5L).toDF("keep_id")
+    val manual = Graft.applyKeepers(docs, "doc_key", keepers, "keep_id")
+      .select("doc_key").collect().map(_.getLong(0)).sorted
+    assert(manual.toSeq == Seq(5L, 10L))
+  }
+
+  test("nearDuplicateApply drops near-dup copies, keeps one per cluster") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    val docs = Seq(
+      (1L, base), (2L, base + "iota"),           // near-dups of each other
+      (9L, "completely different text entirely " * 8)
+    ).toDF("k", "body")
+    val kept = Graft.nearDuplicateApply(docs, "k", "body", 0.5)
+      .select("k").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 9L), s"kept ${kept.toSeq}")
+  }
+
+  test("resampleGrid densifies, forward-fills and interpolates a user series") {
+    val df = Seq(
+      ("a", 0L, 1.0), ("a", 4000L, 5.0),    // gap of 3 cells at step 1000
+      ("b", 2000L, 7.0)                      // single-point series
+    ).toDF("sensor", "t_us", "reading")
+    val got = Graft.resampleGrid(df, "sensor", "t_us", "reading", 1000L)
+      .orderBy($"sensor", $"bucket_us")
+      .select($"sensor", $"bucket_us", $"n_obs", $"avg_val", $"ff_val",
+        $"interp_val")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      ("a", 0L, 1L, Some(1.0), 1.0, 1.0),
+      ("a", 1000L, 0L, None, 1.0, 2.0),
+      ("a", 2000L, 0L, None, 1.0, 3.0),
+      ("a", 3000L, 0L, None, 1.0, 4.0),
+      ("a", 4000L, 1L, Some(5.0), 5.0, 5.0),
+      ("b", 2000L, 1L, Some(7.0), 7.0, 7.0)), s"got ${got.toSeq}")
+  }
+
   test("ngramHashes accepts column names that need quoting") {
     Graft.registerFunctions(s)
     val n = Seq("a b c d e").toDF("body text-col")
