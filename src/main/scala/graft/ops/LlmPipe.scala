@@ -1080,10 +1080,15 @@ object LlmPipe extends QueryModule {
       |  FROM cls a JOIN cls b ON a.rep < b.rep
       |  WHERE bit_count(xor(a.fp, b.fp)) <= 3),
       |part AS MATERIALIZED (
-      |  SELECT rep, m FROM cls WHERE m > 1
-      |  UNION
-      |  SELECT rep, m FROM cls
-      |  WHERE rep IN (SELECT ra FROM ce UNION SELECT rb FROM ce)),
+      |  -- explicit DISTINCT, not bare UNION: DuckDB 1.0 loses UNION's
+      |  -- dedup when the CTE is MATERIALIZED under WITH RECURSIVE
+      |  -- (minimal repro in the r11 session log), which silently
+      |  -- doubled every both-branch class
+      |  SELECT DISTINCT rep, m FROM (
+      |    SELECT rep, m FROM cls WHERE m > 1
+      |    UNION ALL
+      |    SELECT rep, m FROM cls
+      |    WHERE rep IN (SELECT ra FROM ce UNION SELECT rb FROM ce)) tp),
       |du AS MATERIALIZED (
       |  SELECT ra AS rep, rb AS nbr FROM ce
       |  UNION ALL SELECT rb AS rep, ra AS nbr FROM ce)""".stripMargin
