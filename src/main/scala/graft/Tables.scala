@@ -100,9 +100,11 @@ trait QueryModule {
     * oracle must be mathematically equivalent to the primary oracle —
     * same result, different derivation (the graph trio's use the
     * class-contraction identities the engine's own strategy specs
-    * prove) — and is exercised against the primary at the small SFs
-    * by ScaleOracleSpec. The sf3 gate (tools/check.py
-    * --scale-oracle) substitutes these; the driver's sf0.01 gate
-    * keeps the primary, independent formulation. */
+    * prove). ScaleOracleSpec pins the structural contract; VALUE
+    * equivalence is established by running the gate in both modes at
+    * a small SF where both formulations are tractable (primary and
+    * variant each match the same engine dump). The sf3 gate
+    * (tools/check.py --scale-oracle) substitutes these; the driver's
+    * sf0.01 gate keeps the primary, independent formulation. */
   def scaleOracles: Map[String, String] = Map.empty
 }
