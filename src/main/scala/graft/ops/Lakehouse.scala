@@ -165,14 +165,31 @@ object Lakehouse extends QueryModule {
     else r.getDouble(0) / r.getDouble(1)
   }
 
+  /** Probe results memoized per source-content signature (the
+    * joinBucketed cache pattern): the hot-key share is a property of
+    * the data, so same process + same file content ⇒ same estimate —
+    * repeat invocations (bench passes, repeated reads) skip the
+    * sample-scan job, and a regenerated file re-probes. */
+  private val probeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+
   /** Route for [[joinSkewSalted]]: salted iff the probe sees a hot
     * key at-or-past the measured crossover. `spark.graft.salt.force`
     * (salted|plain) pins a branch for specs and benchmarks. */
-  private[graft] def saltRoute(s: SparkSession, li: DataFrame): Boolean =
+  private[graft] def saltRoute(s: SparkSession, li: DataFrame,
+                               dir: Option[String] = None): Boolean =
     s.conf.getOption("spark.graft.salt.force") match {
       case Some("salted") => true
       case Some("plain")  => false
-      case _ => hotKeyShare(li, "l_suppkey") >= minHotShare(s)
+      case _ =>
+        val share = dir match {
+          case Some(d) =>
+            val key = d + "#" + srcSig(d, Seq("lineitem.parquet"))
+            probeCache.computeIfAbsent(key,
+              _ => hotKeyShare(li, "l_suppkey")).doubleValue()
+          case None => hotKeyShare(li, "l_suppkey")
+        }
+        share >= minHotShare(s)
     }
 
   /** The salting rewrite for skewed join keys as a STATS-DRIVEN pick
@@ -196,7 +213,7 @@ object Lakehouse extends QueryModule {
     val sup = T.supplier(s, d)
       .select(col("s_suppkey"), col("s_nationkey"))
     val joined =
-      if (saltRoute(s, li)) {
+      if (saltRoute(s, li, Some(d))) {
         val lis = li.withColumn("salt",
           pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(NSalt)))
         val sups = sup
