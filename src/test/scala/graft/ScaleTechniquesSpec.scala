@@ -189,6 +189,27 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     } finally s.conf.unset("spark.graft.buckets")
   }
 
+  test("bucketed-layout cache never serves regenerated source data (advice r10)") {
+    // same dir, new content: the cache key carries a content signature,
+    // so rewriting the parquet under an unchanged path must re-bucket,
+    // not replay the stale layout
+    val tmp = Files.createTempDirectory("graft-stale").toString
+    def gen(frac: Int): Unit = {
+      Tables.lineitem(s, d).filter(col("l_orderkey") % frac === 0)
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+      Tables.orders(s, d).coalesce(1).write.mode("overwrite")
+        .parquet(s"$tmp/orders.parquet")
+    }
+    gen(1)
+    val full = SparkEntry.queries("q_join_bucketed")(s, tmp)
+      .agg(sum(col("n_items"))).head().getLong(0)
+    gen(2) // regenerate IN PLACE with half the fact rows
+    val half = SparkEntry.queries("q_join_bucketed")(s, tmp)
+      .agg(sum(col("n_items"))).head().getLong(0)
+    assert(half < full,
+      s"regenerated source served stale bucketed layout: $half vs $full")
+  }
+
   test("q_scan_partitioned prunes to 7 of 30 date partitions (verdict r9 #2)") {
     val df = SparkEntry.queries("q_scan_partitioned")(s, d)
     // the one-week filter must reach the scan as PARTITION pruning —
