@@ -859,22 +859,113 @@ object LlmExt extends QueryModule {
     * q_llm_dedup_embed's, and the centroid build is q_llm_centroid's
     * posexplode + hash agg scoped per cell.
     *
-    * Scale shape: the embedding frame is checkpointed ONCE and feeds
-    * centroid build, both pair-join sides, and scoring; centroids are
-    * |cells|·dims partial sums (map-side combine) reassembled to
-    * |cells| vectors that BROADCAST back; the pair join is co-
-    * partitioned on cell (never n² across cells); the drop-rule join
-    * touches |pairs| rows. Determinism: centroid components are
-    * r6-discretized BEFORE the cosine (both engines then feed
-    * identical doubles into the dot product; summation-order noise
-    * ~1e-15 vs the 1e-6 grid), cos-to-centroid is r6-discretized, and
-    * the per-pair drop rule breaks exact ties toward the higher
-    * vec_id. */
-  private def semdedup(s: SparkSession, d: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    val e = T.par(s, T.embeddings(s, d))
+    * Scale shape — CLASS-CONTRACTED like the rest of the dedup family
+    * (dedupEmbed/dedupSimhash/dedupFuzzy): verbatim-duplicate
+    * embeddings share a cell, a cos_centroid and every pair decision,
+    * so the in-cell self-join over raw members repeats |class|² of
+    * identical work per duplication class (measured: sf1→sf3 at 3×
+    * data ran 7.8× — quadratic in the duplication factor). Vectors
+    * collapse to one row per DISTINCT embedding before the pair join;
+    * the drop rule is decided ONCE per class (pair decisions depend
+    * only on class-level values) and members re-expand at output:
+    *  - intra-class pairs tie on cos_centroid, so drop-greatest keeps
+    *    exactly the min member id;
+    *  - a cross-class pair with cA > cB drops the A member — every A
+    *    member appears in such a pair, so A drops wholesale (and
+    *    symmetrically B when cB > cA);
+    *  - a cross-class TIE drops the pairwise max, so an A member is
+    *    dropped iff some B member is smaller — iff id > min(B).
+    * The centroid build stays arithmetically the EXPANDED per-member
+    * average (member counts weight the per-dim sums map-side —
+    * linear, never the quadratic part). Determinism: centroid
+    * components are r6-discretized BEFORE the cosine (summation-order
+    * noise ~1e-15 vs the 1e-6 grid; the m·x vs x-added-m-times
+    * regrouping is the same ~1e-16 class the contracted PageRank
+    * absorbs), cos-to-centroid is r6-discretized, cos_sim
+    * r4-discretized — all compared AFTER discretization, exactly as
+    * the per-pair formulation. SemdedupCollapseSpec pins the
+    * contraction against the expanded formulation on a heavily
+    * duplicated frame including a forced cross-class tie. */
+  private def semdedup(s: SparkSession, d: String): DataFrame =
+    semdedupOver(T.par(s, T.embeddings(s, d))
       .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("e"))
+        transform(col("embedding"), x => x.cast("double")).as("e")))
+
+  /** The contracted core over any (vec_id, e: array<double>) frame —
+    * package-visible so SemdedupCollapseSpec can drive it (and its
+    * expanded reference twin) over duplicated and tie-forcing
+    * frames. */
+  private[graft] def semdedupOver(e0: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(e0.sparkSession)
+    // one row per DISTINCT embedding: sorted member ids, class key
+    val groups = e0
+      .groupBy(col("e"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .select(col("e"), col("ids"),
+        element_at(col("ids"), 1).as("mn"),
+        size(col("ids")).cast("long").as("m"))
+      .withColumn("cell", ivfCell(col("e")))
+      .withColumn("nrm", sqrt(expr("graft_dot(e, e)")))
+      .localCheckpoint()
+    // expanded per-member centroid: Σ over members = Σ m·x per class
+    val cent = groups.select(col("cell"), col("m"), posexplode(col("e")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(Det.r6(sum(col("col") * col("m")) / sum(col("m"))).as("c"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cv"))
+      .withColumn("cnrm", sqrt(expr("graft_dot(cv, cv)")))
+    // one cos_centroid per class — every member shares it
+    val scored = groups.join(broadcast(cent), "cell")
+      .select(col("ids"), col("mn"), col("m"), col("e"), col("nrm"),
+        col("cell"),
+        Det.r6(expr("graft_dot(e, cv)") / (col("nrm") * col("cnrm")))
+          .as("cc"))
+      .localCheckpoint()
+    // class-level pair decisions (distinct-vector geometry only)
+    val cos = expr("graft_dot(a.e, b.e)") / (col("a.nrm") * col("b.nrm"))
+    val facts = scored.as("a").join(scored.as("b"),
+        col("a.cell") === col("b.cell") && col("a.mn") < col("b.mn"))
+      .filter(Det.r4(cos) >= 0.35)
+      .select(
+        when(col("a.cc") > col("b.cc"),
+          array(struct(col("a.mn").as("k"), lit(true).as("all"),
+            lit(null).cast("long").as("tieMin"))))
+        .when(col("b.cc") > col("a.cc"),
+          array(struct(col("b.mn").as("k"), lit(true).as("all"),
+            lit(null).cast("long").as("tieMin"))))
+        .otherwise(array(
+          struct(col("a.mn").as("k"), lit(false).as("all"),
+            col("b.mn").as("tieMin")),
+          struct(col("b.mn").as("k"), lit(false).as("all"),
+            col("a.mn").as("tieMin")))).as("fs"))
+      .select(explode(col("fs")).as("f"))
+      .groupBy(col("f.k").as("mn"))
+      .agg(max(col("f.all")).as("allDrop"), min(col("f.tieMin")).as("tieMin"))
+    val selfCos = Det.r4(expr("graft_dot(e, e)") / (col("nrm") * col("nrm")))
+    val dropped = scored
+      .join(facts, Seq("mn"), "left")
+      .withColumn("intraDrop", col("m") > 1L && selfCos >= 0.35)
+      .select(col("cell"), col("cc"), col("mn"),
+        coalesce(col("allDrop"), lit(false)).as("allDrop"),
+        col("tieMin"), col("intraDrop"),
+        explode(col("ids")).as("vec_id"))
+      .filter(col("allDrop") ||
+        (col("intraDrop") && col("vec_id") > col("mn")) ||
+        (col("tieMin").isNotNull && col("vec_id") > col("tieMin")))
+    dropped
+      .select(col("vec_id"), col("cell"), col("cc").as("cos_centroid"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** SPEC-ONLY expanded reference for [[semdedupOver]] — the per-
+    * member pair formulation the contraction replaced (quadratic in
+    * the duplication factor; never on a scored path). Kept so
+    * SemdedupCollapseSpec can pin output equality of the two
+    * formulations on frames where the expanded one is tractable. */
+  private[graft] def semdedupExpandedOver(e0: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(e0.sparkSession)
+    val e = e0
       .withColumn("cell", ivfCell(col("e")))
       .withColumn("nrm", sqrt(expr("graft_dot(e, e)")))
       .localCheckpoint()

@@ -980,35 +980,77 @@ object LlmPipe extends QueryModule {
     * collapsing: triangle-dense clusters are clique-like (mutual
     * near-dups, safe to keep one copy), triangle-free chains are
     * borderline transitive merges (each hop barely a dup — the CC
-    * cluster may be over-merged). Algorithm: the oriented "forward"
-    * method on the existing a<b edge orientation — wedge join
-    * e(a,b)⨝e(b,c) (both sides ordered, so a<b<c) probed against the
-    * closing edge e(a,c); every triangle is found EXACTLY once, no
-    * post-hoc /6 dedup. Candidate volume is Σ outdeg² of the
-    * orientation — the bound the degree-ordered production variant
-    * optimizes at 100 TB (orienting low→high degree makes it
-    * O(m^1.5)); id order stands in here since the dup graph is
-    * near-regular. The pair subplan (the full simhash build) is
-    * checkpointed ONCE and feeds wedge, closure probe, and degree —
-    * three reuses, one computation, the dedupNgram materialization
-    * discipline. */
+    * cluster may be over-merged).
+    *
+    * CLASS-CONTRACTED like the CC/keeper family ([[LlmExt
+    * .simhashClassGraph]]): the expanded dup graph is exactly the
+    * m≥2 classes' member cliques ∪ the complete bipartite expansion
+    * of every class edge, so wedge-joining EXPANDED edges repeats
+    * ~m³ of identical work per duplication class (measured: sf1→sf3
+    * at 3× data ran 4.5× — the last superlinear scored batch query).
+    * Per-member counts collapse to class algebra instead — for a
+    * member of class A with multiplicity m_A, neighbors B~A:
+    *
+    *   degree      = (m_A−1) + Σ m_B
+    *   n_triangles = C(m_A−1,2)                 (both others in A)
+    *               + (m_A−1)·Σ m_B              (one in A, one in B)
+    *               + Σ C(m_B,2)                 (both in one B)
+    *               + Σ_{B~C, both ~A} m_B·m_C   (class triangles)
+    *
+    * Only the last term needs triangle enumeration, and it runs the
+    * oriented "forward" wedge algorithm (e(a,b)⨝e(b,c) probed
+    * against e(a,c), every triangle found exactly once) on the CLASS
+    * graph — distinct-content geometry, duplication-invariant; its
+    * candidate volume is Σ outdeg², the bound the degree-ordered
+    * production variant tightens to O(m^1.5) at 100 TB. All-integer
+    * algebra: engine-exact, no discretization caveats. Members
+    * re-expand only at output (one row per triangle-participating
+    * doc, linear). TriangleCollapseSpec pins the identity against
+    * the expanded formulation on a heavily duplicated frame. */
   private def graphTriangles(s: SparkSession, d: String): DataFrame = {
-    val e = LlmExt.simhashPairs(s, d)
-      .select(col("da").as("a"), col("db").as("b"))
-      .localCheckpoint()
-    // wedge a<b<c: both edge copies carry the a<b invariant, so the
-    // shared endpoint b sits between a and c by construction
-    val wedges = e.toDF("a", "b").join(e.toDF("b", "c"), "b")
+    val (classes, rawEdges) = LlmExt.simhashClassGraph(s, d)
+    val ce = rawEdges.select(
+        least(col("ra"), col("rb")).as("lo"),
+        greatest(col("ra"), col("rb")).as("hi"))
+      .localCheckpoint() // feeds adjacency, wedge, closure probe
+    val m = classes.select(col("rep"), col("m"))
+    // undirected adjacency with neighbour multiplicity → per-class
+    // Σ m_B and Σ C(m_B,2) (map-side combined; |class edges| rows)
+    val adj = ce.select(col("lo").as("rep"), col("hi").as("nbr"))
+      .unionByName(ce.select(col("hi").as("rep"), col("lo").as("nbr")))
+      .join(m.toDF("nbr", "nm"), "nbr")
+    val nbrAgg = adj.groupBy(col("rep"))
+      .agg(sum(col("nm")).as("s1"),
+        sum(expr("nm * (nm - 1) DIV 2")).as("s2"))
+    // class triangles a<b<c on the lo<hi orientation; each one feeds
+    // all three corners with the product of the OTHER two sizes
+    val wedges = ce.toDF("a", "b").join(ce.toDF("b", "c"), "b")
       .select(col("a"), col("b"), col("c"))
-    val tri = wedges.join(e.toDF("a", "c"), Seq("a", "c"))
-    val perNode = tri
-      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
-    val degrees = e
-      .select(explode(array(col("a"), col("b"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
-    perNode.join(degrees, "node")
-      .select(col("node").as("doc_id"), col("degree"), col("n_triangles"))
+    val tri = wedges.join(ce.toDF("a", "c"), Seq("a", "c"))
+    val triContrib = tri
+      .join(m.toDF("a", "ma"), "a")
+      .join(m.toDF("b", "mb"), "b")
+      .join(m.toDF("c", "mc"), "c")
+      .select(explode(array(
+        struct(col("a").as("rep"), (col("mb") * col("mc")).as("tc")),
+        struct(col("b").as("rep"), (col("ma") * col("mc")).as("tc")),
+        struct(col("c").as("rep"), (col("ma") * col("mb")).as("tc"))))
+        .as("x"))
+      .groupBy(col("x.rep").as("rep")).agg(sum(col("x.tc")).as("t"))
+    classes
+      .join(nbrAgg, Seq("rep"), "left")
+      .join(triContrib, Seq("rep"), "left")
+      .select(col("ids"), col("m"),
+        coalesce(col("s1"), lit(0L)).as("s1"),
+        coalesce(col("s2"), lit(0L)).as("s2"),
+        coalesce(col("t"), lit(0L)).as("t"))
+      .select(col("ids"),
+        (col("m") - 1L + col("s1")).as("degree"),
+        (expr("(m - 1) * (m - 2) DIV 2") + (col("m") - 1L) * col("s1")
+          + col("s2") + col("t")).as("n_triangles"))
+      .filter(col("n_triangles") >= 1L)
+      .select(explode(col("ids")).as("doc_id"),
+        col("degree"), col("n_triangles"))
       .orderBy(col("doc_id"))
   }
 
