@@ -118,6 +118,23 @@ object Graft {
     (ranks.withColumnRenamed("doc_id", "id"), masses)
   }
 
+  /** Per-node triangle statistics over an undirected edge list:
+    * `(id, degree, n_triangles)` for every node with at least one
+    * edge — the local-clustering signal q_graph_triangles uses to
+    * grade dedup clusters (triangle-dense ⇒ clique-like mutual
+    * near-dups; triangle-free chains ⇒ borderline transitive
+    * merges). Any orientation, duplicate edges and self-loops
+    * tolerated (canonicalized away). Oriented "forward" wedge
+    * algorithm — each triangle counted exactly once; candidate
+    * volume Σ outdeg² of the id orientation, so for skewed graphs
+    * relabel ids by degree rank first to get the O(m^1.5) bound. */
+  def triangleCounts(edges: DataFrame, src: String, dst: String)
+      : DataFrame =
+    ops.LlmPipe.triangleCountsOver(
+        edges.select(longId(col(src), "triangleCounts"),
+          longId(col(dst), "triangleCounts")))
+      .withColumnRenamed("node", "id")
+
   // ------------------------------------------------------------------ joins
 
   /** As-of join: every `left` row joined to the LATEST `right` row
@@ -226,6 +243,40 @@ object Graft {
     * treat the argument as an identifier, never as SQL text. */
   def ngramHashes(text: Column, width: Int): Column =
     ops.LlmQuality.ngramHashesOf(text, width)
+
+  /** SemDeDup (semantic dedup, Abbas et al. 2023) over any
+    * (id, vector) frame: clusters vectors into IVF cells, scores each
+    * against its cell centroid, and DROPS the HIGHER-cos-to-centroid
+    * member of every in-cell pair with cosine ≥ `minCosine` (exact
+    * ties toward the higher id) — keeping the least prototypical
+    * example per redundant group, the paper's rule. Returns the DROP
+    * set
+    * `(vec_id, cell, cos_centroid)` — anti-join it away, or call
+    * [[semanticDedupApply]]. Inherits q_llm_semdedup's contracted
+    * shape: pair geometry runs once per DISTINCT vector with member
+    * re-expansion by class algebra, so verbatim-duplicated embeddings
+    * (the norm in crawl corpora) add output rows, not quadratic pair
+    * work; the in-cell join is co-partitioned on cell, never n²
+    * across cells. */
+  def semanticDedup(vectors: DataFrame, id: String, vec: String,
+                    minCosine: Double = 0.35): DataFrame = {
+    registerFunctions(vectors.sparkSession)
+    ops.LlmExt.semdedupOver(
+      vectors.select(longId(col(id), "semanticDedup").as("vec_id"),
+        transform(col(vec), x => x.cast("double")).as("e")),
+      minCosine)
+  }
+
+  /** [[semanticDedup]], applied: the input frame minus the dropped
+    * rows — one survivor per group of semantically-redundant vectors,
+    * all other columns untouched. */
+  def semanticDedupApply(vectors: DataFrame, id: String, vec: String,
+                         minCosine: Double = 0.35): DataFrame = {
+    val drops = semanticDedup(vectors, id, vec, minCosine)
+      .select(col("vec_id").as("__drop"))
+    vectors.join(drops, vectors(id).cast("long") === drops("__drop"),
+      "left_anti")
+  }
 
   // ------------------------------------------------------------- similarity
 

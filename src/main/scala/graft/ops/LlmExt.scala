@@ -894,8 +894,11 @@ object LlmExt extends QueryModule {
   /** The contracted core over any (vec_id, e: array<double>) frame —
     * package-visible so SemdedupCollapseSpec can drive it (and its
     * expanded reference twin) over duplicated and tie-forcing
-    * frames. */
-  private[graft] def semdedupOver(e0: DataFrame): DataFrame = {
+    * frames, and so the Graft facade can run it on user embeddings
+    * (with the similarity threshold as a parameter; the scored query
+    * pins 0.35). */
+  private[graft] def semdedupOver(e0: DataFrame,
+                                  minCos: Double = 0.35): DataFrame = {
     graft.functions.GraftFunctions.register(e0.sparkSession)
     // one row per DISTINCT embedding: sorted member ids, class key
     val groups = e0
@@ -926,7 +929,7 @@ object LlmExt extends QueryModule {
     val cos = expr("graft_dot(a.e, b.e)") / (col("a.nrm") * col("b.nrm"))
     val facts = scored.as("a").join(scored.as("b"),
         col("a.cell") === col("b.cell") && col("a.mn") < col("b.mn"))
-      .filter(Det.r4(cos) >= 0.35)
+      .filter(Det.r4(cos) >= minCos)
       .select(
         when(col("a.cc") > col("b.cc"),
           array(struct(col("a.mn").as("k"), lit(true).as("all"),
@@ -945,7 +948,7 @@ object LlmExt extends QueryModule {
     val selfCos = Det.r4(expr("graft_dot(e, e)") / (col("nrm") * col("nrm")))
     val dropped = scored
       .join(facts, Seq("mn"), "left")
-      .withColumn("intraDrop", col("m") > 1L && selfCos >= 0.35)
+      .withColumn("intraDrop", col("m") > 1L && selfCos >= minCos)
       .select(col("cell"), col("cc"), col("mn"),
         coalesce(col("allDrop"), lit(false)).as("allDrop"),
         col("tieMin"), col("intraDrop"),
@@ -963,7 +966,8 @@ object LlmExt extends QueryModule {
     * the duplication factor; never on a scored path). Kept so
     * SemdedupCollapseSpec can pin output equality of the two
     * formulations on frames where the expanded one is tractable. */
-  private[graft] def semdedupExpandedOver(e0: DataFrame): DataFrame = {
+  private[graft] def semdedupExpandedOver(e0: DataFrame,
+                                          minCos: Double = 0.35): DataFrame = {
     graft.functions.GraftFunctions.register(e0.sparkSession)
     val e = e0
       .withColumn("cell", ivfCell(col("e")))
@@ -986,7 +990,7 @@ object LlmExt extends QueryModule {
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
         Det.r4(cos).as("cos_sim"))
-      .filter(col("cos_sim") >= 0.35)
+      .filter(col("cos_sim") >= minCos)
     val sa = scored.select(col("vec_id").as("va"), col("cos_centroid").as("ca"))
     val sb = scored.select(col("vec_id").as("vb"), col("cos_centroid").as("cb"))
     val dropped = pairs.join(sa, "va").join(sb, "vb")

@@ -1054,6 +1054,45 @@ object LlmPipe extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Generic per-node triangle counting over ANY user edge list —
+    * the Graft facade's core (the scored q_graph_triangles runs the
+    * class-contracted variant above because its dup-graph input
+    * carries verbatim-copy multiplicities; an arbitrary user graph
+    * has no class structure, so it gets the canonical algorithm
+    * directly). Input: (a, b) long pairs, any orientation, dups and
+    * self-loops tolerated. Canonicalizes to the lo<hi distinct edge
+    * set, then runs the oriented "forward" method: wedge join
+    * e(a,b)⨝e(b,c) (both copies carry the a<b invariant, so a<b<c by
+    * construction) probed against the closing edge e(a,c) — each
+    * triangle found exactly once, no /6 dedup. Candidate volume is
+    * Σ outdeg² of the id orientation; a degree-ordered orientation
+    * (relabel by degree rank first) tightens that to O(m^1.5) for
+    * skewed graphs — at 100 TB feed ids through a degree-rank
+    * surrogate before calling. The canonical edge set is
+    * checkpointed once and feeds wedge, closure probe, and degree.
+    * Output: one row per node with ≥1 edge, (node, degree,
+    * n_triangles ≥ 0). */
+  private[graft] def triangleCountsOver(edges: DataFrame): DataFrame = {
+    val e = edges.toDF("x", "y")
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct()
+      .localCheckpoint()
+    val wedges = e.toDF("a", "b").join(e.toDF("b", "c"), "b")
+      .select(col("a"), col("b"), col("c"))
+    val tri = wedges.join(e.toDF("a", "c"), Seq("a", "c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    val degrees = e
+      .select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    degrees.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+
   private val graphTrianglesSql =
     s"""WITH ${LlmExt.simhashFpsCtes},
        |e AS (

@@ -341,4 +341,48 @@ class GraftApiSpec extends AnyFunSuite {
       .head().getInt(0)
     assert(n == 3)
   }
+
+  test("triangleCounts matches hand-counted triangles on a messy edge list") {
+    // diamond {1-2,1-3,2-3,2-4,3-4} + pendant 1-5; triangles (1,2,3)
+    // and (2,3,4). Reversed duplicate (3,2) and self-loop (2,2) must
+    // canonicalize away, not inflate degrees or counts.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+        (1L, 5L), (3L, 2L), (2L, 2L))
+      .toDF("from_node", "to_node")
+    val got = Graft.triangleCounts(edges, "from_node", "to_node")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 3L, 1L), (2L, 3L, 2L), (3L, 3L, 2L), (4L, 2L, 1L),
+      (5L, 1L, 0L)), s"got ${got.toSeq}")
+    assert(Graft.triangleCounts(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b").count() == 0)
+  }
+
+  test("semanticDedup drops the redundant vector, keeps one per group") {
+    // cell A: 1 and 2 nearly parallel (cos ~0.990), 4 a verbatim copy
+    // of 2; cell B: 3 orthogonal. SemDeDup keeps the LEAST prototypical
+    // member of a redundant pair (lowest cos-to-centroid), so expect
+    // drops = {2 (closer to the centroid than 1), 4 (verbatim copy,
+    // keep min id of the class)}.
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.99, 0.14, 0.0, 0.0)),
+      (4L, Seq(0.99, 0.14, 0.0, 0.0)),
+      (3L, Seq(0.0, 1.0, 0.0, 0.0))
+    ).toDF("vid", "emb")
+    val drops = Graft.semanticDedup(vecs, "vid", "emb")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(drops == Set(2L, 4L), s"got $drops")
+    val kept = Graft.semanticDedupApply(vecs, "vid", "emb")
+      .select("vid").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+    // a threshold above the 1-2 cosine spares 1; verbatim copies
+    // still collapse (self-cosine 1.0 passes any threshold <= 1)
+    val strict = Graft.semanticDedup(vecs, "vid", "emb", minCosine = 0.9999)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(strict == Set(4L), s"got $strict")
+    assert(Graft.semanticDedup(
+      Seq.empty[(Long, Seq[Double])].toDF("k", "v"), "k", "v").count() == 0)
+  }
 }
