@@ -59,4 +59,38 @@ class TriangleCollapseSpec extends AnyFunSuite {
       s"contracted counts must equal brute force: got ${got.size} nodes," +
         s" expected ${expected.size}")
   }
+
+  test("property: generic triangleCountsOver equals brute force on " +
+      "random multigraphs with self-loops") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    import s.implicits._
+    val graphGen: Gen[List[(Long, Long)]] = for {
+      n <- Gen.chooseNum(2, 12)
+      m <- Gen.chooseNum(1, 40)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0, n - 1); b <- Gen.chooseNum(0, n - 1)
+      } yield (a.toLong, b.toLong)) // any orientation, dups, self-loops
+    } yield es
+    val prop = Prop.forAll(graphGen) { es =>
+      val simple = es.filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+      val adj = simple.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupMap(_._1)(_._2).view.mapValues(_.toSet).toMap
+      val expected = adj.map { case (v, nb) =>
+        val ns = nb.toSeq
+        v -> ((nb.size.toLong, (for {
+          i <- ns.indices; j <- (i + 1) until ns.size
+          if adj(ns(i)).contains(ns(j))
+        } yield 1).size.toLong))
+      }
+      val got = graft.ops.LlmPipe.triangleCountsOver(es.toDF("x", "y"))
+        .collect()
+        .map(r => r.getAs[Long]("node") ->
+          ((r.getAs[Long]("degree"), r.getAs[Long]("n_triangles")))).toMap
+      got == expected
+    }
+    val r = check(Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(r.passed, r.status.toString)
+  }
 }
