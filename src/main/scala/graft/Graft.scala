@@ -418,8 +418,11 @@ object Graft {
       "bucket_us", "n_obs", "avg_val", "ff_val", "interp_val")
     val buckets = df
       .select(col(series),
-        (floor(col(timeUs).cast("long") / stepUs).cast("long") * stepUs)
-          .as("bucket_us"),
+        // floor-to-grid in pure long arithmetic: t - pmod(t, step) ==
+        // floor(t/step)*step for any sign of t, with no double
+        // division (which is only exact for |t| < 2^53)
+        (col(timeUs).cast("long") -
+          pmod(col(timeUs).cast("long"), lit(stepUs))).as("bucket_us"),
         col(value).cast("double").as("__v"))
       .groupBy(col(series), col("bucket_us"))
       .agg(count(lit(1)).as("n_obs"), ops.Det.r4(avg(col("__v"))).as("avg_val"))

@@ -53,12 +53,19 @@ object PressureBench {
     })
 
     def q(s: String): String = "\"" + s + "\""
+    // listener events are delivered asynchronously on the bus — drain
+    // it before each before/after sample or spill attributes to the
+    // wrong query (and the last query's spill is missed entirely)
+    def drainedSpill(): Long = {
+      org.apache.spark.graft.ListenerBusAccess.waitUntilEmpty(spark.sparkContext)
+      spilled.get()
+    }
     val results = queries.map { name =>
+      val before = drainedSpill()
       val t0 = System.nanoTime()
-      val before = spilled.get()
       val rows = SparkEntry.queries(name)(spark, sfDir).count()
       val sec = (System.nanoTime() - t0) / 1e9
-      val sp = spilled.get() - before
+      val sp = drainedSpill() - before
       System.err.println(f"[pressure] $name: $sec%.2fs rows=$rows spill=$sp")
       (name, sec, rows, sp)
     }

@@ -248,21 +248,30 @@ object Lakehouse extends QueryModule {
     s.conf.getOption("spark.graft.buckets").map(_.toInt)
       .getOrElse(s.sparkContext.defaultParallelism)
 
-  /** Driver-side content signature (length ⊕ rotated mtime, recursive
+  /** Driver-side content signature (name + length + mtime, recursive
     * over multi-file parquet dirs) of the join's source files. Rides
     * in the bucketed table name so regenerating the parquet under the
     * SAME dir within one process yields new table names — the cached
-    * layout can never silently serve stale data. Pure fs metadata:
-    * no job, no read. */
+    * layout can never silently serve stale data. The fold is an
+    * order-sensitive FNV-style mix over name-sorted children (NOT a
+    * plain XOR: two identical sibling part-files would cancel to 0
+    * and distinct directory contents could alias), so any change to
+    * a child's name, size, mtime, or the child set itself changes
+    * the signature. Pure fs metadata: no job, no read. */
   private def srcSig(d: String, files: Seq[String]): String = {
-    def sig(f: java.io.File): Long =
+    def mix(h: Long, v: Long): Long = (h ^ v) * 0x100000001b3L
+    def sig(f: java.io.File): Long = {
+      val self = mix(mix(f.getName.hashCode.toLong, f.length()),
+        f.lastModified())
       if (f.isDirectory)
-        Option(f.listFiles()).map(_.map(sig).foldLeft(0L)(_ ^ _))
-          .getOrElse(0L)
-      else f.length() ^ java.lang.Long.rotateLeft(f.lastModified(), 21)
-    val h = files.zipWithIndex.map { case (f, i) =>
-      java.lang.Long.rotateLeft(sig(new java.io.File(s"$d/$f")), i * 7)
-    }.foldLeft(0L)(_ ^ _)
+        Option(f.listFiles()).map(_.sortBy(_.getName))
+          .getOrElse(Array.empty[java.io.File])
+          .foldLeft(self)((h, c) => mix(h, sig(c)))
+      else self
+    }
+    val h = files.foldLeft(0xcbf29ce484222325L) { (acc, f) =>
+      mix(acc, sig(new java.io.File(s"$d/$f")))
+    }
     java.lang.Long.toHexString(h)
   }
 

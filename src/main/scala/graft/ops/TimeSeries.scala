@@ -21,9 +21,14 @@ object TimeSeries extends QueryModule {
     * semantics while DuckDB errors (or widens to HUGEINT), so outside
     * the guarded domain the engines would silently diverge. `maxAbs`
     * is derived per call site from the worst-case sum the grid value
-    * feeds; a row outside it raises instead of wrapping. */
+    * feeds; a row outside it raises instead of wrapping. NULLs pass
+    * through as NULL (they are absent from every sum, not
+    * out-of-domain): without the explicit branch, `abs(NULL) <= max`
+    * is NULL, the otherwise-branch fires, and the facade would crash
+    * on any null value with a NULL-message raise_error. */
   private def grid4(v: Column, maxAbs: Double, ctx: String): Column =
-    when(abs(v) <= lit(maxAbs), floor(v * 1e4 + lit(0.5)).cast("long"))
+    when(v.isNull, lit(null).cast("long"))
+      .when(abs(v) <= lit(maxAbs), floor(v * 1e4 + lit(0.5)).cast("long"))
       .otherwise(raise_error(concat(
         lit(s"graft $ctx: |value| exceeds the exact-arithmetic domain " +
           s"(±$maxAbs) of the 1e-4 integer grid: "), v.cast("string"))))
@@ -402,9 +407,23 @@ object TimeSeries extends QueryModule {
     * q_ts_interp runs through this same core. */
   private[graft] def gridSpineOver(buckets: DataFrame, series: String,
       bucketUs: String, value: String, stepUs: Long): DataFrame = {
+    // `sequence` materializes one array element per grid cell, and
+    // Spark caps arrays at MAX_ROUNDED_ARRAY_LENGTH (Int.MaxValue-15);
+    // a series spanning a wide range with a small step would otherwise
+    // die with an opaque array-allocation error deep in codegen. The
+    // guard is exact long arithmetic (`div`, not `/` — which is double
+    // division and inexact past 2^53) and names the offending series,
+    // mirroring the repo's other fail-fast contracts.
+    val maxCells = Int.MaxValue - 15L
     val spine = buckets
       .groupBy(col(series))
       .agg(min(col(bucketUs)).as("__h0"), max(col(bucketUs)).as("__h1"))
+      .withColumn("__h0",
+        when(expr(s"(__h1 - __h0) div $stepUs") < lit(maxCells), col("__h0"))
+          .otherwise(raise_error(concat(
+            lit("graft resampleGrid: series "), col(series).cast("string"),
+            lit(s" spans more than $maxCells grid cells at stepUs=$stepUs" +
+              " — choose a coarser step")))))
       .select(col(series),
         explode(sequence(col("__h0"), col("__h1"), lit(stepUs)))
           .as(bucketUs))

@@ -80,6 +80,34 @@ class GraftApiSpec extends AnyFunSuite {
     assert(got == Seq(r4(10.0), r4(50.0 / 3), r4(140.0 / 6)))
   }
 
+  test("weightedMovingAverage passes NULL values through (advice r11)") {
+    // real logs have null readings; the exact-grid domain guard must
+    // treat them as absent (NULL wma contribution -> null-safe frame
+    // sums), never fire the out-of-domain raise_error on a NULL
+    val df = Seq(("s", 1L, Some(10.0)), ("s", 2L, None), ("s", 3L, Some(30.0)))
+      .toDF("sensor", "seq", "reading")
+    val got = Graft.weightedMovingAverage(df, "sensor", "seq", "reading", 2)
+      .orderBy($"seq").select($"wma").collect()
+      .map(r => Option(r.get(0)).map(_.asInstanceOf[Double])).toSeq
+    // the frames still produce a wma from the non-null members
+    assert(got.length == 3 && got.forall(_.isDefined))
+  }
+
+  test("resampleGrid fails fast past the array-length grid cap (advice r11)") {
+    // two points 10^12 µs apart at step 1 µs = 10^12 cells — far past
+    // Spark's array cap; must raise the graft-prefixed error naming
+    // the series, not die in codegen allocation
+    val df = Seq(("wide", 0L, 1.0), ("wide", 1000000000000L, 2.0))
+      .toDF("sensor", "t_us", "reading")
+    val e = intercept[Exception] {
+      Graft.resampleGrid(df, "sensor", "t_us", "reading", 1L).count()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("graft resampleGrid") && msg.contains("wide"),
+      s"unexpected error: $msg")
+  }
+
   test("nearDuplicatePairs + clusters find the planted near-dup on user columns") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
     val docsF = Seq(
