@@ -67,4 +67,11 @@ object SparkEntry {
     * the driver's gate reads [[oracleSql]]. */
   def oracleSqlScale: Map[String, String] =
     oracleSql ++ modules.flatMap(_.scaleOracles).toMap
+
+  /** Sampled-subgraph independence oracles plus their `__closure` /
+    * `__n_nodes` guards — see [[QueryModule.sliceOracles]]. Standalone
+    * map (NOT a substitution over [[oracleSql]]); consumed by
+    * tools/slice_check.py for the sf3 independence gate. */
+  def oracleSqlSlice: Map[String, String] =
+    modules.flatMap(_.sliceOracles).toMap
 }

@@ -101,10 +101,24 @@ trait QueryModule {
     * same result, different derivation (the graph trio's use the
     * class-contraction identities the engine's own strategy specs
     * prove). ScaleOracleSpec pins the structural contract; VALUE
-    * equivalence is established by running the gate in both modes at
-    * a small SF where both formulations are tractable (primary and
-    * variant each match the same engine dump). The sf3 gate
-    * (tools/check.py --scale-oracle) substitutes these; the driver's
-    * sf0.01 gate keeps the primary, independent formulation. */
+    * equivalence is a checked-in gate mode — `tools/check.py
+    * --dual-oracle` runs primary AND variant against the same engine
+    * dump at a small SF, and `tools/slice_check.py` adds
+    * engine-independent large-SF evidence via [[sliceOracles]]. The
+    * sf3 gate (tools/check.py --scale-oracle) substitutes these; the
+    * driver's sf0.01 gate keeps the primary formulation. */
   def scaleOracles: Map[String, String] = Map.empty
+  /** Sampled vertex-induced-subgraph oracles — INDEPENDENT large-SF
+    * evidence for queries whose [[scaleOracles]] variant restates the
+    * engine's own contraction identities (the sf3 trust gap flagged
+    * in VERDICT r11 #1). Each entry is the PRIMARY (fully expanded)
+    * formulation restricted to a harness-provided `slice_docs(sid)`
+    * table, with the one global coupling (the participant count n)
+    * injected via a `global_n(n)` table. Two reserved keys carry the
+    * harness-side guards: `__closure` (count of expanded edges
+    * crossing the slice boundary — must be 0, proving the slice is a
+    * union of TRUE components regardless of how it was picked) and
+    * `__n_nodes` (the global participant count). Consumed by
+    * tools/slice_check.py; structural contract in ScaleOracleSpec. */
+  def sliceOracles: Map[String, String] = Map.empty
 }

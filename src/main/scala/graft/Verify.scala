@@ -66,6 +66,11 @@ object Verify {
     val scaleJson = SparkEntry.oracleSqlScale
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql_scale.json"), scaleJson)
+    // Sampled-subgraph independence oracles (tools/slice_check.py) —
+    // the engine-independent sf3 evidence for the graph trio.
+    val sliceJson = SparkEntry.oracleSqlSlice
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql_slice.json"), sliceJson)
     // Always written (empty object when clean) so "no errors recorded"
     // is distinguishable from "error channel didn't exist".
     val errJson = errors

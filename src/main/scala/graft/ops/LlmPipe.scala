@@ -1259,6 +1259,132 @@ object LlmPipe extends QueryModule {
        |FROM k JOIN sz ON sz.cluster = k.cluster
        |WHERE rn = 1 ORDER BY k.cluster""".stripMargin
 
+  // -------------------------------------- slice (sf3 independence) oracles
+
+  /** Sampled vertex-induced-subgraph oracles — the engine-INDEPENDENT
+    * sf3 evidence for the iterative graph trio (VERDICT r11 #1). The
+    * scale variants above restate the contraction identities the
+    * engine itself implements, which weakens the sf3 oracle's
+    * independence exactly where it is being trusted. These instead
+    * run the PRIMARY (fully expanded) formulations over a
+    * harness-provided `slice_docs(sid)` sample — a union of clusters
+    * picked from the engine's own output, which is legitimate because
+    * the `__closure` guard proves FROM THE RAW DATA that no expanded
+    * edge crosses the slice boundary: a closure-passing slice is a
+    * union of TRUE components no matter how it was chosen. An engine
+    * that SPLIT a true component fails closure; one that MERGED or
+    * mislabeled components, or got any rank wrong, fails the expanded
+    * slice oracle. The one global coupling — PageRank's 0.15/n term —
+    * is injected via `global_n(n)`, computed by `__n_nodes` over
+    * distinct fingerprints; the ONLY identity that uses is "equal fps
+    * ⇒ identical adjacency", a tautology of the edge predicate (the
+    * hamming distance is a function of the two fps alone), NOT the
+    * engine's reachability / rank-propagation / argmax algebra.
+    * Everything else — edge enumeration, reachability, the 12 chained
+    * rank iterations, the keeper argmax — is the primary SQL verbatim
+    * with `fps` swapped for the slice; tractable because |slice| is
+    * ~1e3 docs where the full sf3 expansion costs DuckDB 25–90+ min.
+    * Slice degrees equal global degrees (closure), so the restricted
+    * iteration reproduces the global ranks on the slice exactly.
+    * Harness: tools/slice_check.py; runs recorded in SCALE.md. */
+  private val sliceFsCtes =
+    """fs AS MATERIALIZED (
+      |  SELECT f.doc_id, f.fp
+      |  FROM fps f JOIN slice_docs s ON f.doc_id = s.sid),
+      |e AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b
+      |  FROM fs a JOIN fs b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.fp, b.fp)) <= 3)""".stripMargin
+
+  private val dedupCcSliceSql =
+    s"""WITH RECURSIVE ${LlmExt.simhashFpsCtes},
+       |$sliceFsCtes,
+       |u AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+       |r AS (
+       |  SELECT a AS id, a AS reach FROM u
+       |  UNION
+       |  SELECT r.id, u.b FROM r JOIN u ON r.reach = u.a),
+       |c AS (SELECT id, min(reach) AS cluster FROM r GROUP BY id)
+       |SELECT id AS doc_id, cluster,
+       |       count(*) OVER (PARTITION BY cluster)::BIGINT AS cluster_size
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  private val graphPagerankConvSliceSql = {
+    val iter = (prev: String, cur: String) =>
+      s"""$cur AS (
+         |  SELECT u.dst AS id,
+         |         ${Det.sql6(
+              "0.15 / any_value(nn.n) + " +
+              s"0.85 * sum(p.rank / deg.outdeg)")} AS rank
+         |  FROM u JOIN deg ON u.src = deg.src
+         |         JOIN $prev p ON u.src = p.id CROSS JOIN nn
+         |  GROUP BY u.dst)"""
+    val chain = (1 to PrIters)
+      .map(i => iter(s"pr${i - 1}", s"pr$i")).mkString(",\n")
+    s"""WITH ${LlmExt.simhashFpsCtes},
+       |$sliceFsCtes,
+       |u AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+       |deg AS (SELECT src, count(*) AS outdeg FROM u GROUP BY src),
+       |nn AS (SELECT n FROM global_n),
+       |pr0 AS (
+       |  SELECT src AS id, ${Det.sql6("1.0 / nn.n")} AS rank
+       |  FROM deg CROSS JOIN nn),
+       |$chain
+       |SELECT id AS doc_id, rank FROM pr$PrIters ORDER BY doc_id""".stripMargin
+  }
+
+  private val llmKeeperSliceSql =
+    s"""WITH RECURSIVE ${LlmExt.simhashFpsCtes},
+       |$sliceFsCtes,
+       |u AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+       |r AS (
+       |  SELECT src AS id, src AS reach FROM u
+       |  UNION
+       |  SELECT r.id, u.dst FROM r JOIN u ON r.reach = u.src),
+       |c AS (SELECT id, min(reach) AS cluster FROM r GROUP BY id),
+       |deg AS (SELECT src, count(*) AS outdeg FROM u GROUP BY src),
+       |nn AS (SELECT n FROM global_n),
+       |pr AS (
+       |  SELECT u.dst AS id,
+       |         ${Det.sql6(
+            "0.15 / any_value(nn.n) + " +
+            "0.85 * sum((1.0 / nn.n) / deg.outdeg)")} AS rank
+       |  FROM u JOIN deg ON u.src = deg.src CROSS JOIN nn
+       |  GROUP BY u.dst),
+       |k AS (
+       |  SELECT c.cluster, c.id, pr.rank,
+       |         row_number() OVER (PARTITION BY c.cluster
+       |                            ORDER BY pr.rank DESC, c.id) AS rn,
+       |         count(*) OVER (PARTITION BY c.cluster) AS n_members
+       |  FROM c JOIN pr ON c.id = pr.id)
+       |SELECT cluster, n_members::BIGINT AS n_members,
+       |       id AS keeper_doc, rank AS keeper_rank
+       |FROM k WHERE rn = 1 ORDER BY cluster""".stripMargin
+
+  /** Global participant count over distinct fingerprints (equal fps ⇒
+    * identical adjacency — a property of the edge DEFINITION, used in
+    * place of the 150k×150k expanded scan DuckDB needs ~7 min for). */
+  private val sliceNNodesSql =
+    s"""WITH ${LlmExt.simhashFpsCtes},
+       |cls AS (SELECT fp, count(*) AS m FROM fps GROUP BY fp)
+       |SELECT sum(m)::BIGINT AS n FROM cls c
+       |WHERE m > 1 OR EXISTS (
+       |  SELECT 1 FROM cls d
+       |  WHERE d.fp <> c.fp AND bit_count(xor(c.fp, d.fp)) <= 3)""".stripMargin
+
+  /** Count of expanded edges crossing the slice boundary, stated over
+    * distinct fp pairs (same tautology as [[sliceNNodesSql]]: a
+    * crossing (s∈S, t∉S) edge exists iff some (fp_S, fp_T) pair —
+    * including an equal pair — is within hamming 3). Must be 0. */
+  private val sliceClosureSql =
+    s"""WITH ${LlmExt.simhashFpsCtes},
+       |sfp AS (SELECT DISTINCT f.fp FROM fps f
+       |        JOIN slice_docs s ON f.doc_id = s.sid),
+       |tfp AS (SELECT DISTINCT f.fp FROM fps f
+       |        WHERE f.doc_id NOT IN (SELECT sid FROM slice_docs))
+       |SELECT count(*)::BIGINT AS crossing
+       |FROM sfp a JOIN tfp b ON bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1287,5 +1413,13 @@ object LlmPipe extends QueryModule {
     "q_llm_dedup_cc" -> dedupCcScaleSql,
     "q_graph_pagerank_conv" -> graphPagerankConvScaleSql,
     "q_llm_keeper" -> llmKeeperScaleSql,
+  )
+
+  override val sliceOracles: Map[String, String] = Map(
+    "q_llm_dedup_cc" -> dedupCcSliceSql,
+    "q_graph_pagerank_conv" -> graphPagerankConvSliceSql,
+    "q_llm_keeper" -> llmKeeperSliceSql,
+    "__n_nodes" -> sliceNNodesSql,
+    "__closure" -> sliceClosureSql,
   )
 }

@@ -9,10 +9,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * the primary, and target only queries whose primary formulation is
   * the documented intractable class. VALUE equivalence cannot run in
   * this JVM (the oracles are DuckDB SQL — no DuckDB on the test
-  * classpath); it is established by running the gate twice at a small
-  * SF where both formulations are tractable: primary and variant each
-  * match the SAME engine dump (r11 session: 3/3 at sf0.01 both modes,
-  * 3/3 at sf3 with the variants). */
+  * classpath); it is a checked-in gate mode instead:
+  * `tools/check.py --dual-oracle` runs primary AND variant against
+  * the SAME engine dump (r12: 3/3×2 at sf0.01), and
+  * `tools/slice_check.py` adds ENGINE-INDEPENDENT sf3 evidence — the
+  * expanded primary formulation on a closure-verified sampled
+  * subgraph (SLICE_CHECK.json: 3/3 exact at sf3). */
 class ScaleOracleSpec extends AnyFunSuite {
 
   test("every scale oracle shadows a primary oracle key") {
@@ -41,6 +43,43 @@ class ScaleOracleSpec extends AnyFunSuite {
     val defs = raw"pr\d+ AS".r.findAllIn(sql).size
     assert(defs == 13, s"expected pr0 + 12 iteration CTEs, found $defs")
     assert(sql.contains("JOIN pr12 "), "final select must read pr12")
+  }
+
+  test("slice oracles cover the trio plus the two harness guards") {
+    val keys = SparkEntry.oracleSqlSlice.keySet
+    assert(keys == Set("q_llm_dedup_cc", "q_graph_pagerank_conv",
+      "q_llm_keeper", "__n_nodes", "__closure"),
+      s"unexpected slice-oracle key set: ${keys.toSeq.sorted}")
+  }
+
+  test("slice oracles are EXPANDED formulations over the harness tables") {
+    // the whole point of the slice gate (VERDICT r11 #1) is
+    // independence from the engine's contraction identities: the trio
+    // variants must restrict `fps` through slice_docs and must NOT
+    // reuse the class-contraction CTEs (part/du/ce/od — the scale
+    // variants' machinery); the rank queries must take n from the
+    // harness-computed global_n, never recount it from slice degrees
+    for (name <- Seq("q_llm_dedup_cc", "q_graph_pagerank_conv",
+        "q_llm_keeper")) {
+      val sql = SparkEntry.oracleSqlSlice(name)
+      assert(sql.contains("JOIN slice_docs"), s"$name: no slice restriction")
+      assert(sql.contains("FROM fs a JOIN fs b ON a.doc_id < b.doc_id"),
+        s"$name: edge enumeration must be the expanded pairwise join")
+      for (cte <- Seq("part AS", "du AS", "ce AS", "od AS"))
+        assert(!sql.contains(cte),
+          s"$name: slice oracle reuses class-contraction CTE `$cte`")
+      if (name != "q_llm_dedup_cc")
+        assert(sql.contains("SELECT n FROM global_n"),
+          s"$name: rank n must be injected from global_n")
+    }
+    // the guards may group by fp (the data-level tautology) but must
+    // not touch reachability or rank algebra
+    for (name <- Seq("__n_nodes", "__closure")) {
+      val sql = SparkEntry.oracleSqlSlice(name)
+      assert(!sql.contains("RECURSIVE") && !sql.contains("rank"),
+        s"$name: guard must stay iteration-free")
+    }
+    assert(SparkEntry.oracleSqlSlice("__closure").contains("slice_docs"))
   }
 
   test("recursive-WITH variants avoid bare UNION inside MATERIALIZED CTEs") {

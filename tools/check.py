@@ -50,46 +50,70 @@ def canon(v):
         return tuple(canon(x) for x in v)
     return v
 
+def oracle_sqls(name):
+    """The oracle SQL(s) to check `name` against, per mode.
+
+    --scale-oracle: large-SF variants (class-contracted graph trio) —
+      the sf3 gate, where the primary recursive-CTE oracles run
+      25-90+ min each in DuckDB.
+    --dual-oracle: BOTH the primary and (when it differs) the scale
+      variant, against the SAME engine dump — the automated small-SF
+      equivalence run that validates every scale variant as a
+      restatement of its primary (advice r11: this used to be a
+      manual session step, so the identity could silently drift).
+    """
+    with open(f"{OUT}/oracle_sql.json") as f:
+        primary = json.load(f)
+    if "--scale-oracle" in FLAGS or "--dual-oracle" in FLAGS:
+        with open(f"{OUT}/oracle_sql_scale.json") as f:
+            scale = json.load(f)
+        if "--scale-oracle" in FLAGS:
+            return [("scale", scale[name])] if name in scale else []
+        out = [("primary", primary[name])] if name in primary else []
+        if name in scale and scale[name] != primary.get(name):
+            out.append(("scale", scale[name]))
+        return out
+    return [("primary", primary[name])] if name in primary else []
+
 def compare(name, con):
     import duckdb  # noqa
     spark_df = con.execute(
         f"SELECT * FROM parquet_scan('{OUT}/{name}/*.parquet')").df()
-    # --scale-oracle: large-SF oracle variants (class-contracted graph
-    # trio) — use for the sf3 gate where the primary recursive-CTE
-    # oracles run 25-90+ min each in DuckDB.
-    oracle_file = ("oracle_sql_scale.json" if "--scale-oracle" in FLAGS
-                   else "oracle_sql.json")
-    with open(f"{OUT}/{oracle_file}") as f:
-        sqls = json.load(f)
-    if name not in sqls:
+    variants = oracle_sqls(name)
+    if not variants:
         print(f"  {name}: NO ORACLE (rows={len(spark_df)})")
         return True
+    return all(compare_one(name, con, spark_df, label, sql)
+               for label, sql in variants)
+
+def compare_one(name, con, spark_df, label, sql):
+    tag = f"{name}" if label == "primary" else f"{name} [{label}]"
     try:
-        oracle_df = con.execute(sqls[name]).df()
+        oracle_df = con.execute(sql).df()
     except Exception as e:
-        print(f"  {name}: ORACLE SQL ERROR: {str(e)[:300]}")
+        print(f"  {tag}: ORACLE SQL ERROR: {str(e)[:300]}")
         return False
     sc = sorted(spark_df.columns)
     oc = sorted(oracle_df.columns)
     if sc != oc:
-        print(f"  {name}: COLUMN MISMATCH spark={sc} oracle={oc}")
+        print(f"  {tag}: COLUMN MISMATCH spark={sc} oracle={oc}")
         return False
     spark_df = spark_df[sc]
     oracle_df = oracle_df[sc]
     if len(spark_df) != len(oracle_df):
-        print(f"  {name}: ROWCOUNT spark={len(spark_df)} oracle={len(oracle_df)}")
+        print(f"  {tag}: ROWCOUNT spark={len(spark_df)} oracle={len(oracle_df)}")
         return False
     dt_s, dt_o = list(spark_df.dtypes), list(oracle_df.dtypes)
     if dt_s != dt_o:
-        print(f"  {name}: DTYPES differ spark={dt_s} oracle={dt_o} (warn)")
+        print(f"  {tag}: DTYPES differ spark={dt_s} oracle={dt_o} (warn)")
     sv = spark_df.values.tolist()
     ov = oracle_df.values.tolist()
     for i, (a, b) in enumerate(zip(sv, ov)):
         ca, cb = [canon(x) for x in a], [canon(x) for x in b]
         if ca != cb:
-            print(f"  {name}: ROW {i} differs\n    spark : {ca}\n    oracle: {cb}")
+            print(f"  {tag}: ROW {i} differs\n    spark : {ca}\n    oracle: {cb}")
             return False
-    print(f"  {name}: OK ({len(spark_df)} rows)")
+    print(f"  {tag}: OK ({len(spark_df)} rows)")
     return True
 
 def main():
