@@ -318,19 +318,24 @@ object LlmExt extends QueryModule {
   private def simAnn(s: SparkSession, d: String): DataFrame =
     simAnnTrained(s, d, AnnNProbe)
 
+  /** The scored query/corpus split of the embeddings table —
+    * package-visible so AnnSpec can run [[ivfCandidatesOver]] on the
+    * same frame the scored query uses. */
+  private[graft] def simAnnFrame(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    T.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"),
+        (col("vec_id") < 5).as("qf"))
+  }
+
   private[graft] def simAnnTrained(s: SparkSession, d: String,
                                    nprobe: Int,
                                    lloydIters: Int = AnnLloydIters)
-      : DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    ivfTopKOver(
-      T.embeddings(s, d)
-        .select(col("vec_id"),
-          transform(col("embedding"), x => x.cast("double")).as("e"),
-          (col("vec_id") < 5).as("qf")),
-      k = 5, nprobe = nprobe, lloydIters = lloydIters)
+      : DataFrame =
+    ivfTopKOver(simAnnFrame(s, d), k = 5, nprobe = nprobe,
+        lloydIters = lloydIters)
       .orderBy(col("query_id"), col("rank"))
-  }
 
   /** The trained-IVF pipeline over an arbitrary (vec_id, e, qf)
     * frame — `qf` = true marks the query rows, everything else is
@@ -342,6 +347,14 @@ object LlmExt extends QueryModule {
   private[graft] def ivfTopKOver(e0: DataFrame,
                                  k: Int, nprobe: Int,
                                  lloydIters: Int = AnnLloydIters)
+      : DataFrame =
+    ivfTopKFrom(ivfCandidatesOver(e0, nprobe, lloydIters), k)
+
+  /** Training + probing + the rerank join, WITHOUT the final top-k:
+    * one row per (query, probed-cell corpus vector) — the exact
+    * per-query rerank bill the nprobe knob buys recall with. */
+  private[graft] def ivfCandidatesOver(e0: DataFrame, nprobe: Int,
+                                       lloydIters: Int = AnnLloydIters)
       : DataFrame = {
     val e = e0
       .withColumn("gcell", ivfCell(col("e")))
@@ -389,11 +402,21 @@ object LlmExt extends QueryModule {
         col("ccell").as("cell"),
         sqrt(expr("graft_dot(e, e)")).as("qn"))
     val cos = expr("graft_dot(qe, ce)") / (col("qn") * col("cn"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_key").desc, col("match_id"))
     broadcast(probes).join(corpus, "cell")
       .select(col("query_id"), col("match_id"), col("cell"),
         Det.r6(cos).as("cos_key"))
+  }
+
+  /** Top-k over [[ivfCandidatesOver]]'s rerank set. The candidates
+    * frame is exposed separately so AnnSpec can pin the COST side of
+    * the recall ladder: rerank rows per query at each (nprobe, Lloyd)
+    * operating point — the recall claim is only honest with its
+    * candidate bill attached. */
+  private[graft] def ivfTopKFrom(candidates: DataFrame, k: Int)
+      : DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_key").desc, col("match_id"))
+    candidates
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("match_id"), col("cell"),
