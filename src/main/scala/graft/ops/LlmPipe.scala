@@ -1054,40 +1054,90 @@ object LlmPipe extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Skew gate for [[triangleCountsOver]]'s orientation choice: the
+    * id orientation's wedge volume is hub-quadratic, so once the max
+    * degree passes `factor · √m` the degree ordering's O(m^1.5)
+    * bound wins. 4 ≈ where the relabel join starts paying for itself
+    * on this box; any constant keeps the asymptotic claim. */
+  private val TriSkewFactor = 4.0
+
+  /** Oriented edges + unclosed wedges for [[triangleCountsOver]] —
+    * split out so the spec can count the CANDIDATE volume each
+    * orientation generates (the scale argument, asserted rather than
+    * prose). Orientation key: (degree, node) when `byDegree`, else
+    * (node) — one algorithm, two total orders. */
+  private[graft] def triangleWedges(e: DataFrame, degrees: DataFrame,
+      byDegree: Boolean): (DataFrame, DataFrame) = {
+    val ok = degrees.select(col("node"),
+      (if (byDegree) col("degree") else lit(0L)).as("w"))
+    // orient each edge from the (w, id)-lesser endpoint; carry the
+    // destination's key so the wedge pair can be ordered without a
+    // re-join
+    val eo = e.join(ok.toDF("a", "wa"), "a").join(ok.toDF("b", "wb"), "b")
+      .select(when(col("wa") < col("wb") ||
+          (col("wa") === col("wb") && col("a") < col("b")),
+          struct(col("a").as("src"), col("b").as("dst"), col("wb").as("wd")))
+        .otherwise(
+          struct(col("b").as("src"), col("a").as("dst"), col("wa").as("wd")))
+        .as("o"))
+      .select(col("o.src").as("src"), col("o.dst").as("dst"),
+        col("o.wd").as("wd"))
+      .localCheckpoint() // feeds both wedge copies + the closure probe
+    val wedges = eo.toDF("s", "b", "wb").join(eo.toDF("s", "c", "wc"), "s")
+      .filter(col("wb") < col("wc") ||
+        (col("wb") === col("wc") && col("b") < col("c")))
+      .select(col("s"), col("b"), col("c"))
+    (eo, wedges)
+  }
+
   /** Generic per-node triangle counting over ANY user edge list —
     * the Graft facade's core (the scored q_graph_triangles runs the
     * class-contracted variant above because its dup-graph input
     * carries verbatim-copy multiplicities; an arbitrary user graph
     * has no class structure, so it gets the canonical algorithm
     * directly). Input: (a, b) long pairs, any orientation, dups and
-    * self-loops tolerated. Canonicalizes to the lo<hi distinct edge
-    * set, then runs the oriented "forward" method: wedge join
-    * e(a,b)⨝e(b,c) (both copies carry the a<b invariant, so a<b<c by
-    * construction) probed against the closing edge e(a,c) — each
-    * triangle found exactly once, no /6 dedup. Candidate volume is
-    * Σ outdeg² of the id orientation; a degree-ordered orientation
-    * (relabel by degree rank first) tightens that to O(m^1.5) for
-    * skewed graphs — at 100 TB feed ids through a degree-rank
-    * surrogate before calling. The canonical edge set is
-    * checkpointed once and feeds wedge, closure probe, and degree.
+    * self-loops tolerated. Canonicalizes to the distinct undirected
+    * edge set, then runs the oriented "forward" method: orient every
+    * edge along a total order, wedge-join the out-edges at each
+    * minimum corner, probe against the closing oriented edge — each
+    * triangle found exactly once, no /6 dedup. The ORDER is picked by
+    * a stats probe (the hotKeyShare discipline, but exact — the
+    * degree frame is already required for the output, so the probe
+    * is one |nodes|→1 aggregate, not a sample): id order when
+    * degrees are flat; (degree, id) order when the max degree
+    * exceeds [[TriSkewFactor]]·√m, which caps per-source out-degree
+    * at O(√m) and total wedge volume at O(m^1.5) — a planted hub
+    * otherwise generates C(deg_hub, 2) candidates from its corner
+    * (GraftApiSpec pins both the output equality of the two orders
+    * and the candidate-volume collapse on a star graph;
+    * `forceDegreeOrder` exists for that spec, not for callers).
     * Output: one row per node with ≥1 edge, (node, degree,
     * n_triangles ≥ 0). */
-  private[graft] def triangleCountsOver(edges: DataFrame): DataFrame = {
+  private[graft] def triangleCountsOver(edges: DataFrame,
+      forceDegreeOrder: Option[Boolean] = None): DataFrame = {
     val e = edges.toDF("x", "y")
       .filter(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("a"),
         greatest(col("x"), col("y")).as("b"))
       .distinct()
       .localCheckpoint()
-    val wedges = e.toDF("a", "b").join(e.toDF("b", "c"), "b")
-      .select(col("a"), col("b"), col("c"))
-    val tri = wedges.join(e.toDF("a", "c"), Seq("a", "c"))
-    val perNode = tri
-      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
     val degrees = e
       .select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      .localCheckpoint() // feeds the probe, the orientation, the output
+    val byDegree = forceDegreeOrder.getOrElse {
+      // bounded driver materialization: ONE row (Σdeg = 2m, max deg)
+      val st = degrees
+        .agg(sum(col("degree")).as("s"), max(col("degree")).as("mx")).head()
+      !st.isNullAt(0) &&
+        st.getLong(1).toDouble > TriSkewFactor * math.sqrt(st.getLong(0) / 2.0)
+    }
+    val (eo, wedges) = triangleWedges(e, degrees, byDegree)
+    val tri = wedges
+      .join(eo.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+    val perNode = tri
+      .select(explode(array(col("s"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
     degrees.join(perNode, Seq("node"), "left")
       .select(col("node"), col("degree"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))

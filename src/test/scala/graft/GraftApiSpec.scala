@@ -387,6 +387,38 @@ class GraftApiSpec extends AnyFunSuite {
       Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b").count() == 0)
   }
 
+  test("triangle orientation auto-switches on a planted hub (verdict r11 #4)") {
+    import graft.ops.LlmPipe
+    // star: hub 0 ~ spokes 1..40, plus edge (1,2) closing one triangle
+    val spokes = (1L to 40L).map(i => (0L, i))
+    val edges = (spokes :+ (1L, 2L)).toDF("x", "y")
+    val canonical = edges
+      .select(least($"x", $"y").as("a"), greatest($"x", $"y").as("b"))
+      .distinct()
+    val degrees = canonical
+      .select(explode(array($"a", $"b")).as("node"))
+      .groupBy($"node").agg(count(lit(1)).as("degree"))
+    // candidate volume: the id order puts the hub (id 0) first and
+    // wedges C(40,2) pairs at its corner; the degree order points
+    // every spoke edge INTO the hub, leaving only the genuine wedge
+    val idWedges = LlmPipe.triangleWedges(canonical, degrees,
+      byDegree = false)._2.count()
+    val degWedges = LlmPipe.triangleWedges(canonical, degrees,
+      byDegree = true)._2.count()
+    assert(idWedges >= 780L, s"expected the hub blow-up, got $idWedges")
+    assert(degWedges <= 40L, s"degree order did not bound wedges: $degWedges")
+    // both orders count the same triangles, and the stats probe picks
+    // the degree order here (maxDeg 40 > 4·√41) — pin all three equal
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"node").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val auto = rows(LlmPipe.triangleCountsOver(edges))
+    assert(auto == rows(LlmPipe.triangleCountsOver(edges, Some(false))))
+    assert(auto == rows(LlmPipe.triangleCountsOver(edges, Some(true))))
+    assert(auto.filter(_._3 > 0).map(_._1) == Seq(0L, 1L, 2L),
+      s"triangle corners wrong: $auto")
+  }
+
   test("semanticDedup drops the redundant vector, keeps one per group") {
     // cell A: 1 and 2 nearly parallel (cos ~0.990), 4 a verbatim copy
     // of 2; cell B: 3 orthogonal. SemDeDup keeps the LEAST prototypical
