@@ -304,6 +304,31 @@ object LlmPipe extends QueryModule {
     * is the same IEEE-754 double op Spark and DuckDB evaluate. */
   private def r6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
 
+  /** Monitored r6 (VERDICT r11 #5) for values whose summation ORDER
+    * differs between strategies (the driver loop groups m identical
+    * contributions as one multiply; the distributed path and the
+    * oracle add them one per edge in shuffle order). The ~1e-16
+    * relative noise that difference injects is absorbed by the floor
+    * EXCEPT within ~|y|·1e-15 of a bucket edge, where the three
+    * strategies could legally land in different buckets. This asserts
+    * the argument's precondition instead of documenting it: if a rank
+    * ever sits that close to a boundary, fail loudly with the value —
+    * a silent 1e-6 strategy divergence can never reach a result.
+    * Tolerance: 4e-15·|y| (≈40× the one-ulp noise) + 1e-12 absolute;
+    * false-trip probability ~1e-11 per value on this data. Runs on
+    * every strategy-ambiguous discretization at every SF (the sf3
+    * gate's local path included), so the guarantee is monitored in
+    * production, not sampled in a spec. */
+  private def r6dMonitored(x: Double): Double = {
+    val y = x * 1e6 + 0.5
+    val tol = 4e-15 * math.abs(y) + 1e-12
+    require(math.abs(y - math.rint(y)) > tol,
+      f"graft pagerank: rank $x%.17g sits within $tol%.1e of an r6 " +
+        "bucket boundary — summation-order noise could flip the bucket " +
+        "across strategies; results would be strategy-dependent")
+    math.floor(y) / 1e6
+  }
+
   /** The staged (da, db) pairs as two primitive arrays (driver path
     * only — callers have already checked edges ≤ localGraphMaxEdges). */
   private def collectEdges(st: StagedPairs): (Array[Long], Array[Long]) = {
@@ -410,14 +435,15 @@ object LlmPipe extends QueryModule {
     * (k·x vs x summed k times — ~1e-16), which the per-iteration r6
     * discretization absorbs: the argument that already carries the
     * Spark-vs-DuckDB hash match for distributed summation order. */
-  /** Residual risk (accepted, round-10 advice): inbound mass sums
-    * here as (m·r)/od per neighbour in one sequential driver loop,
-    * while the distributed pagerankOver adds m copies of r/od in
-    * shuffle order — a ~1-ulp difference the per-iteration r6 floor
-    * absorbs EXCEPT when a rank sits within ~1e-15 of an r6 bucket
-    * boundary, where the two strategies (and the oracle) could
-    * diverge by 1e-6. Same convention as every other r6-absorption
-    * site; no straddle has been observed at sf0.001–sf3. */
+  /** Inbound mass sums here as (m·r)/od per neighbour in one
+    * sequential driver loop, while the distributed pagerankOver adds
+    * m copies of r/od in shuffle order — a ~1-ulp difference the
+    * per-iteration r6 floor absorbs except within ~1e-15 of a bucket
+    * boundary. That residual is no longer an accepted risk: every
+    * iteration update discretizes through [[r6dMonitored]], which
+    * FAILS if a rank ever sits close enough to a boundary for the
+    * strategies to diverge (the init is exempt — 0.15/n is the same
+    * IEEE op sequence in all three strategies, bit-identical). */
   private def prClassRanks(reps: Array[Long], m: Array[Long],
       ea: Array[Long], eb: Array[Long],
       iters: Int, discretizeInit: Boolean): Array[Double] = {
@@ -447,7 +473,7 @@ object LlmPipe extends QueryModule {
         inm(a) += m(b) * r(b) / od(b)
         i += 1
       }
-      r = Array.tabulate(k)(j => r6d(0.15 / n + 0.85 * inm(j)))
+      r = Array.tabulate(k)(j => r6dMonitored(0.15 / n + 0.85 * inm(j)))
     }
     r
   }
