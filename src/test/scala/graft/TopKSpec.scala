@@ -36,6 +36,27 @@ class TopKSpec extends AnyFunSuite {
     assert(!str.contains("RunningWindowFunction") && !str.contains("Window ["))
   }
 
+  test("scored q_topk_per_group fires PartialTopK on a conf-only session " +
+      "(verdict r11 #7)") {
+    // a genuinely fresh session: newSession() rebuilds SessionState
+    // (function registry, experimental rules/strategies) from nothing
+    // but the spark.sql.extensions conf — no TopK.install, no
+    // GraftFunctions.register has touched it. The SCORED registry
+    // query must plan through the injected rule + strategy, and the
+    // injected native function must resolve by name, exactly as a
+    // cluster rollout with only the --conf line would see it.
+    val fresh = s.newSession()
+    val plan = SparkEntry.queries("q_topk_per_group")(fresh, d)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartialTopK") && plan.contains("FinalTopK"),
+      s"conf-only session did not plan the custom operator:\n$plan")
+    import fresh.implicits._
+    val dot = fresh.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS v")
+      .as[Double].head()
+    assert(dot == 11.0, s"injected graft_dot returned $dot")
+  }
+
   test("custom operator result equals the window formulation") {
     // baseline WITHOUT the rule: newSession inherits the injected
     // extensions, so exclude the rewrite by name for this session
