@@ -125,9 +125,11 @@ object Graft {
     * near-dups; triangle-free chains ⇒ borderline transitive
     * merges). Any orientation, duplicate edges and self-loops
     * tolerated (canonicalized away). Oriented "forward" wedge
-    * algorithm — each triangle counted exactly once; candidate
-    * volume Σ outdeg² of the id orientation, so for skewed graphs
-    * relabel ids by degree rank first to get the O(m^1.5) bound. */
+    * algorithm — each triangle counted exactly once. The orientation
+    * order is picked automatically by an exact degree probe: id
+    * order on flat graphs, (degree, id) order once the max degree
+    * passes 4·√m — which caps wedge volume at O(m^1.5) instead of
+    * hub-quadratic, so skewed graphs need no manual relabeling. */
   def triangleCounts(edges: DataFrame, src: String, dst: String)
       : DataFrame =
     ops.LlmPipe.triangleCountsOver(

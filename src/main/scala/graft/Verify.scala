@@ -16,6 +16,11 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE-sized shuffle width (see Bench.scala for the measured
+      // rationale) — the gate runs under the same planning rules as
+      // the bench and a deployment
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (8 * cpus.toInt).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // graft's planner extensions are part of the engine
