@@ -130,6 +130,30 @@ def main():
     print(f"[slice] {len(clusters)} engine clusters; sampled "
           f"{len(sampled)} (stride {stride}, offset {OFFSET}) -> "
           f"{len(slice_ids)} docs")
+    # --- negative self-test of the closure guard (the guard is the
+    # independence argument's load-bearing piece, so prove it can
+    # FAIL): any proper nonempty subset of a connected cluster must
+    # trip it — connectivity guarantees an expanded edge from the
+    # subset to its complement, hence a crossing distinct-fp pair
+    # (equal-fp split or hamming<=3 neighbour). Run a half-cluster
+    # slice through the same SQL and require crossing > 0.
+    big = max(sampled, key=lambda c: (cc["cluster"] == c).sum())
+    members = sorted(cc[cc["cluster"] == big]["doc_id"].tolist())
+    half = members[:max(1, len(members) // 2)]
+    assert len(half) < len(members), "self-test needs a splittable cluster"
+    con.execute("CREATE TABLE slice_docs (sid BIGINT)")
+    con.executemany("INSERT INTO slice_docs VALUES (?)",
+                    [(i,) for i in half])
+    neg = con.execute(sqls["__closure"]).fetchone()[0]
+    if neg == 0:
+        print(f"  __closure self-test: FAIL — a half-cluster slice "
+              f"({len(half)}/{len(members)} docs of cluster {big}) was "
+              "not flagged; the guard cannot detect split components")
+        sys.exit(1)
+    print(f"  __closure self-test: OK (half of cluster {big} trips the "
+          f"guard with {neg} crossing fp pairs)")
+    con.execute("DROP TABLE slice_docs")
+
     con.execute("CREATE TABLE slice_docs (sid BIGINT)")
     con.executemany("INSERT INTO slice_docs VALUES (?)",
                     [(i,) for i in slice_ids])
@@ -169,6 +193,7 @@ def main():
         json.dump({"sf": SF, "n_engine_clusters": len(clusters),
                    "sampled_clusters": len(sampled),
                    "slice_docs": len(slice_ids), "closure_crossing": 0,
+                   "closure_selftest_crossing": neg,
                    "n_nodes": n_nodes, "stride": stride, "offset": OFFSET,
                    "results": results}, f, indent=1)
     print(f"\n{len(TRIO) - len(fails)}/{len(TRIO)} slice oracles match "
