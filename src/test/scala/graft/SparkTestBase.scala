@@ -11,6 +11,11 @@ object SparkTestBase {
       .master("local[4]")
       .appName("graft-tests")
       .config("spark.sql.shuffle.partitions", "4")
+      // same AQE shuffle-width rule as Verify/Bench (8× cores) — the
+      // suite exercises the deployment's planning config, not a
+      // test-only one
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // same config-driven extension path as Verify/Bench/deployment

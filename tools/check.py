@@ -68,7 +68,10 @@ def oracle_sqls(name):
         with open(f"{OUT}/oracle_sql_scale.json") as f:
             scale = json.load(f)
         if "--scale-oracle" in FLAGS:
-            return [("scale", scale[name])] if name in scale else []
+            if name not in scale:
+                return []
+            lbl = "scale" if scale[name] != primary.get(name) else "primary"
+            return [(lbl, scale[name])]
         out = [("primary", primary[name])] if name in primary else []
         if name in scale and scale[name] != primary.get(name):
             out.append(("scale", scale[name]))
