@@ -152,9 +152,25 @@ object TimeSeries extends QueryModule {
   private[graft] def overlapSplit(s: SparkSession, base: DataFrame, frameLen: Int,
       key: Seq[Column], score: DataFrame => DataFrame): DataFrame = {
     val nSlices = s.sparkContext.defaultParallelism
+    // The slicing is consumed THREE times (cell counts, carried-row
+    // extraction, scoring) and must be one consistent assignment:
+    // repartitionByRange samples its bounds with an rdd-id-derived
+    // seed, so without the checkpoint the correctness of the carry
+    // rested on Catalyst planning all three subtrees as ONE
+    // ReusedExchange — which the optimizer does not guarantee (r12:
+    // a full-session run planned them apart, re-sampled different
+    // bounds per consumer, and the inconsistent slice ids silently
+    // dropped 5 boundary rows at sf3; spark.sql.exchange.reuse=false
+    // reproduces it deterministically). The checkpoint freezes the
+    // sampled bounds and slice ids once; every consumer reads the
+    // same rows. Output stays bit-identical to the simple plan for
+    // ANY bound placement — the property AnomalySplitSpec pins —
+    // but that theorem needs a single consistent slicing as its
+    // premise, which is now enforced rather than hoped for.
     val sliced = base
       .repartitionByRange(nSlices, col("event_type") +: key: _*)
       .withColumn("slice", spark_partition_id())
+      .localCheckpoint()
     // A slice can hold FEWER than frameLen rows of a series (thin
     // cells near type boundaries, or small SFs), so carrying only to
     // the next slice would under-fill that slice's successors'

@@ -34,6 +34,25 @@ class AnomalySplitSpec extends AnyFunSuite {
       s"paths diverge: simple=${simple.size} split=${split.size} rows")
   }
 
+  test("overlap-split survives independent re-planning of its consumers " +
+      "(exchange reuse off — r12 regression)") {
+    // The slicing is consumed three times; before r12 the carry's
+    // correctness silently depended on Catalyst planning all three
+    // subtrees as one ReusedExchange. A full-session run at sf3
+    // planned them apart, each re-sampled different range bounds,
+    // and 5 boundary rows vanished. reuse=false forces the worst
+    // case deterministically; the checkpointed slicing must hold.
+    val key = "spark.sql.exchange.reuse"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "false")
+    try {
+      val (simple, split) = bothPaths("/root/testdata/sf0.01")
+      assert(simple == split,
+        s"paths diverge without exchange reuse: simple=${simple.size} " +
+          s"split=${split.size} rows")
+    } finally s.conf.set(key, prev)
+  }
+
   test("overlap-split equals the simple per-series window (sf0.01)") {
     val (simple, split) = bothPaths("/root/testdata/sf0.01")
     assert(simple.nonEmpty, "no anomalies at sf0.01 — test has no teeth")
