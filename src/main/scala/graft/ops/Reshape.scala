@@ -216,9 +216,19 @@ object Reshape extends QueryModule {
   private def rankedBy(s: SparkSession, df: DataFrame,
                        g: String, v: String): DataFrame = {
     val nParts = s.sparkContext.defaultParallelism
+    // Checkpointed for the same reason as the anomaly overlap-split
+    // (r12): the ranged frame is consumed twice (cell counts →
+    // offsets, and the final rank join), repartitionByRange samples
+    // its bounds with an rdd-id-derived seed, and "rank arithmetic is
+    // exact wherever the boundaries land" is only a theorem when both
+    // consumers see ONE consistent (row, pid) assignment — without
+    // the checkpoint that premise rested on Catalyst planning both
+    // subtrees as a single ReusedExchange, which is not guaranteed
+    // (reuse=false or a divergent re-plan would mis-offset ranks).
     val ranged = df.select(col(g), col(v))
       .repartitionByRange(nParts, col(g), col(v))
       .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
     val cells = ranged.groupBy(col("pid"), col(g))
       .agg(count(lit(1)).as("c"))
     val wOff = Window.partitionBy(col(g)).orderBy(col("pid"))

@@ -13,9 +13,11 @@ class RankStrategySpec extends AnyFunSuite {
   private lazy val s = SparkTestBase.spark
   private val d = SparkTestBase.sfDir
 
-  private def runWith(q: String, minBytes: String): Seq[String] = {
+  private def runWith(q: String, minBytes: String,
+                      reuse: Boolean = true): Seq[String] = {
     val child = s.newSession()
     child.conf.set("spark.graft.rank.splitMinBytes", minBytes)
+    child.conf.set("spark.sql.exchange.reuse", reuse.toString)
     SparkEntry.queries(q)(child, d).collect().map(_.toString).toSeq
   }
 
@@ -27,5 +29,18 @@ class RankStrategySpec extends AnyFunSuite {
       assert(simple == split,
         s"$q strategy divergence: simple=$simple split=$split")
     }
+  }
+
+  test("range-split rank survives independent re-planning of its " +
+      "consumers (exchange reuse off — r12 regression class)") {
+    // same hazard class as the anomaly overlap-split: the ranged
+    // frame is consumed twice and its bounds are sampled with an
+    // rdd-id-derived seed — without the checkpointed slicing,
+    // reuse=false would let offsets and the rank join see different
+    // pid assignments and silently mis-rank
+    val simple = runWith("q_agg_mad", Long.MaxValue.toString)
+    val split = runWith("q_agg_mad", "0", reuse = false)
+    assert(simple == split,
+      s"rank strategy diverged without exchange reuse")
   }
 }
