@@ -425,9 +425,18 @@ object Graft {
         // division (which is only exact for |t| < 2^53)
         (col(timeUs).cast("long") -
           pmod(col(timeUs).cast("long"), lit(stepUs))).as("bucket_us"),
-        col(value).cast("double").as("__v"))
+        // exact-grid average (the q_ts_gapfill/interp convention):
+        // avg(double) is summation-order-dependent and the order is
+        // scheduling-dependent, so a cell mean near an r4 boundary
+        // would flip between runs; the 1e-6-grid long sum is exact
+        // (domain: |Σ per-cell value·1e6| within Long — ±9.2e12
+        // value-sum per cell)
+        floor(col(value).cast("double") * 1e6 + lit(0.5)).cast("long")
+          .as("__v6"))
       .groupBy(col(series), col("bucket_us"))
-      .agg(count(lit(1)).as("n_obs"), ops.Det.r4(avg(col("__v"))).as("avg_val"))
+      .agg(count(lit(1)).as("n_obs"),
+        ops.Det.r4(sum(col("__v6")).cast("double") / 1e6 / count(lit(1)))
+          .as("avg_val"))
     ops.TimeSeries.gridSpineOver(buckets, series, "bucket_us", "avg_val",
         stepUs)
       .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))

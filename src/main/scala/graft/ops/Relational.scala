@@ -333,30 +333,53 @@ object Relational extends QueryModule {
   /** TPC-H Q1 shape: multi-aggregate hash aggregation with map-side
     * partials (algebraic sums/avgs/counts). */
   private def aggHash(s: SparkSession, d: String): DataFrame =
+    // Money aggregates on an exact cents grid (the tsGapfill
+    // convention): 2-decimal doubles are binary-inexact, so their
+    // double sum is summation-order-dependent, and avg / the
+    // 4-decimal discounted product form values OFF the cents grid —
+    // a result within float noise of an r2/r4 half-boundary flips
+    // between runs with the partial-merge order (observed live at an
+    // r4 boundary in q_ts_interp, r12). Long sums are exact and
+    // order-independent; the final divides are one double op each.
+    // Integer l_quantity sums are already exact in double at any
+    // order. Domain: Σ p100·(100−d100) ≤ ~1.05e9/row keeps the long
+    // sum exact through ~8e9 rows per group.
     T.lineitem(s, d)
       .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
+        floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
+          .as("p100"),
+        floor(col("l_discount") * 100 + lit(0.5)).cast("long").as("d100"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         Det.r2(sum(col("l_quantity"))).as("sum_qty"),
-        Det.r2(sum(col("l_extendedprice"))).as("sum_base_price"),
-        Det.r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
-          .as("sum_disc_price"),
+        Det.r2(sum(col("p100")).cast("double") / 100).as("sum_base_price"),
+        Det.r2(sum(col("p100") * (lit(100L) - col("d100"))).cast("double")
+          / 10000).as("sum_disc_price"),
         Det.r2(avg(col("l_quantity"))).as("avg_qty"),
-        Det.r2(avg(col("l_extendedprice"))).as("avg_price"),
-        Det.r4(avg(col("l_discount"))).as("avg_disc"),
+        Det.r2(sum(col("p100")).cast("double") / 100 / count(lit(1)))
+          .as("avg_price"),
+        Det.r4(sum(col("d100")).cast("double") / 100 / count(lit(1)))
+          .as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   private val aggHashSql =
-    """SELECT l_returnflag, l_linestatus,
-      |       floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty,
-      |       floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS sum_base_price,
-      |       floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS sum_disc_price,
-      |       floor((avg(l_quantity)) * 100 + 0.5) / 100 AS avg_qty,
-      |       floor((avg(l_extendedprice)) * 100 + 0.5) / 100 AS avg_price,
-      |       floor((avg(l_discount)) * 10000 + 0.5) / 10000 AS avg_disc,
+    s"""WITH g AS (
+      |  SELECT l_returnflag, l_linestatus, l_quantity,
+      |         floor(l_extendedprice * 100 + 0.5)::BIGINT AS p100,
+      |         floor(l_discount * 100 + 0.5)::BIGINT AS d100
+      |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02')
+      |SELECT l_returnflag, l_linestatus,
+      |       ${Det.sql2("sum(l_quantity)")} AS sum_qty,
+      |       ${Det.sql2("sum(p100)::DOUBLE / 100")} AS sum_base_price,
+      |       ${Det.sql2("sum(p100 * (100 - d100))::DOUBLE / 10000")}
+      |         AS sum_disc_price,
+      |       ${Det.sql2("avg(l_quantity)")} AS avg_qty,
+      |       ${Det.sql2("sum(p100)::DOUBLE / 100 / count(*)")} AS avg_price,
+      |       ${Det.sql4("sum(d100)::DOUBLE / 100 / count(*)")} AS avg_disc,
       |       count(*) AS count_order
-      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |FROM g
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
@@ -574,7 +597,14 @@ object Relational extends QueryModule {
     T.lineitem(s, d)
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         Det.r2(sum(col("l_quantity")).over(wRun)).as("running_qty"),
-        Det.r2(avg(col("l_extendedprice")).over(wMov)).as("moving_avg_price"),
+        // exact cents-grid moving mean (tsGapfill convention): the
+        // engines associate frame sums differently (DuckDB segment
+        // tree vs sequential re-scan), and a 4-row cents mean lands
+        // exactly ON an r2 half-boundary whenever the cents sum is
+        // ≡2 (mod 4) — long frame sums are exact under ANY association
+        Det.r2(sum(floor(col("l_extendedprice") * 100 + lit(0.5))
+            .cast("long")).over(wMov).cast("double") / 100 /
+          count(lit(1)).over(wMov)).as("moving_avg_price"),
         count(lit(1)).over(wRange).as("n_in_qty_band"))
       .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         col("running_qty"), col("moving_avg_price"), col("n_in_qty_band"))
@@ -587,7 +617,7 @@ object Relational extends QueryModule {
     val tieOrder = "l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice"
     s"""SELECT l_suppkey, l_orderkey, l_linenumber,
        |  ${Det.sql2(s"sum(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY $tieOrder ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS running_qty,
-       |  ${Det.sql2(s"avg(l_extendedprice) OVER (PARTITION BY l_suppkey ORDER BY $tieOrder ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)")} AS moving_avg_price,
+       |  ${Det.sql2(s"sum(floor(l_extendedprice * 100 + 0.5)::BIGINT) OVER (PARTITION BY l_suppkey ORDER BY $tieOrder ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)::DOUBLE / 100 / count(*) OVER (PARTITION BY l_suppkey ORDER BY $tieOrder ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)")} AS moving_avg_price,
        |  count(*) OVER (PARTITION BY l_suppkey ORDER BY l_quantity
        |    RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS n_in_qty_band
        |FROM lineitem

@@ -269,7 +269,13 @@ object Reshape extends QueryModule {
         col("r") <= col("n") - floor(col("n") * 0.1))
       .groupBy(rf)
       .agg(count(lit(1)).as("n_kept"),
-        Det.r4(avg(col("l_extendedprice"))).as("trimmed_mean"),
+        // exact cents-grid mean (tsGapfill convention): avg(double)
+        // over binary-inexact 2-decimal prices is summation-order-
+        // dependent and the mean lands off-grid, so an r4-boundary
+        // value would flip between runs with the partial-merge order
+        Det.r4(sum(floor(col("l_extendedprice") * 100 + lit(0.5))
+            .cast("long")).cast("double") / 100 / count(lit(1)))
+          .as("trimmed_mean"),
         min(col("l_extendedprice")).as("lo_bound"),
         max(col("l_extendedprice")).as("hi_bound"))
       .orderBy(rf)
@@ -283,7 +289,8 @@ object Reshape extends QueryModule {
        |         count(*) OVER (PARTITION BY l_returnflag) AS n
        |  FROM lineitem)
        |SELECT l_returnflag, count(*) AS n_kept,
-       |       ${Det.sql4("avg(l_extendedprice)")} AS trimmed_mean,
+       |       ${Det.sql4("sum(floor(l_extendedprice * 100 + 0.5)::BIGINT)" +
+      "::DOUBLE / 100 / count(*)")} AS trimmed_mean,
        |       min(l_extendedprice) AS lo_bound,
        |       max(l_extendedprice) AS hi_bound
        |FROM r
@@ -411,14 +418,17 @@ object Reshape extends QueryModule {
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_sampled"),
         Det.r2(sum(col("o_totalprice"))).as("sampled_total"),
-        Det.r2(avg(col("o_totalprice"))).as("sampled_avg"))
+        // exact cents-grid mean (tsGapfill convention; see aggHash)
+        Det.r2(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+          .cast("double") / 100 / count(lit(1))).as("sampled_avg"))
       .orderBy(col("o_orderpriority"))
   }
 
   private val sampleHashSql =
     s"""SELECT o_orderpriority, count(*) AS n_sampled,
        |  ${Det.sql2("sum(o_totalprice)")} AS sampled_total,
-       |  ${Det.sql2("avg(o_totalprice)")} AS sampled_avg
+       |  ${Det.sql2("sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::DOUBLE" +
+      " / 100 / count(*)")} AS sampled_avg
        |FROM orders
        |WHERE ('0x' || substring(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT
        |      % 20 = 0
@@ -638,7 +648,10 @@ object Reshape extends QueryModule {
       .agg(count(lit(1)).as("n_items"),
         Det.r2(min(col("l_extendedprice"))).as("lo"),
         Det.r2(max(col("l_extendedprice"))).as("hi"),
-        Det.r2(avg(col("l_extendedprice"))).as("mean"))
+        // exact cents-grid mean (tsGapfill convention; see aggHash)
+        Det.r2(sum(floor(col("l_extendedprice") * 100 + lit(0.5))
+            .cast("long")).cast("double") / 100 / count(lit(1)))
+          .as("mean"))
       .withColumn("cum_items", sum(col("n_items")).over(w))
       .withColumn("cum_frac",
         Det.r6(col("cum_items").cast("double") /
@@ -654,7 +667,8 @@ object Reshape extends QueryModule {
        |         count(*) AS n_items,
        |         ${Det.sql2("min(l_extendedprice)")} AS lo,
        |         ${Det.sql2("max(l_extendedprice)")} AS hi,
-       |         ${Det.sql2("avg(l_extendedprice)")} AS mean
+       |         ${Det.sql2("sum(floor(l_extendedprice * 100 + 0.5)" +
+      "::BIGINT)::DOUBLE / 100 / count(*)")} AS mean
        |  FROM lineitem GROUP BY 1)
        |SELECT bucket_lo, n_items, lo, hi, mean,
        |       sum(n_items) OVER (ORDER BY bucket_lo

@@ -48,7 +48,13 @@ object TimeSeries extends QueryModule {
   private def tsDownsample(s: SparkSession, d: String): DataFrame =
     T.events(s, d)
       .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"),
-        col("ts"), col("value"))
+        col("ts"), col("value"),
+        // exact 1e-6-grid sum (tsGapfill convention): a double sum is
+        // order-dependent to the last ulp; at 1e9-events-per-cell
+        // scale the accumulated noise crosses the r4 half-boundary
+        // margin of an exact-cents value. The long sum is exact and
+        // order-independent (domain: ±9.2e12 value-sum per cell).
+        floor(col("value") * 1e6 + lit(0.5)).cast("long").as("v6"))
       .groupBy(col("event_type"), col("hr"))
       .agg(
         min_by(col("value"), col("ts")).as("open"),
@@ -56,7 +62,7 @@ object TimeSeries extends QueryModule {
         min(col("value")).as("low"),
         max_by(col("value"), col("ts")).as("close"),
         count(lit(1)).as("n_events"),
-        Det.r4(sum(col("value"))).as("sum_val"))
+        Det.r4(sum(col("v6")).cast("double") / 1e6).as("sum_val"))
       .select(col("event_type"), unix_micros(col("hr")).as("hour_us"),
         col("open"), col("high"), col("low"), col("close"),
         col("n_events"), col("sum_val"))
@@ -74,7 +80,8 @@ object TimeSeries extends QueryModule {
        |       min(value) AS low,
        |       arg_max(value, tsu) AS close,
        |       count(*) AS n_events,
-       |       ${Det.sql4("sum(value)")} AS sum_val
+       |       ${Det.sql4("sum(floor(value * 1000000 + 0.5)::BIGINT)" +
+      "::DOUBLE / 1000000")} AS sum_val
        |FROM e GROUP BY event_type, hr
        |ORDER BY event_type, hour_us""".stripMargin
 
@@ -388,12 +395,20 @@ object TimeSeries extends QueryModule {
     * The grid is |series × hours| rows — vanishing vs the raw log
     * that built it. */
   private def tsInterp(s: SparkSession, d: String): DataFrame = {
+    // exact-grid average, the tsGapfill convention: avg(double) is
+    // summation-order-dependent to the last ulp, and the order varies
+    // not just across engines but across RUNS (partial-agg merge
+    // order is scheduling-dependent) — at sf3 this cell average
+    // landed on the same 46.09875 r4 boundary gapfill documents and
+    // flipped between two otherwise-identical gate runs (r12). The
+    // 1e-6-grid long sum is exact and order-independent.
     val hourly = T.events(s, d)
       .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"),
-        col("value"))
+        floor(col("value") * 1e6 + 0.5).cast("long").as("v6"))
       .groupBy(col("event_type"), col("hr"))
       .agg(count(lit(1)).as("n_events"),
-        Det.r4(avg(col("value"))).as("avg_val"))
+        Det.r4(sum(col("v6")).cast("double") / 1e6 / count(lit(1)))
+          .as("avg_val"))
       .select(col("event_type"), unix_micros(col("hr")).as("hour_us"),
         col("n_events"), col("avg_val"))
     gridSpineOver(hourly, "event_type", "hour_us", "avg_val",
@@ -466,7 +481,9 @@ object TimeSeries extends QueryModule {
     s"""WITH h AS (
        |  SELECT event_type,
        |         date_trunc('hour', make_timestamp(epoch_us(ts))) AS hr,
-       |         count(*) AS n_events, ${Det.sql4("avg(value)")} AS avg_val
+       |         count(*) AS n_events,
+       |         ${Det.sql4("sum(floor(value * 1000000 + 0.5)::BIGINT)::DOUBLE" +
+      " / 1000000 / count(*)")} AS avg_val
        |  FROM events GROUP BY event_type, hr),
        |b AS (SELECT event_type, min(hr) AS h0, max(hr) AS h1
        |      FROM h GROUP BY event_type),

@@ -21,7 +21,16 @@ class DeterminismSpec extends AnyFunSuite {
     "q_llm_sample_importance", // hash-vs-score importance sampler
     "q_llm_domain_cap",        // hash-rank per-domain cap (TopK path)
     "q_llm_dsir_weight",       // r6-term sums (order-sensitive if wrong)
-    "q_llm_semdedup")          // r6 centroids -> cosine drop rule
+    "q_llm_semdedup",          // r6 centroids -> cosine drop rule
+    // exact-grid money/value aggregates (r12): avg / off-grid sums
+    // rewritten to order-independent long sums after a live r4
+    // boundary flip in q_ts_interp — these pin the formulation
+    "q_agg_hash",              // Q1 cents/1e-4 sums + avgs
+    "q_agg_trimmed",           // cents-grid trimmed mean
+    "q_agg_histogram",         // cents-grid per-bucket mean
+    "q_ts_downsample",         // 1e-6-grid OHLC sum
+    "q_ts_gapfill",            // 1e-6-grid cell average
+    "q_ts_interp")             // 1e-6-grid cell average
 
   for (name <- names)
     test(s"$name: identical output under different shuffle partitionings") {
