@@ -739,6 +739,10 @@ object LlmQuality extends QueryModule {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"),
         sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("n_oov"),
+        // deliberately NOT the exact-grid long-sum form (SCALE.md r12):
+        // nll terms are logs — continuous, so an r4-boundary
+        // coincidence is negligible and grid-flooring them would ADD
+        // a per-row cross-engine rounding hazard
         Det.r4(avg(nll)).as("xent"),
         Det.r4(exp(avg(nll))).as("ppl"))
       .orderBy(col("doc_id"))

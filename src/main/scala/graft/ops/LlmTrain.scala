@@ -343,6 +343,10 @@ object LlmTrain extends QueryModule {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+        // deliberately NOT the exact-grid long-sum form (SCALE.md r12):
+        // score is a continuous per-row composite, so an r4-boundary
+        // coincidence is ~1e-7-improbable, while grid-flooring each
+        // score would ADD a per-row cross-engine rounding hazard
         Det.r4(avg(col("score"))).as("target_rate"),
         Det.r4(sum(when(kept, 1.0).otherwise(0.0)) / count(lit(1)))
           .as("actual_rate"))
