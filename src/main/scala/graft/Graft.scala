@@ -428,15 +428,33 @@ object Graft {
         // exact-grid average (the q_ts_gapfill/interp convention):
         // avg(double) is summation-order-dependent and the order is
         // scheduling-dependent, so a cell mean near an r4 boundary
-        // would flip between runs; the 1e-6-grid long sum is exact
-        // (domain: |Σ per-cell value·1e6| within Long — ±9.2e12
-        // value-sum per cell)
-        floor(col(value).cast("double") * 1e6 + lit(0.5)).cast("long")
+        // would flip between runs; the 1e-6-grid long sum is exact.
+        // Guarded domain (the grid4 convention — facades raise, they
+        // never wrap): |value| ≤ 1e6 per row, ≤ 9.2e6 observations
+        // per cell ⇒ |Σ per-cell value·1e6| within Long. NULL values
+        // pass through as NULL (absent from the mean, like avg's).
+        when(col(value).isNull, lit(null).cast("long"))
+          .when(abs(col(value).cast("double")) <= lit(1e6),
+            floor(col(value).cast("double") * 1e6 + lit(0.5)).cast("long"))
+          .otherwise(raise_error(concat(
+            lit("graft resampleGrid: |value| exceeds the " +
+              "exact-arithmetic domain (±1e6) of the 1e-6 grid: "),
+            col(value).cast("string"))))
           .as("__v6"))
       .groupBy(col(series), col("bucket_us"))
       .agg(count(lit(1)).as("n_obs"),
-        ops.Det.r4(sum(col("__v6")).cast("double") / 1e6 / count(lit(1)))
-          .as("avg_val"))
+        // divide by the NON-NULL count (avg semantics); the cell-size
+        // guard closes the long-sum domain before a value is emitted
+        ops.Det.r4(sum(col("__v6")).cast("double") / 1e6 /
+          count(col("__v6"))).as("avg_val"))
+      .select(col(series), col("bucket_us"),
+        when(col("n_obs") <= lit(9200000L), col("n_obs"))
+          .otherwise(raise_error(concat(
+            lit("graft resampleGrid: series "), col(series).cast("string"),
+            lit(" has a grid cell with more than 9.2e6 observations — " +
+              "outside the exact-arithmetic domain; pre-aggregate or " +
+              "use a finer step")))).as("n_obs"),
+        col("avg_val"))
     ops.TimeSeries.gridSpineOver(buckets, series, "bucket_us", "avg_val",
         stepUs)
       .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))

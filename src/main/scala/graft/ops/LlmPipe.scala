@@ -1094,20 +1094,28 @@ object LlmPipe extends QueryModule {
     * (node) — one algorithm, two total orders. */
   private[graft] def triangleWedges(e: DataFrame, degrees: DataFrame,
       byDegree: Boolean): (DataFrame, DataFrame) = {
-    val ok = degrees.select(col("node"),
-      (if (byDegree) col("degree") else lit(0L)).as("w"))
     // orient each edge from the (w, id)-lesser endpoint; carry the
     // destination's key so the wedge pair can be ordered without a
-    // re-join
-    val eo = e.join(ok.toDF("a", "wa"), "a").join(ok.toDF("b", "wb"), "b")
-      .select(when(col("wa") < col("wb") ||
-          (col("wa") === col("wb") && col("a") < col("b")),
-          struct(col("a").as("src"), col("b").as("dst"), col("wb").as("wd")))
-        .otherwise(
-          struct(col("b").as("src"), col("a").as("dst"), col("wa").as("wd")))
-        .as("o"))
-      .select(col("o.src").as("src"), col("o.dst").as("dst"),
-        col("o.wd").as("wd"))
+    // re-join. Flat path: `e` is canonical (a < b), so the (0, id)
+    // order IS the id order — the orientation is a pure projection,
+    // no degree joins (the common unskewed case pays nothing for the
+    // skew machinery).
+    val eo = (if (!byDegree)
+        e.select(col("a").as("src"), col("b").as("dst"), lit(0L).as("wd"))
+      else {
+        val ok = degrees.select(col("node"), col("degree").as("w"))
+        e.join(ok.toDF("a", "wa"), "a").join(ok.toDF("b", "wb"), "b")
+          .select(when(col("wa") < col("wb") ||
+              (col("wa") === col("wb") && col("a") < col("b")),
+              struct(col("a").as("src"), col("b").as("dst"),
+                col("wb").as("wd")))
+            .otherwise(
+              struct(col("b").as("src"), col("a").as("dst"),
+                col("wa").as("wd")))
+            .as("o"))
+          .select(col("o.src").as("src"), col("o.dst").as("dst"),
+            col("o.wd").as("wd"))
+      })
       .localCheckpoint() // feeds both wedge copies + the closure probe
     val wedges = eo.toDF("s", "b", "wb").join(eo.toDF("s", "c", "wc"), "s")
       .filter(col("wb") < col("wc") ||

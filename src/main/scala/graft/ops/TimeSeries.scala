@@ -450,7 +450,15 @@ object TimeSeries extends QueryModule {
       .groupBy(col(series))
       .agg(min(col(bucketUs)).as("__h0"), max(col(bucketUs)).as("__h1"))
       .withColumn("__h0",
-        when(expr(s"(__h1 - __h0) div $stepUs") < lit(maxCells), col("__h0"))
+        // NULL bounds (a series whose every bucket is NULL) pass
+        // through: sequence(NULL, …) explodes to zero rows, so the
+        // series is skipped exactly as before the cap guard existed —
+        // without this branch the three-valued `when` would fall to
+        // raise_error with a false too-many-cells diagnosis (the same
+        // NULL-semantics bug class grid4 fixed)
+        when(col("__h0").isNull || col("__h1").isNull, col("__h0"))
+          .when(expr(s"(__h1 - __h0) div $stepUs") < lit(maxCells),
+            col("__h0"))
           .otherwise(raise_error(concat(
             lit("graft resampleGrid: series "), col(series).cast("string"),
             lit(s" spans more than $maxCells grid cells at stepUs=$stepUs" +

@@ -62,11 +62,12 @@ class AnnSpec extends AnyFunSuite {
         .groupBy("query_id").count().collect().map(_.getLong(1))
       val perQuery = if (cand.isEmpty) 0.0
         else cand.sum.toDouble / cand.length
+      val candMax = if (cand.isEmpty) 0L else cand.max
       val r = recallOf(LlmExt.simAnnTrained(s, d, np, it).collect())
       info(f"lloyd=$it nprobe=$np: recall@5 $r%.2f, rerank rows/query " +
-        f"avg $perQuery%.0f max ${cand.max}%d " +
+        f"avg $perQuery%.0f max $candMax%d " +
         f"(${100.0 * perQuery / corpusSize}%.0f%% of brute-force $corpusSize%d)")
-      ((np, it), (r, perQuery, cand.max))
+      ((np, it), (r, perQuery, candMax))
     }
     val m = ladder.toMap.view.mapValues(_._1).toMap
     val cost = ladder.toMap

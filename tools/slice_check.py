@@ -137,10 +137,18 @@ def main():
     # subset to its complement, hence a crossing distinct-fp pair
     # (equal-fp split or hamming<=3 neighbour). Run a half-cluster
     # slice through the same SQL and require crossing > 0.
+    if not sampled:
+        print(f"[slice] FAIL: offset {OFFSET} / stride {stride} sampled "
+              "zero clusters — lower --offset or --clusters")
+        sys.exit(1)
     big = max(sampled, key=lambda c: (cc["cluster"] == c).sum())
     members = sorted(cc[cc["cluster"] == big]["doc_id"].tolist())
     half = members[:max(1, len(members) // 2)]
-    assert len(half) < len(members), "self-test needs a splittable cluster"
+    if len(half) >= len(members):
+        print(f"[slice] FAIL: self-test needs a splittable cluster but the "
+              f"largest sampled cluster ({big}) has {len(members)} member — "
+              "re-run with a different --offset")
+        sys.exit(1)
     con.execute("CREATE TABLE slice_docs (sid BIGINT)")
     con.executemany("INSERT INTO slice_docs VALUES (?)",
                     [(i,) for i in half])
