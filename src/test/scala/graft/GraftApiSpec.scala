@@ -362,6 +362,37 @@ class GraftApiSpec extends AnyFunSuite {
       ("b", 2000L, 1L, Some(7.0), 7.0, 7.0)), s"got ${got.toSeq}")
   }
 
+  test("resampleGrid: NULL readings keep avg semantics and NULL-time " +
+      "series are skipped, not crashed (review r12)") {
+    // cell mean must ignore NULL readings (divide by the non-null
+    // count, like avg) — the first exact-grid rewrite deflated it by
+    // dividing by the all-rows count
+    val df = Seq(
+      ("a", Some(0L), Some(10.0)), ("a", Some(10L), None),
+      ("a", Some(20L), Some(30.0)),
+      // every timestamp NULL: series must vanish from the grid (its
+      // spine bounds are NULL) — not trip the cell-cap raise via
+      // three-valued logic
+      ("ghost", None, Some(1.0)), ("ghost", None, Some(2.0)))
+      .toDF("sensor", "t_us", "reading")
+    val got = Graft.resampleGrid(df, "sensor", "t_us", "reading", 100L)
+      .select($"sensor", $"n_obs", $"avg_val").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(("a", 3L, 20.0)), s"got ${got.toSeq}")
+  }
+
+  test("resampleGrid raises on values outside the exact-grid domain " +
+      "(review r12)") {
+    val df = Seq(("a", 0L, 2e6)).toDF("sensor", "t_us", "reading")
+    val e = intercept[Exception] {
+      Graft.resampleGrid(df, "sensor", "t_us", "reading", 100L).count()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("graft resampleGrid") &&
+      msg.contains("exact-arithmetic domain"), s"unexpected error: $msg")
+  }
+
   test("ngramHashes accepts column names that need quoting") {
     Graft.registerFunctions(s)
     val n = Seq("a b c d e").toDF("body text-col")
