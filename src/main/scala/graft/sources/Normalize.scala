@@ -124,12 +124,17 @@ object Normalize {
       .select(col("video_id"),
         col("v.embedUrl").as("embed_url"),
         // real captures carry both milli and whole-second forms; a
-        // single rigid .SSS pattern would silently null the latter
+        // single rigid .SSS pattern would silently null the latter.
+        // Literal 'Z' only — the capture format is always-UTC and the
+        // oracle's %…SZ patterns accept exactly these two forms; the
+        // earlier X pattern also took '+01'/'+0130', which the oracle
+        // nulls (review r12). Zone-less parse ⇒ session-TZ semantics;
+        // every session this library builds pins UTC.
         coalesce(
           try_to_timestamp(col("v.published"),
-            lit("yyyy-MM-dd'T'HH:mm:ss.SSSX")),
+            lit("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")),
           try_to_timestamp(col("v.published"),
-            lit("yyyy-MM-dd'T'HH:mm:ssX"))).as("published"),
+            lit("yyyy-MM-dd'T'HH:mm:ss'Z'"))).as("published"),
         col("v.title").as("title"),
         col("v.description").as("description"),
         col("v.thumbnails.default").as("thumb_default"),
@@ -242,13 +247,23 @@ object Normalize {
   /** facebook.rkt:35-55 — URL synthesis (A24), ISO8601+offset epoch
     * (A21, sign-corrected), markdown description (A23), photos null. */
   def normalizeFacebook(raw: DataFrame): DataFrame = {
-    val ts = try_to_timestamp(col("start_time"), lit("yyyy-MM-dd'T'HH:mm:ssZ"))
-    val sign = when(regexp_extract(col("start_time"), "([+-])\\d{4}$", 1) === "-",
+    // accept every numeric ISO-8601 offset form the oracle's %z
+    // accepts — +HHMM (the Graph API's form), +HH:MM, +HH; neither
+    // side accepts a literal 'Z' (review r12: Spark's Z-pattern alone
+    // rejected the standard colon form, so a '+02:00' capture became
+    // an error row here but an ok row in DuckDB)
+    val ts = coalesce(
+      try_to_timestamp(col("start_time"), lit("yyyy-MM-dd'T'HH:mm:ssZ")),
+      try_to_timestamp(col("start_time"), lit("yyyy-MM-dd'T'HH:mm:ssxxx")),
+      try_to_timestamp(col("start_time"), lit("yyyy-MM-dd'T'HH:mm:ssx")))
+    val sign = when(
+      regexp_extract(col("start_time"), "([+-])\\d{2}:?(\\d{2})?$", 1) === "-",
       lit(-1L)).otherwise(lit(1L))
-    val offH = regexp_extract(col("start_time"), "[+-](\\d{2})\\d{2}$", 1)
-    val offM = regexp_extract(col("start_time"), "[+-]\\d{2}(\\d{2})$", 1)
+    val offH = regexp_extract(col("start_time"), "[+-](\\d{2}):?(\\d{2})?$", 1)
+    val offM = regexp_extract(col("start_time"), "[+-]\\d{2}:?(\\d{2})?$", 1)
     val utcOffset = when(offH =!= "",
-      sign * (offH.cast("long") * 3600L + offM.cast("long") * 60L) * 1000L)
+      sign * (offH.cast("long") * 3600L +
+        when(offM =!= "", offM.cast("long")).otherwise(lit(0L)) * 60L) * 1000L)
     maskErrors(raw.select(
       col("id").as("event_id"),
       col("chapter"),
@@ -314,10 +329,16 @@ object Normalize {
         .as("error")))
   }
 
-  /** api-runner.rkt:144-146 — unregistered adapters become error rows. */
+  /** api-runner.rkt:144-146 — unregistered adapters become error rows.
+    * A NULL/missing adapter is as unregistered as a misspelled one:
+    * without the explicit isNull branch the three-valued `NOT IN`
+    * silently DROPS the chapter from both channels (review r12),
+    * violating the tagged-union contract that every input row lands
+    * in ok or error. */
   def unknownAdapterErrors(chapters: DataFrame): DataFrame =
     chapters
-      .filter(!col("adapter").isin("meetup", "facebook", "eventbrite"))
+      .filter(col("adapter").isNull ||
+        !col("adapter").isin("meetup", "facebook", "eventbrite"))
       .select(
         lit(null).cast("string").as("event_id"),
         col("chapter"),
@@ -331,7 +352,7 @@ object Normalize {
             "country: STRING, city: STRING, postalCode: STRING," +
             "lon: DOUBLE, lat: DOUBLE>").as("venue"),
         lit(null).cast(photosDdl).as("photos"),
-        concat(lit("ERROR: No adapter "), col("adapter"),
+        concat(lit("ERROR: No adapter "), nn(col("adapter")),
           lit(" found for chapter "), nn(col("chapter"))).as("error"))
 
   /** A13 dispatch: per-adapter normalize → unionByName. In the
@@ -363,10 +384,17 @@ object Normalize {
     * engine-internal representation; this reshapes to the reference's
     * observable envelope only at the boundary. */
   def toReferenceShape(ok: DataFrame): DataFrame =
-    ok.groupBy(col("chapter"))
+    ok.groupBy(col("chapter"), col("event_id"))
+      // the reference's for/hasheq LAST-writes colliding event ids
+      // (possible: eventbrite ids are stringified start millis, so two
+      // same-instant events collide) where map_from_entries THROWS
+      // under the default EXCEPTION dedup policy (review r12). Spark
+      // has no "source order" to replay, so pick the max struct — any
+      // total order works, it just has to be deterministic.
+      .agg(max(struct(col("url"), col("time"), col("utcOffset"),
+        col("title"), col("description"), col("venue"), col("photos")))
+        .as("event"))
+      .groupBy(col("chapter"))
       .agg(map_from_entries(collect_list(struct(
-        col("event_id"),
-        struct(col("url"), col("time"), col("utcOffset"), col("title"),
-          col("description"), col("venue"), col("photos")).as("event"))))
-        .as("events"))
+        col("event_id"), col("event")))).as("events"))
 }

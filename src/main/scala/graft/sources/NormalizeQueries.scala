@@ -34,11 +34,12 @@ object NormalizeQueries extends QueryModule {
       col("venue.lat").as("venue_lat"),
       size(col("photos")).cast("long").as("n_photos"),
       col("error"))
-      // null ordering pinned on BOTH tie-break columns — Spark
-      // defaults NULLS FIRST, DuckDB NULLS LAST; leaving `error`
-      // implicit would flip row order whenever an ok row and an error
-      // row tie on (chapter, event_id)
-      .orderBy(col("chapter"), asc_nulls_first("event_id"),
+      // null ordering pinned on ALL sort columns — Spark defaults
+      // NULLS FIRST, DuckDB NULLS LAST; a null chapter (possible: the
+      // error messages handle it) or an implicit `error` would flip
+      // row order between the engines (review r12 widened this from
+      // the tie-breakers to the primary column too)
+      .orderBy(asc_nulls_first("chapter"), asc_nulls_first("event_id"),
         asc_nulls_first("error"))
   }
 
@@ -105,11 +106,11 @@ object NormalizeQueries extends QueryModule {
        |f AS (SELECT
        |  id AS event_id, chapter, 'https://facebook.com/' || id AS url,
        |  epoch($fbTs)::BIGINT * 1000 AS time,
-       |  CASE WHEN regexp_matches(start_time, '[+-][0-9]{4}$$') THEN
-       |    (CASE WHEN regexp_extract(start_time, '([+-])[0-9]{4}$$', 1) = '-'
+       |  CASE WHEN regexp_matches(start_time, '[+-][0-9]{2}:?([0-9]{2})?$$') THEN
+       |    (CASE WHEN regexp_extract(start_time, '([+-])[0-9]{2}:?([0-9]{2})?$$', 1) = '-'
        |          THEN -1 ELSE 1 END) *
-       |    (regexp_extract(start_time, '[+-]([0-9]{2})[0-9]{2}$$', 1)::BIGINT * 3600 +
-       |     regexp_extract(start_time, '[+-][0-9]{2}([0-9]{2})$$', 1)::BIGINT * 60) * 1000
+       |    (regexp_extract(start_time, '[+-]([0-9]{2}):?([0-9]{2})?$$', 1)::BIGINT * 3600 +
+       |     coalesce(nullif(regexp_extract(start_time, '[+-][0-9]{2}:?([0-9]{2})?$$', 1), ''), '0')::BIGINT * 60) * 1000
        |  END AS utcOffset,
        |  name AS title,
        |  $mdSql AS description,
@@ -151,9 +152,11 @@ object NormalizeQueries extends QueryModule {
        |  NULL::VARCHAR AS venue_country, NULL::VARCHAR AS venue_city,
        |  NULL::VARCHAR AS venue_postal, NULL::DOUBLE AS venue_lon,
        |  NULL::DOUBLE AS venue_lat, NULL::BIGINT AS n_photos,
-       |  'ERROR: No adapter ' || adapter || ' found for chapter ' ||
+       |  'ERROR: No adapter ' || coalesce(adapter, '<null>') ||
+       |  ' found for chapter ' ||
        |  coalesce(chapter, '<null>') AS error
-       |  FROM c_raw WHERE adapter NOT IN ('meetup', 'facebook', 'eventbrite')),
+       |  FROM c_raw WHERE adapter IS NULL
+       |     OR adapter NOT IN ('meetup', 'facebook', 'eventbrite')),
        |all_rows AS (
        |  SELECT * FROM m UNION ALL SELECT * FROM f
        |  UNION ALL SELECT * FROM e UNION ALL SELECT * FROM u)
@@ -175,7 +178,8 @@ object NormalizeQueries extends QueryModule {
        |  CASE WHEN error IS NULL THEN n_photos END AS n_photos,
        |  error
        |FROM all_rows
-       |ORDER BY chapter, event_id ASC NULLS FIRST, error ASC NULLS FIRST""".stripMargin
+       |ORDER BY chapter ASC NULLS FIRST, event_id ASC NULLS FIRST,
+       |  error ASC NULLS FIRST""".stripMargin
   }
 
   // ------------------------------------------------------------- q_scan_csv

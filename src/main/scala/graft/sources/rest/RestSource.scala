@@ -129,7 +129,9 @@ class HttpTransport(baseUrl: String) extends Transport {
       if (v.isPresent) Some(v.get) else None
     }
     RestResponse(
-      resp.body().split("\n").toSeq.filter(_.trim.nonEmpty),
+      // \r?\n: a CRLF-delimited NDJSON body would otherwise leave a
+      // trailing \r on every payload line (review r12)
+      resp.body().split("\r?\n").toSeq.filter(_.trim.nonEmpty),
       hdr("X-Ratelimit-Remaining").flatMap(_.toLongOption),
       hdr("X-Ratelimit-Reset").flatMap(_.toLongOption).map(_ * 1000L))
   }

@@ -83,10 +83,15 @@ object Streams extends QueryModule {
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fileSchema = s.read.parquet(s"$d/events.parquet").schema
-    // the streaming file source wants a directory; glob-filter down to
-    // the events table
-    val st = s.readStream.schema(fileSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
+    // the streaming file source wants a directory. When the table IS
+    // a directory of part files, point the stream at it; when it's a
+    // single file, stream the parent glob-filtered down to it —
+    // pathGlobFilter matches LEAF names only, so using it on the
+    // directory form would silently list zero files (review r12)
+    val st = if (new java.io.File(s"$d/events.parquet").isDirectory)
+        s.readStream.schema(fileSchema).parquet(s"$d/events.parquet")
+      else s.readStream.schema(fileSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
     fileSchema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         st.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
@@ -140,35 +145,32 @@ object Streams extends QueryModule {
     * behind — measured 2-6× slowdown of whatever executes next) and
     * materialize + drop the sink temp view so runs don't accumulate
     * tables in the session catalog. */
-  private def runStream(s: SparkSession, df: DataFrame, mode: String,
-      trigger: Option[Trigger],
-      drive: org.apache.spark.sql.streaming.StreamingQuery => Unit,
-      parts: Int = 4): DataFrame = {
+  /** Writer-agnostic run harness shared by the memory-sink path
+    * ([[runStream]]) and the foreachBatch path (sForeachUpsert):
+    * unique query name, an explicit RAM-backed checkpoint, and the
+    * failure-safe teardown. Explicit checkpoint because Spark does
+    * NOT delete auto-created temp checkpoints on stop()
+    * (forceDeleteTempCheckpointLocation defaults false) — repeated
+    * bench/test runs would leak offset/commit logs into /tmp; a
+    * volatile checkpoint matches the volatile sinks here (a
+    * production file/kafka sink points at durable DFS instead).
+    * Teardown runs in a finally, in dependency order (review r12 —
+    * parts of it sat after the try, skipped on failure): stop any
+    * live query BEFORE deleting its checkpoint (or the checkpoint-IO
+    * failure buries the original exception), unload state-store
+    * providers + the maintenance thread (loaded providers slow the
+    * NEXT query 2-6×), and drop the sink temp view (no-op for
+    * non-memory sinks) so failed runs don't accumulate catalog
+    * entries. */
+  private def withStreamRun[A](s: SparkSession)(
+      body: (String, String) => A): A = {
     val qn = "s_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    // Explicit RAM-backed checkpoint, deleted after the run. Two
-    // reasons: Spark does NOT delete auto-created temp checkpoints on
-    // stop() (forceDeleteTempCheckpointLocation defaults false), so
-    // repeated bench/test runs would leak offset/commit logs into
-    // /tmp; and a volatile checkpoint matches the volatile memory
-    // sink (no recovery story is lost — a production file/kafka sink
-    // points this at durable DFS storage instead). Measured ~neutral
-    // on wall time here: the per-query floor is micro-batch planning,
-    // not checkpoint fsync.
     val shm = new java.io.File("/dev/shm")
     val ckptBase = if (shm.isDirectory && shm.canWrite) "/dev/shm"
       else sys.props.getOrElse("java.io.tmpdir", "/tmp")
     val ckpt = s"$ckptBase/graft-ckpt/$qn"
-    try {
-      withStreamPartitions(s, parts) {
-        var w = df.writeStream.format("memory").queryName(qn)
-          .outputMode(mode).option("checkpointLocation", ckpt)
-        trigger.foreach(t => w = w.trigger(t))
-        drive(w.start())
-      }
-    } finally {
-      // if drive() threw mid-run the query may still be live; stop it
-      // BEFORE deleting its checkpoint, or the checkpoint-IO failure
-      // buries the original exception
+    try body(qn, ckpt)
+    finally {
       s.streams.active.filter(_.name == qn)
         .foreach(q => try q.stop() catch { case _: Throwable => () })
       def rm(f: java.io.File): Unit = {
@@ -176,23 +178,41 @@ object Streams extends QueryModule {
         f.delete()
       }
       rm(new java.io.File(ckpt))
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      s.catalog.dropTempView(qn)
     }
-    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-    // Hand the sink back AS the already-analyzed DataFrame, not a
-    // collect()→parallelize→createDataFrame roundtrip: the sink's
-    // LocalTableScan parallelizes its UnsafeRows over
-    // defaultParallelism slices with byte-level task serialization,
-    // while the roundtrip re-ships driver-side Row objects and runs
-    // a Catalyst converter per row on EVERY downstream evaluation —
-    // the sort's sampling pass + shuffle re-evaluate the source, so
-    // s_session's ~95k sf1 sessions paid the conversion four times
-    // per run (measured at sf1: 13.6 s → 11.0 s from this change,
-    // and it un-inverts the state-partition knob — with the
-    // roundtrip gone, 8 partitions beats 4 at sf1, 9.9 s).
-    // dropTempView only unhooks the catalog name; the resolved plan
-    // keeps the sink's rows alive exactly as the collected Seq did.
-    val result = s.table(qn)
-    s.catalog.dropTempView(qn)
+  }
+
+  private def runStream(s: SparkSession, df: DataFrame, mode: String,
+      trigger: Option[Trigger],
+      drive: org.apache.spark.sql.streaming.StreamingQuery => Unit,
+      parts: Int = 4): DataFrame = {
+    val result = withStreamRun(s) { (qn, ckpt) =>
+      withStreamPartitions(s, parts) {
+        var w = df.writeStream.format("memory").queryName(qn)
+          .outputMode(mode).option("checkpointLocation", ckpt)
+        trigger.foreach(t => w = w.trigger(t))
+        drive(w.start())
+      }
+      // resolve the sink table BEFORE the harness drops its view —
+      // the analyzed plan keeps the rows alive without the catalog
+      // name
+      s.table(qn)
+    }
+    // The sink is handed back AS the already-analyzed DataFrame (the
+    // s.table(qn) inside the try), not a collect()→parallelize→
+    // createDataFrame roundtrip: the sink's LocalTableScan
+    // parallelizes its UnsafeRows over defaultParallelism slices with
+    // byte-level task serialization, while the roundtrip re-ships
+    // driver-side Row objects and runs a Catalyst converter per row
+    // on EVERY downstream evaluation — the sort's sampling pass +
+    // shuffle re-evaluate the source, so s_session's ~95k sf1
+    // sessions paid the conversion four times per run (measured at
+    // sf1: 13.6 s → 11.0 s from this change, and it un-inverts the
+    // state-partition knob — with the roundtrip gone, 8 partitions
+    // beats 4 at sf1, 9.9 s). dropTempView only unhooks the catalog
+    // name; the resolved plan keeps the sink's rows alive exactly as
+    // the collected Seq did.
     result
   }
 
@@ -222,6 +242,12 @@ object Streams extends QueryModule {
     runToBatch(s, agg, "update", streamParts(s, d))
       .select(date_format(col("window.start"), wfmt).as("wstart"),
         col("event_type"), col("n"), col("total"))
+      // update mode re-emits a group per batch; keep the final (max-n)
+      // snapshot so a multi-batch source (maxFilesPerTrigger, a
+      // multi-file table) can't leave partials — the s_join_static /
+      // s_late convention (review r12: these two siblings lacked it)
+      .groupBy(col("wstart"), col("event_type"))
+      .agg(max(col("n")).as("n"), max_by(col("total"), col("n")).as("total"))
       .orderBy(col("wstart"), col("event_type"))
   }
 
@@ -243,6 +269,9 @@ object Streams extends QueryModule {
     runToBatch(s, agg, "update", streamParts(s, d))
       .select(date_format(col("window.start"), wfmt).as("wstart"),
         col("n"), col("total"))
+      // final-snapshot collapse per window — see sTumble
+      .groupBy(col("wstart"))
+      .agg(max(col("n")).as("n"), max_by(col("total"), col("n")).as("total"))
       .orderBy(col("wstart"))
   }
 
@@ -608,18 +637,14 @@ object Streams extends QueryModule {
             .as("n_seen"))
         .localCheckpoint() // the per-batch commit a real MERGE performs
     }
-    val qn = "s_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val shm = new java.io.File("/dev/shm")
-    val ckptBase = if (shm.isDirectory && shm.canWrite) "/dev/shm"
-      else sys.props.getOrElse("java.io.tmpdir", "/tmp")
-    val ckpt = s"$ckptBase/graft-ckpt/$qn"
-    try {
+    withStreamRun(s) { (qn, ckpt) =>
       withStreamPartitions(s, 4) {
         val q = mem.toDF().toDF("user_id", "ts", "value")
           .writeStream.outputMode("update")
-          // named so the exception-path cleanup below can find it —
-          // without queryName the finally filter can never match and a
-          // failure between start() and stop() leaks the query
+          // named so the harness's exception-path cleanup can find
+          // it — without queryName the teardown filter can never
+          // match and a failure between start() and stop() leaks the
+          // query
           .queryName(qn)
           .option("checkpointLocation", ckpt)
           .foreachBatch((batch: DataFrame, _: Long) => mergeBatch(batch))
@@ -640,14 +665,6 @@ object Streams extends QueryModule {
         q.processAllAvailable()
         q.stop()
       }
-    } finally {
-      s.streams.active.filter(_.name == qn)
-        .foreach(q => try q.stop() catch { case _: Throwable => () })
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-        f.delete()
-      }
-      rm(new java.io.File(ckpt))
     }
     target.orderBy(col("user_id"))
   }

@@ -75,6 +75,65 @@ class NormalizeSpec extends AnyFunSuite {
     assert(r.isNullAt(r.fieldIndex("photos"))) // photos 'null for fb
   }
 
+  test("facebook accepts every numeric ISO offset form; NULL adapter " +
+      "routes to the error channel (review r12)") {
+    import s.implicits._
+    // +HH:MM and +HH must parse to the same instant/offset as +HHMM —
+    // the DuckDB oracle's %z accepts all three
+    val fb = Normalize.normalizeFacebook(Seq(
+      ("e1", "c", "2017-03-22T19:00:00-0400", "A", null: String),
+      ("e2", "c", "2017-03-22T19:00:00-04:00", "B", null: String),
+      ("e3", "c", "2017-03-22T19:00:00-04", "C", null: String))
+      .toDF("id", "chapter", "start_time", "name", "description")
+      .withColumn("place", lit(null).cast(
+        "STRUCT<name: STRING, location: STRUCT<street: STRING," +
+          "country: STRING, city: STRING, zip: STRING," +
+          "longitude: DOUBLE, latitude: DOUBLE>>")))
+      .select(col("event_id"), col("time"), col("utcOffset")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(fb == Seq(
+      ("e1", 1490223600000L, -14400000L),
+      ("e2", 1490223600000L, -14400000L),
+      ("e3", 1490223600000L, -14400000L)), s"got $fb")
+    // a chapters row with NULL adapter must become an error row, not
+    // vanish through the three-valued NOT IN
+    val errs = Normalize.unknownAdapterErrors(
+      Seq(("ghost-town", null: String), ("atlantis", "gopher"))
+        .toDF("chapter", "adapter")).collect()
+    assert(errs.length == 2)
+    val nullMsg = errs.map(_.getAs[String]("error"))
+      .find(_.contains("ghost-town"))
+    assert(nullMsg.exists(_.contains("No adapter <null>")), s"got $nullMsg")
+  }
+
+  test("reference shape collapses colliding event ids deterministically " +
+      "instead of throwing (review r12)") {
+    import s.implicits._
+    // two ok rows colliding on (chapter, event_id) — the eventbrite
+    // stringified-start-millis key makes this reachable; the reference
+    // hasheq last-writes where map_from_entries would throw
+    val ok = Seq(
+      ("1000", "c", "u1", 1L, 0L, "first", "d"),
+      ("1000", "c", "u2", 2L, 0L, "second", "d"))
+      .toDF("event_id", "chapter", "url", "time", "utcOffset", "title",
+        "description")
+      .withColumn("venue", lit(null).cast(
+        "STRUCT<name: STRING, address1: STRING, address2: STRING," +
+          "country: STRING, city: STRING, postalCode: STRING," +
+          "lon: DOUBLE, lat: DOUBLE>"))
+      .withColumn("photos", lit(null).cast(
+        "ARRAY<STRUCT<highres_link: STRING, photo_link: STRING," +
+          "thumb_link: STRING>>"))
+    val m = Normalize.toReferenceShape(ok).collect()
+    assert(m.length == 1)
+    val events = m(0).getAs[
+      scala.collection.Map[String, org.apache.spark.sql.Row]]("events")
+    // the engine's pick is the max event struct (u2 here) — any total
+    // order satisfies the contract, it just must not throw or vary
+    assert(events.size == 1 && events("1000").getAs[String]("url") == "u2",
+      s"got ${events.map { case (k, v) => k -> v.toString }}")
+  }
+
   test("video table: id-keyed JSON object pivots to typed rows (data_formats.md:46-74)") {
     val v = Normalize.readVideos(s, s"$fx/videos.json")
       .orderBy(col("video_id")).collect()
