@@ -72,7 +72,14 @@ object Graft {
                        surrogate: String = "graft_id")
       : (DataFrame, DataFrame) = {
     requireFresh(df, "withSurrogateIds", surrogate)
-    val withId = df.withColumn(surrogate, xxhash64(col(idCol)))
+    // fail loud on a NULL key: xxhash64(NULL) returns the seed
+    // constant, which would silently alias every null-keyed row to
+    // ONE identity — the exact corruption the long-id contract exists
+    // to prevent (review r12)
+    val withId = df.withColumn(surrogate,
+      when(col(idCol).isNotNull, xxhash64(col(idCol)))
+        .otherwise(raise_error(lit(s"graft.withSurrogateIds: NULL $idCol " +
+          "— a null key has no identity; filter or fill it first"))))
     (withId, withId.select(col(surrogate), col(idCol)).distinct())
   }
 
@@ -91,11 +98,17 @@ object Graft {
     * checkpointed star-contraction loop with data-sized partitions;
     * at most O(diameter) rounds of two shuffles each. */
   def connectedComponents(edges: DataFrame, src: String, dst: String)
-      : DataFrame =
-    ops.LlmPipe.dedupCcLoop(ops.LlmPipe.loopFrame(
-        edges.select(longId(col(src), "connectedComponents").as("da"),
-          longId(col(dst), "connectedComponents").as("db"))))
-      .withColumnRenamed("doc_id", "id")
+      : DataFrame = {
+    val st = ops.LlmPipe.stagePairs(
+      edges.select(longId(col(src), "connectedComponents").as("da"),
+        longId(col(dst), "connectedComponents").as("db")))
+    val out = ops.LlmPipe.dedupCcLoop(st.df).withColumnRenamed("doc_id", "id")
+    // the loop ran eagerly (checkpoint-per-round) — nothing re-reads
+    // the staged blocks; without this release every facade call parks
+    // an edge-sized RDD in the block manager (review r12)
+    st.release()
+    out
+  }
 
   /** One damped PageRank pass (d = 0.85) over an undirected edge
     * list: `(id, rank)`. The node-count scalar rides in as a 1-row
@@ -111,10 +124,11 @@ object Graft {
     * deterministic across partitionings. */
   def pageRankConverged(edges: DataFrame, src: String, dst: String,
                         iters: Int = 12): (DataFrame, Seq[Double]) = {
-    val (ranks, masses) = ops.LlmPipe.pagerankConvOver(
-      ops.LlmPipe.loopFrame(
-        edges.select(longId(col(src), "pageRankConverged").as("da"),
-          longId(col(dst), "pageRankConverged").as("db"))), iters)
+    val st = ops.LlmPipe.stagePairs(
+      edges.select(longId(col(src), "pageRankConverged").as("da"),
+        longId(col(dst), "pageRankConverged").as("db")))
+    val (ranks, masses) = ops.LlmPipe.pagerankConvOver(st.df, iters)
+    st.release() // iteration checkpoints truncated the lineage (see cc)
     (ranks.withColumnRenamed("doc_id", "id"), masses)
   }
 
@@ -295,12 +309,19 @@ object Graft {
                  vec: String, k: Int): DataFrame = {
     registerFunctions(queries.sparkSession)
     import org.apache.spark.sql.expressions.Window
+    // zero-norm vectors have no direction: cos would be 0/0 = NaN,
+    // and NaN sorts ABOVE every real cosine under desc, so one all-
+    // zeros padding row would become the rank-1 match of every query
+    // (review r12). Excluded on both sides — a zero-norm query simply
+    // returns no rows.
     val q = queries.select(col(id).as("query_id"),
         transform(col(vec), x => x.cast("double")).as("qe"))
       .withColumn("qn", sqrt(expr("graft_dot(qe, qe)")))
+      .filter(col("qn") > 0)
     val c = corpus.select(col(id).as("match_id"),
         transform(col(vec), x => x.cast("double")).as("ce"))
       .withColumn("cn", sqrt(expr("graft_dot(ce, ce)")))
+      .filter(col("cn") > 0)
     val cos = expr("graft_dot(qe, ce)") / (col("qn") * col("cn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_key").desc, col("match_id"))
@@ -378,10 +399,16 @@ object Graft {
     * 32 bytes per row instead of the document text; `id` can be any
     * orderable type (min picks the keeper). */
   def dedupExact(docs: DataFrame, id: String, text: String): DataFrame = {
+    // NULL text is UNKNOWN content, not identical content: sha2(NULL)
+    // is NULL and a plain groupBy would collapse every null-text row
+    // into one group, keeping a single survivor — silent data loss
+    // (review r12). Null-text rows are each their own keeper.
     val k = docs
       .select(col(id).as("__gid"), sha2(col(text).cast("string"), 256).as("__h"))
+      .filter(col("__h").isNotNull)
       .groupBy(col("__h")).agg(min(col("__gid")).as("__keep"))
       .select(col("__keep"))
+      .unionByName(docs.filter(col(text).isNull).select(col(id).as("__keep")))
     applyKeepers(docs, id, k, "__keep")
   }
 
@@ -418,6 +445,17 @@ object Graft {
     require(stepUs > 0, s"graft.resampleGrid: stepUs must be > 0")
     requireFresh(df, "resampleGrid",
       "bucket_us", "n_obs", "avg_val", "ff_val", "interp_val")
+    // a TIMESTAMP cast to long yields epoch SECONDS, which would be
+    // bucketed as if they were µs — every observation for months in
+    // one cell, silently (review r12). Demand the integral µs form.
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType)
+        .contains(df.schema(timeUs).dataType),
+      s"graft.resampleGrid: $timeUs must be an epoch-µs integral " +
+        s"column (got ${df.schema(timeUs).dataType.simpleString}) — " +
+        "convert timestamps with unix_micros() first")
     val buckets = df
       .select(col(series),
         // floor-to-grid in pure long arithmetic: t - pmod(t, step) ==
@@ -429,18 +467,12 @@ object Graft {
         // avg(double) is summation-order-dependent and the order is
         // scheduling-dependent, so a cell mean near an r4 boundary
         // would flip between runs; the 1e-6-grid long sum is exact.
-        // Guarded domain (the grid4 convention — facades raise, they
-        // never wrap): |value| ≤ 1e6 per row, ≤ 9.2e6 observations
-        // per cell ⇒ |Σ per-cell value·1e6| within Long. NULL values
-        // pass through as NULL (absent from the mean, like avg's).
-        when(col(value).isNull, lit(null).cast("long"))
-          .when(abs(col(value).cast("double")) <= lit(1e6),
-            floor(col(value).cast("double") * 1e6 + lit(0.5)).cast("long"))
-          .otherwise(raise_error(concat(
-            lit("graft resampleGrid: |value| exceeds the " +
-              "exact-arithmetic domain (±1e6) of the 1e-6 grid: "),
-            col(value).cast("string"))))
-          .as("__v6"))
+        // gridN is the shared raise-don't-wrap guard: NULLs pass
+        // through (absent from the mean, like avg's), |value| > 1e6
+        // raises; with the ≤ 9.2e6-observations-per-cell guard below,
+        // |Σ per-cell value·1e6| stays within Long.
+        ops.TimeSeries.gridN(col(value).cast("double"), 1e6, 1e6,
+          "resampleGrid").as("__v6"))
       .groupBy(col(series), col("bucket_us"))
       .agg(count(lit(1)).as("n_obs"),
         // divide by the NON-NULL count (avg semantics); the cell-size
@@ -472,7 +504,7 @@ object Graft {
                             value: String, width: Int,
                             tiebreak: Seq[String] = Nil): DataFrame = {
     requireFresh(df, "weightedMovingAverage",
-      "wma", "rn", "v4w", "s1", "s0", "c")
+      "wma", "rn", "v4w", "s1", "s0", "c", "swr", "nn")
     ops.TimeSeries.wmaOver(df, series, order, value, width, tiebreak)
   }
 
@@ -486,7 +518,18 @@ object Graft {
   def sessionize(events: DataFrame, user: String, timeUs: String,
                  tiebreak: Seq[String], gapUs: Long): DataFrame = {
     requireFresh(events, "sessionize", "session_id", "brk")
-    ops.Reshape.sessionIdsOver(events, user, timeUs, tiebreak, gapUs)
+    // fail loud on NULL times: they sort first in the user partition
+    // and make lag() NULL for their successor, silently opening a new
+    // session at every null row (review r12)
+    ops.Reshape.sessionIdsOver(
+      events.withColumn(timeUs,
+        when(col(timeUs).isNotNull, col(timeUs))
+          .otherwise(raise_error(concat(
+            lit(s"graft.sessionize: NULL $timeUs for user "),
+            coalesce(col(user).cast("string"), lit("<null>")),
+            lit(" — a session boundary needs a time; filter or fill " +
+              "null timestamps first"))))),
+      user, timeUs, tiebreak, gapUs)
   }
 
   /** Strictly-ordered funnel over an event stream: for each user the
@@ -495,8 +538,11 @@ object Graft {
     * conversion)` per funnel depth. One aggregation per step, all on
     * the user key. */
   def funnel(events: DataFrame, user: String, step: String, time: String,
-             steps: Seq[String]): DataFrame =
+             steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty,
+      "graft.funnel: steps must name at least one funnel stage")
     ops.Reshape.funnelOver(
       events.select(col(user).as("user_id"), col(step).as("event_type"),
         col(time).cast("long").as("tus")), steps)
+  }
 }

@@ -68,7 +68,11 @@ object Llm extends QueryModule {
   private[graft] def bucketPairs(df: DataFrame, keys: Seq[Column],
                                  member: Column): DataFrame =
     df.groupBy(keys: _*)
-      .agg(sort_array(collect_list(member)).as("members"))
+      // DISTINCT members: a value appearing twice in a bucket would
+      // otherwise pair with itself, emitting da == db and violating
+      // the documented da < db contract (review r12; the scored paths
+      // pre-collapse to distinct classes, so this is identity there)
+      .agg(array_distinct(sort_array(collect_list(member))).as("members"))
       .filter(size(col("members")) > 1)
       // key rendered via concat_ws, NOT to_json: StructsToJson is
       // CodegenFallback and would drag this whole projection — the

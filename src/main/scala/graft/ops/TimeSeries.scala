@@ -26,12 +26,18 @@ object TimeSeries extends QueryModule {
     * out-of-domain): without the explicit branch, `abs(NULL) <= max`
     * is NULL, the otherwise-branch fires, and the facade would crash
     * on any null value with a NULL-message raise_error. */
-  private def grid4(v: Column, maxAbs: Double, ctx: String): Column =
+  private[graft] def gridN(v: Column, maxAbs: Double, scale: Double,
+      ctx: String): Column =
     when(v.isNull, lit(null).cast("long"))
-      .when(abs(v) <= lit(maxAbs), floor(v * 1e4 + lit(0.5)).cast("long"))
+      .when(abs(v) <= lit(maxAbs),
+        floor(v * lit(scale) + lit(0.5)).cast("long"))
       .otherwise(raise_error(concat(
         lit(s"graft $ctx: |value| exceeds the exact-arithmetic domain " +
-          s"(±$maxAbs) of the 1e-4 integer grid: "), v.cast("string"))))
+          s"(±$maxAbs) of the ${1 / scale} integer grid: "),
+        v.cast("string"))))
+
+  private def grid4(v: Column, maxAbs: Double, ctx: String): Column =
+    gridN(v, maxAbs, 1e4, ctx)
 
   // --------------------------------------------------------- q_ts_downsample
 
@@ -343,10 +349,23 @@ object TimeSeries extends QueryModule {
       .withColumn("s1", sum(col("v4w") * col("rn")).over(frame))
       .withColumn("s0", sum(col("v4w")).over(frame))
       .withColumn("c", count(lit(1)).over(frame))
+      // NULL values contribute nothing to the sums, so they must also
+      // contribute no WEIGHT: the denominator is the weight sum of the
+      // frame's NON-null rows — swr + nn·(c − rn), which reduces to
+      // the triangular c(c+1)/2 exactly when the frame is null-free
+      // (the scored-query regime, so the oracle's formula is
+      // unchanged). Dividing by the all-rows triangle silently
+      // deflated the mean toward zero whenever a null sat in the
+      // window (review r12). All-null frame → wma NULL.
+      .withColumn("swr",
+        sum(when(col("v4w").isNotNull, col("rn"))).over(frame))
+      .withColumn("nn", count(col("v4w")).over(frame))
       .withColumn("wma",
-        Det.r4((col("s1") + (col("c") - col("rn")) * col("s0")).cast("double") /
-          (col("c") * (col("c") + 1) / 2) / 1e4))
-      .drop("rn", "v4w", "s1", "s0", "c")
+        when(col("nn") > 0,
+          Det.r4((col("s1") + (col("c") - col("rn")) * col("s0"))
+              .cast("double") /
+            (col("swr") + col("nn") * (col("c") - col("rn"))) / 1e4)))
+      .drop("rn", "v4w", "s1", "s0", "c", "swr", "nn")
   }
 
   /** Linearly-weighted moving average over the trailing 21-row frame

@@ -393,6 +393,74 @@ class GraftApiSpec extends AnyFunSuite {
       msg.contains("exact-arithmetic domain"), s"unexpected error: $msg")
   }
 
+  test("facade NULL/degenerate-input contracts fail loud or stay exact " +
+      "(review r12, pass 3)") {
+    def raises(ctx: String)(body: => Unit): Unit = {
+      val e = intercept[Exception](body)
+      val msg = Option(e.getMessage).getOrElse("") +
+        Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+      assert(msg.contains(ctx), s"expected '$ctx' in: $msg")
+    }
+    // withSurrogateIds: a NULL key must raise, not alias to the seed
+    raises("graft.withSurrogateIds") {
+      Graft.withSurrogateIds(
+        Seq(Some("a"), None).toDF("k"), "k")._1.count()
+    }
+    // sessionize: a NULL time must raise, not open phantom sessions
+    raises("graft.sessionize") {
+      Graft.sessionize(
+        Seq(("u", Some(1L), 1L), ("u", None, 2L)).toDF("u", "t", "e"),
+        "u", "t", Seq("e"), 100L).count()
+    }
+    // funnel: empty steps is a contract error, not a bare head crash
+    raises("graft.funnel") {
+      Graft.funnel(Seq(("u", "a", 1L)).toDF("u", "s", "t"),
+        "u", "s", "t", Seq.empty)
+    }
+    // resampleGrid: a timestamp column would be bucketed as seconds
+    raises("graft.resampleGrid") {
+      Graft.resampleGrid(
+        Seq(("a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
+          .toDF("sensor", "t_us", "reading"),
+        "sensor", "t_us", "reading", 1000L)
+    }
+    // dedupExact: NULL text is unknown content — every null-text row
+    // survives; identical non-null text still collapses to min id
+    val kept = Graft.dedupExact(
+      Seq((1L, Some("same")), (2L, Some("same")), (3L, None), (4L, None))
+        .toDF("id", "text"), "id", "text")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L), s"got $kept")
+    // cosineTopK: an all-zeros corpus vector must not become the NaN
+    // rank-1 match of every query
+    val hits = Graft.cosineTopK(
+      Seq((100L, Seq(1.0f, 0.0f))).toDF("id", "e"),
+      Seq((1L, Seq(1.0f, 0.1f)), (2L, Seq(0.0f, 0.0f)),
+        (3L, Seq(0.9f, 0.2f))).toDF("id", "e"),
+      "id", "e", 2)
+      .select("rank", "match_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits == Set((1L, 1L), (2L, 3L)), s"got $hits")
+    // candidatePairs: a duplicated (bucket, member) row must not emit
+    // a self-pair
+    val pairs = Graft.candidatePairs(
+      Seq(("b", 7L), ("b", 7L), ("b", 9L)).toDF("bucket", "m"),
+      Seq(col("bucket")), col("m")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((7L, 9L)), s"got $pairs")
+    // weightedMovingAverage: a NULL value carries no weight — the two
+    // non-null neighbours keep their exact means (width 1 ⇒ frame of
+    // 2: row1 [10] → 10.0, row2 [10, NULL] → 10.0, row3 [NULL, 30] →
+    // 30.0), where the all-rows triangle deflated them
+    val wma = Graft.weightedMovingAverage(
+      Seq(("s", 1L, Some(10.0)), ("s", 2L, None), ("s", 3L, Some(30.0)))
+        .toDF("k", "i", "v"), "k", "i", "v", 1)
+      .orderBy("i").collect()
+      .map(r => Option(r.get(r.fieldIndex("wma"))).map(_.asInstanceOf[Double]))
+    assert(wma.toSeq == Seq(Some(10.0), Some(10.0), Some(30.0)),
+      s"got ${wma.toSeq}")
+  }
+
   test("ngramHashes accepts column names that need quoting") {
     Graft.registerFunctions(s)
     val n = Seq("a b c d e").toDF("body text-col")
