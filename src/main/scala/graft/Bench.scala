@@ -69,10 +69,13 @@ object Bench {
     // charge that tax to unrelated batch queries.
     def pass(ns: Seq[String]): Map[String, (Double, Either[String, Unit])] =
       ns.map { n =>
-        // drain garbage from prior queries so one query's timing isn't
-        // taxed with a GC cycle triggered by its predecessors' debris
-        // (the ContextCleaner also piggybacks on GC to release old
+        // deterministic release of the previous query's staged
+        // checkpoint blocks (outside the clock), then drain garbage
+        // from prior queries so one query's timing isn't taxed with a
+        // GC cycle triggered by its predecessors' debris (the
+        // ContextCleaner also piggybacks on GC to release old
         // broadcasts/shuffles)
+        ops.Staged.sweep()
         System.gc()
         val t0 = System.nanoTime()
         val r = run(n)

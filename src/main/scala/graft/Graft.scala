@@ -89,6 +89,16 @@ object Graft {
   def registerFunctions(s: SparkSession): Unit =
     _root_.graft.functions.GraftFunctions.register(s)
 
+  /** Deterministically release the staged checkpoint blocks that
+    * lazily-consumed operators (rank slicing, overlap split, the
+    * distributed graph paths) leave in the block manager. Call at
+    * pipeline boundaries in a long-lived session — every result you
+    * intend to keep must be materialized first (a swept checkpoint
+    * cannot be recomputed). Without a sweep, the GC-driven
+    * ContextCleaner still reclaims the blocks, just at an unbounded
+    * delay. Returns the number of checkpoints released. */
+  def sweepStaged(): Int = _root_.graft.ops.Staged.sweep()
+
   // ------------------------------------------------------------------ graph
 
   /** Connected components over an undirected edge list — the dedup

@@ -49,6 +49,9 @@ object Verify {
         System.err.println(s"[verify] $name failed: $msg")
         errors(name) = msg.linesIterator.take(3).mkString(" ").take(500)
       }
+      // the query has fully materialized: release any staged
+      // checkpoint blocks it left in the block manager
+      ops.Staged.sweep()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

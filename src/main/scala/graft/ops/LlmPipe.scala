@@ -318,16 +318,35 @@ object LlmPipe extends QueryModule {
     * false-trip probability ~1e-11 per value on this data. Runs on
     * every strategy-ambiguous discretization at every SF (the sf3
     * gate's local path included), so the guarantee is monitored in
-    * production, not sampled in a spec. */
-  private def r6dMonitored(x: Double): Double = {
+    * production, not sampled in a spec.
+    *
+    * A trip is NOT fatal (advice r12): structured inputs can sit ON a
+    * boundary legitimately — e.g. a 1-regular class graph whose node
+    * count divides 2e6 puts every rank's y exactly on an integer. The
+    * trip throws the typed [[R6BoundaryTrip]]; the strategy dispatch
+    * catches it and re-runs on the DISTRIBUTED path, whose per-
+    * iteration Det.r6 is the oracle-matched convention — the driver
+    * shortcut is a pure optimization and is abandoned, never wrong. */
+  private[graft] def r6dMonitored(x: Double): Double = {
     val y = x * 1e6 + 0.5
     val tol = 4e-15 * math.abs(y) + 1e-12
-    require(math.abs(y - math.rint(y)) > tol,
-      f"graft pagerank: rank $x%.17g sits within $tol%.1e of an r6 " +
-        "bucket boundary — summation-order noise could flip the bucket " +
-        "across strategies; results would be strategy-dependent")
+    if (math.abs(y - math.rint(y)) <= tol)
+      throw new R6BoundaryTrip(
+        f"rank $x%.17g sits within $tol%.1e of an r6 bucket boundary — " +
+          "summation-order noise could flip the bucket across strategies")
     math.floor(y) / 1e6
   }
+
+  /** A driver-local PageRank iteration produced a rank close enough to
+    * an r6 bucket edge that the local and distributed strategies could
+    * legally disagree. Callers fall back to the distributed strategy. */
+  private[graft] final class R6BoundaryTrip(msg: String)
+    extends RuntimeException(msg)
+
+  private def onBoundaryTrip(query: String, t: R6BoundaryTrip): Unit =
+    org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      s"graft $query: ${t.getMessage}; abandoning the driver-local " +
+        "strategy and re-running distributed")
 
   /** The staged (da, db) pairs as two primitive arrays (driver path
     * only — callers have already checked edges ≤ localGraphMaxEdges). */
@@ -683,23 +702,30 @@ object LlmPipe extends QueryModule {
   private def graphPagerank(s: SparkSession, d: String): DataFrame = {
     val (classes, classEdges) = LlmExt.simhashClassGraph(s, d)
     val st = stagePairs(classEdges.toDF("da", "db"))
+    // low-duplication regime (or a boundary trip below): the expanded
+    // pair graph is close to the class graph, so the distributed
+    // expanded machinery is the right tool and unchanged. The
+    // class-edge staging served only as the strategy signal here;
+    // the expanded staging is checkpointed eagerly so ITS blocks
+    // release too (pagerankOver is lazy and would otherwise pin them).
+    def distributed(): DataFrame = {
+      val stx = stagePairs(
+        LlmExt.simhashPairs(s, d).select(col("da"), col("db")))
+      // registered for sweep: pagerankOver/dedupCcLoop consume this
+      // LAZILY, so the checkpoint blocks outlive the facade call
+      val pairs = Staged.checkpoint(stx.df)
+      stx.release()
+      pagerankOver(pairs).orderBy(col("doc_id"))
+    }
     classGraphLocal(s, classes, st) match {
       case Some(g) =>
         st.release() // class graph collected to the driver
-        prClassDf(classes, g, iters = 1, discretizeInit = false)
+        try prClassDf(classes, g, iters = 1, discretizeInit = false)
+        catch { case t: R6BoundaryTrip =>
+          onBoundaryTrip("pagerank", t); distributed() }
       case None =>
-        // low-duplication regime: the expanded pair graph is close to
-        // the class graph, so the distributed expanded machinery is
-        // the right tool and unchanged. The class-edge staging served
-        // only as the strategy signal here — release it; the expanded
-        // staging is checkpointed eagerly so ITS blocks release too
-        // (pagerankOver is lazy and would otherwise pin them).
         st.release()
-        val stx = stagePairs(
-          LlmExt.simhashPairs(s, d).select(col("da"), col("db")))
-        val pairs = stx.df.localCheckpoint()
-        stx.release()
-        pagerankOver(pairs).orderBy(col("doc_id"))
+        distributed()
     }
   }
 
@@ -807,20 +833,25 @@ object LlmPipe extends QueryModule {
   private def graphPagerankConv(s: SparkSession, d: String): DataFrame = {
     val (classes, classEdges) = LlmExt.simhashClassGraph(s, d)
     val st = stagePairs(classEdges.toDF("da", "db"))
+    def distributed(): DataFrame = {
+      val stx = stagePairs(
+        LlmExt.simhashPairs(s, d).select(col("da"), col("db")))
+      // pagerankConvOver materializes every round internally, so
+      // its result is checkpoint-decoupled from the staging by the
+      // time it returns
+      val r = pagerankConvOver(stx.df)._1.orderBy(col("doc_id"))
+      stx.release()
+      r
+    }
     classGraphLocal(s, classes, st) match {
       case Some(g) =>
         st.release() // class graph collected to the driver
-        prClassDf(classes, g, iters = PrIters, discretizeInit = true)
+        try prClassDf(classes, g, iters = PrIters, discretizeInit = true)
+        catch { case t: R6BoundaryTrip =>
+          onBoundaryTrip("pagerank_conv", t); distributed() }
       case None =>
         st.release() // strategy signal only (see graphPagerank)
-        val stx = stagePairs(
-          LlmExt.simhashPairs(s, d).select(col("da"), col("db")))
-        // pagerankConvOver materializes every round internally, so
-        // its result is checkpoint-decoupled from the staging by the
-        // time it returns
-        val r = pagerankConvOver(stx.df)._1.orderBy(col("doc_id"))
-        stx.release()
-        r
+        distributed()
     }
   }
 
@@ -869,22 +900,31 @@ object LlmPipe extends QueryModule {
     // step, whichever strategy the class-graph size picks
     val (classes, classEdges) = LlmExt.simhashClassGraph(s, d)
     val st = stagePairs(classEdges.toDF("da", "db"))
+    // low-duplication regime (or a boundary trip) — distributed path
+    // over the expanded pairs: checkpointed, and shared by the CC
+    // loop and the rank iteration, both at loop scale in the pinned
+    // child session
+    def distributed(): (DataFrame, DataFrame) = {
+      val stx = stagePairs(
+        LlmExt.simhashPairs(s, d).select(col("da"), col("db")))
+      // registered for sweep: pagerankOver/dedupCcLoop consume this
+      // LAZILY, so the checkpoint blocks outlive the facade call
+      val pairs = Staged.checkpoint(stx.df)
+      stx.release() // pairs checkpoint is materialized (eager)
+      (dedupCcLoop(pairs), pagerankOver(pairs))
+    }
     val (cc, pr) = classGraphLocal(s, classes, st) match {
       case Some(g) =>
-        val both = (expandCc(classes, ccLocalLabels(st)),
-          prClassDf(classes, g, iters = 1, discretizeInit = false))
-        st.release() // class graph collected to the driver
-        both
+        try {
+          val both = (expandCc(classes, ccLocalLabels(st)),
+            prClassDf(classes, g, iters = 1, discretizeInit = false))
+          st.release() // class graph collected to the driver
+          both
+        } catch { case t: R6BoundaryTrip =>
+          onBoundaryTrip("keeper", t); st.release(); distributed() }
       case None =>
-        // low-duplication regime — distributed path over the expanded
-        // pairs: checkpointed, and shared by the CC loop and the rank
-        // iteration, both at loop scale in the pinned child session
         st.release() // strategy signal only (see graphPagerank)
-        val stx = stagePairs(
-          LlmExt.simhashPairs(s, d).select(col("da"), col("db")))
-        val pairs = stx.df.localCheckpoint()
-        stx.release() // pairs checkpoint is materialized (eager)
-        (dedupCcLoop(pairs), pagerankOver(pairs))
+        distributed()
     }
     val w = Window.partitionBy(col("cluster"))
       .orderBy(col("rank").desc, col("doc_id"))

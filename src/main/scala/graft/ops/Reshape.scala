@@ -225,10 +225,12 @@ object Reshape extends QueryModule {
     // the checkpoint that premise rested on Catalyst planning both
     // subtrees as a single ReusedExchange, which is not guaranteed
     // (reuse=false or a divergent re-plan would mis-offset ranks).
-    val ranged = df.select(col(g), col(v))
+    // Staged.checkpoint registers the blocks for deterministic
+    // release at the owner's query boundary (advice r12: a bare
+    // localCheckpoint parks them until driver GC).
+    val ranged = Staged.checkpoint(df.select(col(g), col(v))
       .repartitionByRange(nParts, col(g), col(v))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
+      .withColumn("pid", spark_partition_id()))
     val cells = ranged.groupBy(col("pid"), col(g))
       .agg(count(lit(1)).as("c"))
     val wOff = Window.partitionBy(col(g)).orderBy(col("pid"))

@@ -104,6 +104,14 @@ object TimeSeries extends QueryModule {
     * Series count is the parallelism floor at 100 TB — five types
     * means five tasks, so a real deployment keys the window by
     * (series, day) to re-widen; the per-frame math is unchanged. */
+  /** Cutover for the overlap-split strategy below, conf-overridable
+    * (mirrors spark.graft.rank.splitMinBytes) so tests can force the
+    * split path on tiny corpora — RetryDeterminismSpec exercises the
+    * checkpointed slicing under injected task retries at sf0.001. */
+  private def anomalySplitMinBytes(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.anomaly.splitMinBytes")
+      .map(_.toLong).getOrElse(8L << 20)
+
   private def tsAnomaly(s: SparkSession, d: String): DataFrame = {
     // ts alone is NOT a key within a series: at corpus scale multiple
     // events share a timestamp, and a ROWS frame over a non-total
@@ -148,7 +156,7 @@ object TimeSeries extends QueryModule {
     val base = T.events(s, d)
       .select(col("event_id"), col("event_type"), col("ts"), col("value"))
     val score = scoreAnomalies(frameLen, key) _
-    if (T.sourceBytes(s, d, "events") < (8L << 20)) {
+    if (T.sourceBytes(s, d, "events") < anomalySplitMinBytes(s)) {
       // small corpus: one shuffle on the series key, window streams
       // per series. The explicit-count repartition keeps AQE from
       // coalescing the KB-sized series groups onto one task.
@@ -180,10 +188,12 @@ object TimeSeries extends QueryModule {
     // ANY bound placement — the property AnomalySplitSpec pins —
     // but that theorem needs a single consistent slicing as its
     // premise, which is now enforced rather than hoped for.
-    val sliced = base
+    // Staged.checkpoint registers the blocks for deterministic
+    // release at the owner's query boundary (advice r12: a bare
+    // localCheckpoint parks them until driver GC).
+    val sliced = Staged.checkpoint(base
       .repartitionByRange(nSlices, col("event_type") +: key: _*)
-      .withColumn("slice", spark_partition_id())
-      .localCheckpoint()
+      .withColumn("slice", spark_partition_id()))
     // A slice can hold FEWER than frameLen rows of a series (thin
     // cells near type boundaries, or small SFs), so carrying only to
     // the next slice would under-fill that slice's successors'

@@ -390,7 +390,10 @@ object Normalize {
       // same-instant events collide) where map_from_entries THROWS
       // under the default EXCEPTION dedup policy (review r12). Spark
       // has no "source order" to replay, so pick the max struct — any
-      // total order works, it just has to be deterministic.
+      // total order works, it just has to be deterministic. This is a
+      // TRACKED divergence from the reference's last-write envelope:
+      // SURVEY §2A "Tracked behavioral divergences" #1 records the
+      // contract and the retire condition (an ingest-order surrogate).
       .agg(max(struct(col("url"), col("time"), col("utcOffset"),
         col("title"), col("description"), col("venue"), col("photos")))
         .as("event"))

@@ -107,7 +107,10 @@ object Transport {
   * same lift one level up). Exercised in RestSourceSpec against a
   * loopback HttpServer; the container has no egress, so that test IS
   * the live-mode proof. */
-class HttpTransport(baseUrl: String) extends Transport {
+class HttpTransport(baseUrl: String,
+                    maxRetries: Int = HttpTransport.DefaultMaxRetries,
+                    backoffMs: Long = HttpTransport.DefaultBackoffMs)
+  extends Transport {
   override def fetch(adapter: String, chapter: String): RestResponse = {
     // path segments percent-encoded: a chapter id with a space would
     // crash URI.create, and one containing '/' would silently rewrite
@@ -119,11 +122,26 @@ class HttpTransport(baseUrl: String) extends Transport {
         s"${baseUrl.stripSuffix("/")}/${seg(adapter)}/${seg(chapter)}/events"))
       .timeout(java.time.Duration.ofSeconds(60))
       .GET().build()
-    val resp = HttpTransport.client.send(req,
+    // transient 5xx → bounded exponential backoff + retry (verdict
+    // r12 #8): production REST ingest sees rolling restarts and
+    // gateway hiccups; one blip per chapter must not cost the row.
+    // 4xx never retries (the request itself is wrong — retrying a 404
+    // just burns the rate limit), and exhausted retries fail loudly so
+    // the normalize layer's exception→error-row lift (A9) records the
+    // chapter, same as the reference's exn handlers one level up.
+    var attempt = 0
+    var resp = HttpTransport.client.send(req,
       java.net.http.HttpResponse.BodyHandlers.ofString())
+    while (resp.statusCode() / 100 == 5 && attempt < maxRetries) {
+      Thread.sleep(backoffMs << attempt) // backoff, 2^attempt
+      attempt += 1
+      resp = HttpTransport.client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+    }
     if (resp.statusCode() / 100 != 2)
       sys.error(s"graft-rest: HTTP ${resp.statusCode()} fetching " +
-        s"$adapter/$chapter from $baseUrl")
+        s"$adapter/$chapter from $baseUrl" +
+        (if (attempt > 0) s" after $attempt retries" else ""))
     def hdr(n: String): Option[String] = {
       val v = resp.headers().firstValue(n)
       if (v.isPresent) Some(v.get) else None
@@ -138,6 +156,13 @@ class HttpTransport(baseUrl: String) extends Transport {
 }
 
 object HttpTransport {
+  /** 3 retries × doubling backoff from 500 ms ≈ 3.5 s worst-case wait
+    * per chapter — enough to ride out a rolling restart, bounded so a
+    * hard-down endpoint fails the partition in seconds, not minutes
+    * (tests pass a ms-scale backoff). */
+  val DefaultMaxRetries = 3
+  val DefaultBackoffMs = 500L
+
   /** One client per JVM: connection pooling across all partitions on
     * an executor instead of a fresh selector thread + TCP handshake
     * per fetch. Connect/request timeouts bound a stalled server —

@@ -87,8 +87,18 @@ object Streams extends QueryModule {
     // a directory of part files, point the stream at it; when it's a
     // single file, stream the parent glob-filtered down to it —
     // pathGlobFilter matches LEAF names only, so using it on the
-    // directory form would silently list zero files (review r12)
-    val st = if (new java.io.File(s"$d/events.parquet").isDirectory)
+    // directory form would silently list zero files (review r12).
+    // The probe resolves through Hadoop's FileSystem, not java.io.File:
+    // a local-only probe answers false for every hdfs://-s3a:// data
+    // dir and would route real deployments into the zero-file branch
+    // (advice r12).
+    val isDir = {
+      val p = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      try fs.getFileStatus(p).isDirectory
+      catch { case _: java.io.FileNotFoundException => false }
+    }
+    val st = if (isDir)
         s.readStream.schema(fileSchema).parquet(s"$d/events.parquet")
       else s.readStream.schema(fileSchema)
         .option("pathGlobFilter", "events.parquet").parquet(d)

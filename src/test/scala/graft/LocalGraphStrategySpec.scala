@@ -25,6 +25,24 @@ class LocalGraphStrategySpec extends AnyFunSuite {
       .collect().map(_.toString).toSeq
   }
 
+  test("r6dMonitored: off-boundary values floor; boundary values trip " +
+    "the typed fallback exception, not a bare failure") {
+    // ordinary rank magnitudes, comfortably off-grid
+    assert(ops.LlmPipe.r6dMonitored(0.0123453) == 0.012345)
+    assert(ops.LlmPipe.r6dMonitored(1.0 / 37.0) ==
+      math.floor((1.0 / 37.0) * 1e6 + 0.5) / 1e6)
+    // structured data CAN land exactly on a bucket edge (advice r12:
+    // a 1-regular class graph with n | 2e6) — that must raise the
+    // typed R6BoundaryTrip the strategy dispatch converts into a
+    // distributed-path fallback, not a generic require failure
+    intercept[ops.LlmPipe.R6BoundaryTrip] {
+      ops.LlmPipe.r6dMonitored(0.5e-6) // y = x*1e6 + 0.5 = 1.0 exactly
+    }
+    intercept[ops.LlmPipe.R6BoundaryTrip] {
+      ops.LlmPipe.r6dMonitored(0.0000315) // y = 32.0 exactly
+    }
+  }
+
   for (q <- Seq("q_llm_dedup_cc", "q_graph_pagerank",
                 "q_graph_pagerank_conv", "q_llm_keeper")) {
     test(s"$q: local and distributed strategies agree row-for-row") {

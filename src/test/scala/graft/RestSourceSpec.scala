@@ -94,6 +94,75 @@ class RestSourceSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("HttpTransport retries transient 5xx with backoff, then succeeds") {
+    // rolling-restart shape: first two hits per path 500, then 200
+    val hits = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", { exchange =>
+      val path = exchange.getRequestURI.getPath
+      val n = hits.merge(path, 1, (a, b) => a + b)
+      if (n <= 2) {
+        exchange.sendResponseHeaders(500, -1)
+      } else {
+        val body = """{"id": "r1", "name": "After Retry"}""".getBytes("UTF-8")
+        exchange.sendResponseHeaders(200, body.length)
+        exchange.getResponseBody.write(body)
+      }
+      exchange.close()
+    })
+    server.start()
+    try {
+      val t = new sources.rest.HttpTransport(
+        s"http://127.0.0.1:${server.getAddress.getPort}",
+        maxRetries = 3, backoffMs = 1L)
+      val resp = t.fetch("meetup", "berlin")
+      assert(resp.lines == Seq("""{"id": "r1", "name": "After Retry"}"""))
+      assert(hits.get("/meetup/berlin/events") == 3) // 500, 500, 200
+    } finally server.stop(0)
+  }
+
+  test("exhausted 5xx retries fail loudly (error-row lift unchanged)") {
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", { exchange =>
+      hits.incrementAndGet()
+      exchange.sendResponseHeaders(503, -1)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val t = new sources.rest.HttpTransport(
+        s"http://127.0.0.1:${server.getAddress.getPort}",
+        maxRetries = 2, backoffMs = 1L)
+      val e = intercept[RuntimeException] { t.fetch("meetup", "berlin") }
+      assert(e.getMessage.contains("HTTP 503"))
+      assert(e.getMessage.contains("after 2 retries"))
+      assert(hits.get() == 3) // initial + 2 retries, bounded
+    } finally server.stop(0)
+  }
+
+  test("4xx is NOT retried (a wrong request must not burn rate limit)") {
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", { exchange =>
+      hits.incrementAndGet()
+      exchange.sendResponseHeaders(404, -1)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val t = new sources.rest.HttpTransport(
+        s"http://127.0.0.1:${server.getAddress.getPort}",
+        maxRetries = 3, backoffMs = 1L)
+      val e = intercept[RuntimeException] { t.fetch("meetup", "berlin") }
+      assert(e.getMessage.contains("HTTP 404"))
+      assert(hits.get() == 1)
+    } finally server.stop(0)
+  }
+
   test("HTTP X-Ratelimit headers defer subsequent fetches end-to-end") {
     // the full meetup.rkt:9-26 loop over a real socket: the server
     // reports <3 requests remaining with a reset ~0.4s out on EVERY

@@ -1,0 +1,71 @@
+package graft
+
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
+
+import org.apache.spark.{SparkContext, TaskContext}
+import org.apache.spark.sql.SparkSession
+
+/** Test-only task-retry fault injector (VERDICT r12 #1). While armed,
+  * the FIRST attempt of every task that touches a shuffle — writer or
+  * reader side, so every map task, every reduce task, every
+  * repartitionByRange consumer, every iterative-loop round — is killed
+  * and rescheduled, the failure mode production clusters exercise
+  * routinely (preemption, speculation, lost executors) and local runs
+  * never do. The r12 slice-consistency bug proved this hazard class is
+  * live: any stage whose output depends on WHICH attempt computed it
+  * (sampled bounds, unstable orderings, off-grid float merges) turns a
+  * routine retry into silent corruption.
+  *
+  * Mechanism: [[org.apache.spark.shuffle.graft.KillingShuffleManager]]
+  * (installed by the shared test session, pure pass-through when
+  * disarmed) calls [[maybeKill]] inside the task thread. On a first
+  * attempt we request an async `SparkContext.killTaskAttempt` of our
+  * own attempt and block until the interrupt lands; the scheduler
+  * marks the context killed BEFORE interrupting, so the propagating
+  * InterruptedException is reported as TaskKilled — which does NOT
+  * count toward spark.task.maxFailures, so the stock local[4] master
+  * reschedules the attempt instead of failing the job. */
+object RetryInjector {
+  private val enabled = new AtomicBoolean(false)
+  @volatile private var sc: SparkContext = _
+  /** Attempts killed-and-rescheduled while armed (assertion signal). */
+  val killed = new AtomicInteger(0)
+  /** Kill requests that never landed within the wait window — the
+    * task proceeded normally (should stay 0; harmless if not). */
+  val missed = new AtomicInteger(0)
+
+  /** Called from shuffle getWriter/getReader INSIDE the task thread. */
+  def maybeKill(context: TaskContext): Unit = {
+    if (!enabled.get() || context == null) return
+    if (context.attemptNumber() != 0) return
+    val ctx = sc
+    if (ctx == null) return
+    val tid = context.taskAttemptId()
+    val t = new Thread(
+      () =>
+        try { ctx.killTaskAttempt(tid, interruptThread = true,
+          reason = "graft retry-determinism injection"); () }
+        catch { case _: Throwable => () },
+      s"graft-retry-kill-$tid")
+    t.setDaemon(true)
+    t.start()
+    try {
+      Thread.sleep(10000)
+      missed.incrementAndGet(); ()
+    } catch {
+      case e: InterruptedException =>
+        killed.incrementAndGet()
+        throw e
+    }
+  }
+
+  /** Arm the injector around `body`; returns (result, kills landed). */
+  def run[A](spark: SparkSession)(body: => A): (A, Int) = {
+    killed.set(0)
+    missed.set(0)
+    sc = spark.sparkContext
+    enabled.set(true)
+    try { val a = body; (a, killed.get()) }
+    finally enabled.set(false)
+  }
+}

@@ -20,6 +20,11 @@ object SparkTestBase {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // same config-driven extension path as Verify/Bench/deployment
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // behavior-identical SortShuffleManager wrapper; inert unless
+      // RetryDeterminismSpec arms graft.RetryInjector (test-only —
+      // Verify/Bench run the stock manager)
+      .config("spark.shuffle.manager",
+        "org.apache.spark.shuffle.graft.KillingShuffleManager")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
