@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The public, column-parameterized library surface.
@@ -390,6 +391,91 @@ object Graft {
     * normalization) — q_llm_dedup_url's key derivation. */
   def canonicalUrl(url: Column): Column =
     ops.LlmQuality.canonicalizeUrl(url)
+
+  /** Default [[scrubPii]] patterns: RE2-∩-Java syntax only (character
+    * classes, +, {m,n} — no lookarounds), the q_llm_pii discipline,
+    * so the same automaton compiles on any engine the corpus is later
+    * audited with. */
+  val DefaultPiiPatterns: Seq[(String, String)] = Seq(
+    "EMAIL" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "PHONE" -> "\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}")
+
+  /** Regex PII redaction over a user text column (q_llm_pii's shape
+    * on user-named columns): each pattern's matches are replaced by
+    * `[NAME]` in order, and a `pii_counts` map column records how
+    * many matches of each pattern were scrubbed. Pure map-side
+    * codegen'd expression chain — at 100 TB this fuses into whatever
+    * pass already reads the text; no shuffle, no UDF. Run BEFORE
+    * dedup: two docs differing only in contact details become
+    * verbatim-equal once scrubbed, and the dedup stages then collapse
+    * them (the composition GraftPipelineSpec pins). */
+  def scrubPii(docs: DataFrame, text: String,
+               patterns: Seq[(String, String)] = DefaultPiiPatterns)
+      : DataFrame = {
+    require(patterns.nonEmpty, "graft.scrubPii: no patterns given")
+    requireFresh(docs, "scrubPii", "pii_counts")
+    val counts = patterns.flatMap { case (name, p) =>
+      Seq(lit(name),
+        size(regexp_extract_all(col(text), lit(p), lit(0)))
+          .cast("long"))
+    }
+    val redacted = patterns.foldLeft(col(text)) { case (c, (name, p)) =>
+      regexp_replace(c, lit(p), lit(s"[$name]"))
+    }
+    docs.withColumn("pii_counts", map(counts: _*))
+      .withColumn(text, redacted)
+  }
+
+  /** Per-domain document capping (q_llm_domain_cap's shape on
+    * user-named columns) — the crawl-bias control: keep at most `cap`
+    * rows per `domain` value, chosen by the portable 60-bit md5
+    * key-hash rank over `id`, so re-runs, engines and retries keep
+    * the SAME uniform-random subset (a seeded RNG agrees on none of
+    * those). Written row_number-then-filter so the TopKRewrite plans
+    * bounded per-group heaps map-side: shuffle volume is at most
+    * tasks×domains×cap rows no matter how skewed the domains — a
+    * billion-page host costs the same as a ten-page one. NULL ids
+    * raise (a null key has no rank). */
+  def capPerDomain(docs: DataFrame, id: String, domain: String,
+                   cap: Int): DataFrame = {
+    require(cap > 0, "graft.capPerDomain: cap must be > 0")
+    requireFresh(docs, "capPerDomain", "__h", "__rn")
+    registerFunctions(docs.sparkSession)
+    val h = when(col(id).isNotNull,
+      expr(s"graft_hash60(cast(`$id` as string))"))
+      .otherwise(raise_error(lit(
+        s"graft.capPerDomain: NULL $id — a null key has no hash rank; " +
+          "filter or fill it first")))
+    val w = Window.partitionBy(col(domain))
+      .orderBy(col("__h"), col(id))
+    docs.withColumn("__h", h)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .drop("__h", "__rn")
+  }
+
+  /** GPT-style sequence packing over a user frame (q_llm_pack's shape
+    * on user-named columns): concatenate documents in `id` order
+    * within each `streams` cell and cut the token stream every
+    * `chunkTokens` tokens; each row gains a `chunk` column — the
+    * zero-based chunk holding the document's first token. Group the
+    * result by (streams, chunk) for the packer manifest. Packing is
+    * inherently sequential, so `streams` IS the scale knob: an empty
+    * seq runs one global prefix-sum window (fine for corpora that fit
+    * a task); production shards into ~partition-sized streams, e.g.
+    * `Seq(col("lang"), pmod(col("id"), lit(64)))` — q_llm_pack's
+    * shard note. */
+  def packSequences(docs: DataFrame, id: String, nTokens: Column,
+                    chunkTokens: Int,
+                    streams: Seq[Column] = Nil): DataFrame = {
+    require(chunkTokens > 0, "graft.packSequences: chunkTokens must be > 0")
+    requireFresh(docs, "packSequences", "chunk")
+    val w = Window.partitionBy(streams: _*).orderBy(col(id))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.withColumn("chunk",
+      floor(coalesce(sum(nTokens).over(w), lit(0L)) /
+        lit(chunkTokens.toLong)).cast("long"))
+  }
 
   // ------------------------------------------------------- dedup apply
 

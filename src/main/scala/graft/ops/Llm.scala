@@ -178,8 +178,10 @@ object Llm extends QueryModule {
       .select(col("doc_id"), sort_array(shingles3("text")).as("g"))
       .groupBy(col("g"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      // reused by both branches + the rep join — materialize once
-      .localCheckpoint(false)
+      // reused by both branches + the rep join — materialize once;
+      // registered with Staged so the blocks release at the owner's
+      // query boundary instead of waiting on driver GC
+      .transform(Staged.checkpointLazy)
     // Branch 1 — identical-content pairs: J = 1 exactly. Empty
     // shingle sets (< 3 tokens) are excluded on both engines (the
     // oracle's 0/0 division is NULL; here they never reach a band).

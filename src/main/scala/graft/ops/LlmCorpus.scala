@@ -70,7 +70,7 @@ object LlmCorpus extends QueryModule {
       .select(col("doc_id"),
         explode(concat(bodyLines, array(footer))).as("line"))
       .distinct() // line frequency = DOC frequency, not occurrence count
-      .localCheckpoint(false)
+      .transform(Staged.checkpointLazy)
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val cut = greatest(ceil(col("n_docs") * lit(0.05)), lit(5L))
     // ≤ 20·L̄ rows at ANY corpus size (see Scaladoc) → always
@@ -299,7 +299,7 @@ object LlmCorpus extends QueryModule {
         (expr("graft_hash60(g)") % DsirBuckets).as("b"))
       .groupBy(col("doc_id"), col("lang"), col("b"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+      .transform(Staged.checkpoint)
     val isTgt = col("lang") === "en"
     val lms = docBuckets.groupBy(col("b"))
       .agg(sum(col("n")).as("cr"),

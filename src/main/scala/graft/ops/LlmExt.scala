@@ -56,7 +56,7 @@ object LlmExt extends QueryModule {
       .groupBy(col("doc_id"))
       .agg(sums.head, sums.tail: _*)
       .select(col("doc_id"), fp.as("fp"))
-      .localCheckpoint(false)
+      .transform(Staged.checkpointLazy)
   }
 
   /** CLASS-CONTRACTED view of the simhash near-dup graph, for the
@@ -83,7 +83,7 @@ object LlmExt extends QueryModule {
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .select(col("fp"), element_at(col("ids"), 1).as("rep"),
         col("ids"), size(col("ids")).cast("long").as("m"))
-      .localCheckpoint(false)
+      .transform(Staged.checkpointLazy)
     val bands = classes.select(col("fp"), col("rep"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("b"),
@@ -235,7 +235,7 @@ object LlmExt extends QueryModule {
       .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
       .withColumn("cell", ivfCell(col("e")))
       .withColumn("nrm", sqrt(expr("graft_dot(e, e)")))
-      .localCheckpoint(false)
+      .transform(Staged.checkpointLazy)
     val selfCos = Det.r4(expr("graft_dot(e, e)") / (col("nrm") * col("nrm")))
     val identical = groups.filter(size(col("ids")) > 1)
       .select(col("cell"), selfCos.as("cos_sim"), explode(expr(
@@ -358,7 +358,7 @@ object LlmExt extends QueryModule {
       : DataFrame = {
     val e = e0
       .withColumn("gcell", ivfCell(col("e")))
-      .localCheckpoint(false) // feeds seed agg, Lloyd steps, final probe
+      .transform(Staged.checkpointLazy) // feeds seed agg, Lloyd steps, final probe
     // per-dim mean per cell, r6-rounded, reassembled into a vector
     def centroids(frame: DataFrame, cellCol: String): DataFrame =
       frame.select(col(cellCol).as("ccell"), posexplode(col("e")))
@@ -932,7 +932,7 @@ object LlmExt extends QueryModule {
         size(col("ids")).cast("long").as("m"))
       .withColumn("cell", ivfCell(col("e")))
       .withColumn("nrm", sqrt(expr("graft_dot(e, e)")))
-      .localCheckpoint()
+      .transform(Staged.checkpoint)
     // expanded per-member centroid: Σ over members = Σ m·x per class
     val cent = groups.select(col("cell"), col("m"), posexplode(col("e")))
       .groupBy(col("cell"), col("pos"))
@@ -947,7 +947,7 @@ object LlmExt extends QueryModule {
         col("cell"),
         Det.r6(expr("graft_dot(e, cv)") / (col("nrm") * col("cnrm")))
           .as("cc"))
-      .localCheckpoint()
+      .transform(Staged.checkpoint)
     // class-level pair decisions (distinct-vector geometry only)
     val cos = expr("graft_dot(a.e, b.e)") / (col("a.nrm") * col("b.nrm"))
     val facts = scored.as("a").join(scored.as("b"),
@@ -995,7 +995,7 @@ object LlmExt extends QueryModule {
     val e = e0
       .withColumn("cell", ivfCell(col("e")))
       .withColumn("nrm", sqrt(expr("graft_dot(e, e)")))
-      .localCheckpoint()
+      .transform(Staged.checkpoint)
     val cent = e.select(col("cell"), posexplode(col("e")))
       .groupBy(col("cell"), col("pos"))
       .agg(Det.r6(avg(col("col"))).as("c"))

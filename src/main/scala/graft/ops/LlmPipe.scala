@@ -544,7 +544,7 @@ object LlmPipe extends QueryModule {
       // co-partitioned checkpoint blocks instead of re-exchanging
       // 32-way (a checkpoint preserves partitioning)
       .repartition(col("src"))
-      .localCheckpoint(false)
+      .transform(Staged.checkpointLazy)
     // convergence witness: labels only ever DECREASE, so the label sum
     // strictly decreases until the fixpoint — comparing two scalar
     // sums replaces a per-round labels⨝labels diff join. The sum is
@@ -558,7 +558,7 @@ object LlmPipe extends QueryModule {
     // so huge doc-id sums can't lose low bits to FP and fake a
     // convergence equality.
     def materialize(df: DataFrame): (DataFrame, Long, Long) = {
-      val cp = df.localCheckpoint(false)
+      val cp = df.transform(Staged.checkpointLazy)
       val (s, c) = cp.rdd.aggregate((0L, 0L))(
         (a, r) => (a._1 + r.getLong(1), a._2 + 1L),
         (a, b) => (a._1 + b._1, a._2 + b._2))
@@ -778,16 +778,16 @@ object LlmPipe extends QueryModule {
       .toDF("src", "dst")
       // session shuffle-partition count = loopFrame's data-derived pin
       .repartition(col("src"))
-      .localCheckpoint(false)
+      .transform(Staged.checkpointLazy)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val n = deg.agg(count(lit(1)).as("n"))
     // contributions scaffold: (src, dst, outdeg, n), partitioned on src
     val contrib = edges.join(deg, "src").crossJoin(broadcast(n))
-      .localCheckpoint(false)
+      .transform(Staged.checkpointLazy)
     // fused materialization: one action computes the frame, persists
     // the checkpoint blocks, and returns (row count, Σrank)
     def materialize(df: DataFrame): (DataFrame, Long, Double) = {
-      val cp = df.localCheckpoint(false)
+      val cp = df.transform(Staged.checkpointLazy)
       val (cnt, mass) = cp.rdd
         .aggregate((0L, 0.0))(
           (a, r) => (a._1 + 1, a._2 + r.getDouble(1)),
@@ -1078,7 +1078,7 @@ object LlmPipe extends QueryModule {
     val ce = rawEdges.select(
         least(col("ra"), col("rb")).as("lo"),
         greatest(col("ra"), col("rb")).as("hi"))
-      .localCheckpoint() // feeds adjacency, wedge, closure probe
+      .transform(Staged.checkpoint) // feeds adjacency, wedge, closure probe
     val m = classes.select(col("rep"), col("m"))
     // undirected adjacency with neighbour multiplicity → per-class
     // Σ m_B and Σ C(m_B,2) (map-side combined; |class edges| rows)
@@ -1156,7 +1156,7 @@ object LlmPipe extends QueryModule {
           .select(col("o.src").as("src"), col("o.dst").as("dst"),
             col("o.wd").as("wd"))
       })
-      .localCheckpoint() // feeds both wedge copies + the closure probe
+      .transform(Staged.checkpoint) // feeds both wedge copies + the closure probe
     val wedges = eo.toDF("s", "b", "wb").join(eo.toDF("s", "c", "wc"), "s")
       .filter(col("wb") < col("wc") ||
         (col("wb") === col("wc") && col("b") < col("c")))
@@ -1194,11 +1194,11 @@ object LlmPipe extends QueryModule {
       .select(least(col("x"), col("y")).as("a"),
         greatest(col("x"), col("y")).as("b"))
       .distinct()
-      .localCheckpoint()
+      .transform(Staged.checkpoint)
     val degrees = e
       .select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
-      .localCheckpoint() // feeds the probe, the orientation, the output
+      .transform(Staged.checkpoint) // feeds the probe, the orientation, the output
     val byDegree = forceDegreeOrder.getOrElse {
       // bounded driver materialization: ONE row (Σdeg = 2m, max deg)
       val st = degrees

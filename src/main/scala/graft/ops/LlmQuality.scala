@@ -124,7 +124,7 @@ object LlmQuality extends QueryModule {
       .select(col("doc_id"), sort_array(ngramHashes("text", 4)).as("g"))
       .groupBy(col("g"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .localCheckpoint(false)
+      .transform(Staged.checkpointLazy)
     // identical-content pairs: J = 1 exactly; gram-less docs
     // (< 4 words) excluded on both engines
     val identical = Llm.bucketPairs(
@@ -141,7 +141,7 @@ object LlmQuality extends QueryModule {
     // single-JVM equivalent (~16 bytes/gram).
     val toks = groups
       .select(col("ids").getItem(0).as("doc_id"), explode(col("g")).as("h"))
-      .localCheckpoint()
+      .transform(Staged.checkpoint)
     val cand = ngramCandidatesFrom(toks)
     val repPairs = cand
       .select(col("da"), col("db"),
@@ -462,7 +462,7 @@ object LlmQuality extends QueryModule {
     val grams = Llm.docs(s, d)
       .select(col("doc_id"), col("doc_id").mod(7).as("m"),
         explode(ngramHashes("text", 8)).as("h"))
-      .localCheckpoint()
+      .transform(Staged.checkpoint)
     val evalG = grams.filter(col("m") === 0)
       .select(col("doc_id").as("eval_id"), col("h"))
     val trainG = grams.filter(col("m") =!= 0)
@@ -522,7 +522,7 @@ object LlmQuality extends QueryModule {
       .filter(col("term") =!= "")
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false)
+      .transform(Staged.checkpointLazy)
     val n = docs.agg(count(lit(1)).as("n_docs"))
     // tf rows are distinct (doc, term), so count-per-term IS the
     // document frequency

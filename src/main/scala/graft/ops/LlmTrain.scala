@@ -130,7 +130,7 @@ object LlmTrain extends QueryModule {
     val grams = Llm.docs(s, d)
       .select(col("doc_id"), col("doc_id").mod(7).as("m"),
         explode(LlmQuality.ngramHashes("text", 8)).as("h"))
-      .localCheckpoint()
+      .transform(Staged.checkpoint)
     val evalG = grams.filter(col("m") === 0)
       .select(col("doc_id").as("eval_id"), col("h"))
     val trainG = grams.filter(col("m") =!= 0)

@@ -30,8 +30,15 @@ object Staged {
   private val reg = new ConcurrentLinkedQueue[WeakReference[RDD[_]]]()
 
   /** localCheckpoint + register the block-holding RDD for [[sweep]]. */
-  private[graft] def checkpoint(df: DataFrame): DataFrame = {
-    val out = df.localCheckpoint()
+  private[graft] def checkpoint(df: DataFrame): DataFrame =
+    register(df.localCheckpoint())
+
+  /** Lazy variant: blocks materialize at first use, release the same
+    * way. */
+  private[graft] def checkpointLazy(df: DataFrame): DataFrame =
+    register(df.localCheckpoint(eager = false))
+
+  private def register(out: DataFrame): DataFrame = {
     out.queryExecution.logical match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         reg.add(new WeakReference[RDD[_]](lr.rdd))
