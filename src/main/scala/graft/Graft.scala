@@ -414,14 +414,23 @@ object Graft {
       : DataFrame = {
     require(patterns.nonEmpty, "graft.scrubPii: no patterns given")
     requireFresh(docs, "scrubPii", "pii_counts")
-    val counts = patterns.flatMap { case (name, p) =>
-      Seq(lit(name),
-        size(regexp_extract_all(col(text), lit(p), lit(0)))
-          .cast("long"))
-    }
-    val redacted = patterns.foldLeft(col(text)) { case (c, (name, p)) =>
-      regexp_replace(c, lit(p), lit(s"[$name]"))
-    }
+    // counts are taken on the PROGRESSIVELY scrubbed text, pattern
+    // order, so each count is the number of replacements that pattern
+    // actually performed — counting every pattern against the original
+    // would over-report on overlaps (an EMAIL whose domain contains a
+    // phone-shaped digit run would count as both; review r13). The
+    // replacement token is literal: regexp_replace treats '$'/'\' as
+    // group references, so a user-supplied name like "COST$1" must not
+    // corrupt the output.
+    def literal(name: String): String =
+      s"[$name]".replace("\\", "\\\\").replace("$", "\\$")
+    val (redacted, counts) =
+      patterns.foldLeft((col(text), Seq.empty[Column])) {
+        case ((cur, acc), (name, p)) =>
+          val n = size(regexp_extract_all(cur, lit(p), lit(0))).cast("long")
+          (regexp_replace(cur, lit(p), lit(literal(name))),
+            acc ++ Seq(lit(name), n))
+      }
     docs.withColumn("pii_counts", map(counts: _*))
       .withColumn(text, redacted)
   }
@@ -470,10 +479,18 @@ object Graft {
                     streams: Seq[Column] = Nil): DataFrame = {
     require(chunkTokens > 0, "graft.packSequences: chunkTokens must be > 0")
     requireFresh(docs, "packSequences", "chunk")
+    // a NULL token count would silently vanish from the prefix sum,
+    // shifting every successor's chunk as if the doc were empty —
+    // fail loud instead (the facade's NULL convention); callers who
+    // MEAN zero say coalesce(n, 0) explicitly
+    val nt = when(nTokens.isNotNull, nTokens)
+      .otherwise(raise_error(lit("graft.packSequences: NULL token count " +
+        "— an unknown length cannot be packed; coalesce it explicitly " +
+        "if zero is intended")))
     val w = Window.partitionBy(streams: _*).orderBy(col(id))
       .rowsBetween(Window.unboundedPreceding, -1)
     docs.withColumn("chunk",
-      floor(coalesce(sum(nTokens).over(w), lit(0L)) /
+      floor(coalesce(sum(nt).over(w), lit(0L)) /
         lit(chunkTokens.toLong)).cast("long"))
   }
 

@@ -28,7 +28,11 @@ object PressureBench {
     val queries =
       if (args.length > 1) args.drop(1).toSeq
       else Seq("q_agg_percentile", "q_agg_trimmed", "q_agg_mad",
-        "q_llm_dedup_fuzzy", "q_llm_dedup_ngram", "q_llm_dedup_simhash")
+        "q_llm_dedup_fuzzy", "q_llm_dedup_ngram", "q_llm_dedup_simhash",
+        // the three largest genuine shuffles outside the aggregate
+        // family (verdict r12 #6): PPJoin bucket join, session window
+        // sort, triangle wedge join
+        "q_win_sessionize", "q_graph_triangles")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -61,9 +65,19 @@ object PressureBench {
       spilled.get()
     }
     val results = queries.map { name =>
+      // release the previous query's staged checkpoint blocks first —
+      // pinned MEMORY_AND_DISK blocks would shrink the constrained
+      // heap for later queries and cross-contaminate the per-query
+      // spill numbers (review r13)
+      ops.Staged.sweep()
+      System.gc()
       val before = drainedSpill()
       val t0 = System.nanoTime()
-      val rows = SparkEntry.queries(name)(spark, sfDir).count()
+      // toRdd executes EVERY operator in the plan (a bare .count()
+      // lets Catalyst prune unreferenced projections — q_win_sessionize
+      // would lose its window sort and the pressure claim with it)
+      val rows = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.toRdd.count()
       val sec = (System.nanoTime() - t0) / 1e9
       val sp = drainedSpill() - before
       System.err.println(f"[pressure] $name: $sec%.2fs rows=$rows spill=$sp")

@@ -1433,6 +1433,31 @@ object LlmPipe extends QueryModule {
        |       count(*) OVER (PARTITION BY cluster)::BIGINT AS cluster_size
        |FROM c ORDER BY doc_id""".stripMargin
 
+  /** Triangles on the slice (VERDICT r12 #5): the primary three-way
+    * self-join verbatim with `fps` restricted to the slice. The
+    * closure guard is what makes the restriction exact — with no
+    * expanded edge crossing the boundary, every triangle and every
+    * degree of a slice node is entirely within the slice, so the
+    * slice-local counts equal the global ones for those nodes. */
+  private val graphTrianglesSliceSql =
+    s"""WITH ${LlmExt.simhashFpsCtes},
+       |$sliceFsCtes,
+       |tri AS (
+       |  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+       |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+       |       JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b),
+       |nt AS (
+       |  SELECT node, count(*) AS n_triangles
+       |  FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+       |  GROUP BY node),
+       |dg AS (
+       |  SELECT node, count(*) AS degree
+       |  FROM (SELECT unnest([a, b]) AS node FROM e)
+       |  GROUP BY node)
+       |SELECT nt.node AS doc_id, dg.degree, nt.n_triangles
+       |FROM nt JOIN dg ON nt.node = dg.node
+       |ORDER BY doc_id""".stripMargin
+
   private val graphPagerankConvSliceSql = {
     val iter = (prev: String, cur: String) =>
       s"""$cur AS (
@@ -1543,6 +1568,7 @@ object LlmPipe extends QueryModule {
     "q_llm_dedup_cc" -> dedupCcSliceSql,
     "q_graph_pagerank_conv" -> graphPagerankConvSliceSql,
     "q_llm_keeper" -> llmKeeperSliceSql,
+    "q_graph_triangles" -> graphTrianglesSliceSql,
     "__n_nodes" -> sliceNNodesSql,
     "__closure" -> sliceClosureSql,
   )

@@ -39,6 +39,10 @@ object Staged {
     register(df.localCheckpoint(eager = false))
 
   private def register(out: DataFrame): DataFrame = {
+    // opportunistically drop entries whose RDD the ContextCleaner
+    // already reclaimed — a sweep-free long-lived session must not
+    // accumulate queue nodes without bound (review r13)
+    reg.removeIf(_.get() == null)
     out.queryExecution.logical match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         reg.add(new WeakReference[RDD[_]](lr.rdd))

@@ -122,21 +122,38 @@ class HttpTransport(baseUrl: String,
         s"${baseUrl.stripSuffix("/")}/${seg(adapter)}/${seg(chapter)}/events"))
       .timeout(java.time.Duration.ofSeconds(60))
       .GET().build()
-    // transient 5xx → bounded exponential backoff + retry (verdict
-    // r12 #8): production REST ingest sees rolling restarts and
-    // gateway hiccups; one blip per chapter must not cost the row.
-    // 4xx never retries (the request itself is wrong — retrying a 404
-    // just burns the rate limit), and exhausted retries fail loudly so
-    // the normalize layer's exception→error-row lift (A9) records the
+    // transient failures → bounded exponential backoff + retry
+    // (verdict r12 #8): production REST ingest sees rolling restarts
+    // and gateway hiccups; one blip per chapter must not cost the
+    // row. A restart surfaces as EITHER a gateway 5xx OR a
+    // connection-level IOException (connect refused, timeout) — both
+    // retry (review r13: the first cut only retried received 5xx
+    // responses, missing the commonest restart symptom). 4xx never
+    // retries (the request itself is wrong — retrying a 404 just
+    // burns the rate limit), and exhausted retries fail loudly so the
+    // normalize layer's exception→error-row lift (A9) records the
     // chapter, same as the reference's exn handlers one level up.
+    def send(): Either[java.io.IOException, java.net.http.HttpResponse[String]] =
+      try Right(HttpTransport.client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString()))
+      catch {
+        case e: java.io.IOException => Left(e)
+        case e: InterruptedException => throw e
+      }
     var attempt = 0
-    var resp = HttpTransport.client.send(req,
-      java.net.http.HttpResponse.BodyHandlers.ofString())
-    while (resp.statusCode() / 100 == 5 && attempt < maxRetries) {
+    var last = send()
+    def transient(r: Either[java.io.IOException, java.net.http.HttpResponse[String]]) =
+      r.fold(_ => true, _.statusCode() / 100 == 5)
+    while (transient(last) && attempt < maxRetries) {
       Thread.sleep(backoffMs << attempt) // backoff, 2^attempt
       attempt += 1
-      resp = HttpTransport.client.send(req,
-        java.net.http.HttpResponse.BodyHandlers.ofString())
+      last = send()
+    }
+    val resp = last match {
+      case Left(e) => throw new java.io.IOException(
+        s"graft-rest: ${e.getMessage} fetching $adapter/$chapter from " +
+          s"$baseUrl after $attempt retries", e)
+      case Right(r) => r
     }
     if (resp.statusCode() / 100 != 2)
       sys.error(s"graft-rest: HTTP ${resp.statusCode()} fetching " +

@@ -89,9 +89,12 @@ class GraftPipelineSpec extends AnyFunSuite {
     // 5. per-domain cap
     val capped = Graft.capPerDomain(near, "docId", "site", cap = 2)
 
-    // 6. sequence packing manifest
+    // 6. sequence packing manifest — the null-body doc has no length;
+    //    packSequences fails loud on NULL counts, so the caller states
+    //    the zero explicitly (the facade's NULL convention)
     val packed = Graft.packSequences(capped, "docId",
-      size(split(col("body"), " ")).cast("long"), chunkTokens = 16)
+      coalesce(size(split(col("body"), " ")).cast("long"), lit(0L)),
+      chunkTokens = 16)
 
     val rows = packed.select("docId", "body", "site", "q", "chunk")
       .collect().map(r => (r.getLong(0), r)).toMap
@@ -161,5 +164,37 @@ class GraftPipelineSpec extends AnyFunSuite {
     val leaked = sc.getPersistentRDDs.keySet -- before
     assert(leaked.isEmpty,
       s"pipeline leaked persistent RDDs: ${leaked.toSeq.sorted}")
+  }
+
+  test("scrubPii counts reflect ACTUAL scrubs under overlapping patterns") {
+    // the EMAIL's domain contains a phone-shaped digit run; counting
+    // against the original text would report PHONE=1 despite no phone
+    // replacement ever occurring (review r13)
+    val df = Seq((1L, "reach bob@555-123-4567.example.com now"))
+      .toDF("docId", "body")
+    val r = Graft.scrubPii(df, "body").collect()(0)
+    val m = r.getMap[String, Long](r.fieldIndex("pii_counts"))
+    assert(m("EMAIL") == 1L && m("PHONE") == 0L,
+      s"overlap counting wrong: $m")
+    assert(r.getString(r.fieldIndex("body")) == "reach [EMAIL] now")
+  }
+
+  test("scrubPii replacement is literal — '$'/'\\' in a pattern name") {
+    val df = Seq((1L, "cost 12-345-678 units")).toDF("docId", "body")
+    val r = Graft.scrubPii(df, "body",
+      Seq("COST$1" -> "[0-9]{2}-[0-9]{3}-[0-9]{3}")).collect()(0)
+    assert(r.getString(r.fieldIndex("body")) == "cost [COST$1] units")
+  }
+
+  test("packSequences fails loud on a NULL token count") {
+    val df = Seq((1L, "three word doc"), (2L, null.asInstanceOf[String]))
+      .toDF("docId", "body")
+    val e = intercept[Exception] {
+      Graft.packSequences(df, "docId",
+        size(split(col("body"), " ")).cast("long"), chunkTokens = 8)
+        .collect()
+    }
+    assert(e.getMessage != null &&
+      e.getMessage.contains("NULL token count"))
   }
 }

@@ -143,6 +143,21 @@ class RestSourceSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("connection-level failures engage the same retry loop") {
+    // a rolling restart's commonest symptom is connect-refused, not a
+    // received 5xx (review r13) — bind-then-close a socket so the port
+    // is known-dead, and assert the IOException surfaces only after
+    // the bounded retries ran
+    val sock = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    val port = sock.getLocalPort
+    sock.close()
+    val t = new sources.rest.HttpTransport(
+      s"http://127.0.0.1:$port", maxRetries = 2, backoffMs = 1L)
+    val e = intercept[java.io.IOException] { t.fetch("meetup", "berlin") }
+    assert(e.getMessage.contains("after 2 retries"), e.getMessage)
+  }
+
   test("4xx is NOT retried (a wrong request must not burn rate limit)") {
     val hits = new java.util.concurrent.atomic.AtomicInteger(0)
     val server = com.sun.net.httpserver.HttpServer.create(

@@ -51,7 +51,17 @@ object RetryInjector {
     t.start()
     try {
       Thread.sleep(10000)
-      missed.incrementAndGet(); ()
+      // the kill never landed: proceed normally, and after a few
+      // systemic misses DISARM — a broken injector must fail the
+      // spec's kills>0 assertion in seconds, not stall every first
+      // attempt of hundreds of tasks for 10 s each (review r13)
+      if (missed.incrementAndGet() >= 5) {
+        System.err.println("[retry-injector] 5 consecutive kill " +
+          "requests missed — disarming; the spec's kill assertion " +
+          "will fail fast")
+        enabled.set(false)
+      }
+      ()
     } catch {
       case e: InterruptedException =>
         killed.incrementAndGet()

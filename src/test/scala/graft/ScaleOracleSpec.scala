@@ -45,10 +45,10 @@ class ScaleOracleSpec extends AnyFunSuite {
     assert(sql.contains("JOIN pr12 "), "final select must read pr12")
   }
 
-  test("slice oracles cover the trio plus the two harness guards") {
+  test("slice oracles cover the graph family plus the two harness guards") {
     val keys = SparkEntry.oracleSqlSlice.keySet
     assert(keys == Set("q_llm_dedup_cc", "q_graph_pagerank_conv",
-      "q_llm_keeper", "__n_nodes", "__closure"),
+      "q_llm_keeper", "q_graph_triangles", "__n_nodes", "__closure"),
       s"unexpected slice-oracle key set: ${keys.toSeq.sorted}")
   }
 
@@ -60,7 +60,7 @@ class ScaleOracleSpec extends AnyFunSuite {
     // variants' machinery); the rank queries must take n from the
     // harness-computed global_n, never recount it from slice degrees
     for (name <- Seq("q_llm_dedup_cc", "q_graph_pagerank_conv",
-        "q_llm_keeper")) {
+        "q_llm_keeper", "q_graph_triangles")) {
       val sql = SparkEntry.oracleSqlSlice(name)
       assert(sql.contains("JOIN slice_docs"), s"$name: no slice restriction")
       assert(sql.contains("FROM fs a JOIN fs b ON a.doc_id < b.doc_id"),
@@ -68,7 +68,7 @@ class ScaleOracleSpec extends AnyFunSuite {
       for (cte <- Seq("part AS", "du AS", "ce AS", "od AS"))
         assert(!sql.contains(cte),
           s"$name: slice oracle reuses class-contraction CTE `$cte`")
-      if (name != "q_llm_dedup_cc")
+      if (name == "q_graph_pagerank_conv" || name == "q_llm_keeper")
         assert(sql.contains("SELECT n FROM global_n"),
           s"$name: rank n must be injected from global_n")
     }

@@ -16,10 +16,13 @@ cd "$(dirname "$0")/.."
 
 ARTIFACTS=(bench_out.json LEAKCHECK.json YARDSTICK.json SLICE_CHECK.json)
 
+# diff against HEAD, not the index: a clobbered artifact that was
+# accidentally `git add`ed must still be flagged and restored from the
+# committed record, not from its staged (clobbered) copy
 dirty=()
 for f in "${ARTIFACTS[@]}"; do
   if git ls-files --error-unmatch "$f" >/dev/null 2>&1 \
-     && ! git diff --quiet -- "$f"; then
+     && ! git diff HEAD --quiet -- "$f"; then
     dirty+=("$f")
   fi
 done
@@ -35,6 +38,6 @@ if [ "${1:-}" = "--check" ]; then
 fi
 
 for f in "${dirty[@]}"; do
-  git checkout -- "$f"
+  git checkout HEAD -- "$f"
   echo "restored committed $f"
 done

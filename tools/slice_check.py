@@ -1,6 +1,7 @@
 #!/usr/bin/env python3
 """Engine-independent large-SF evidence for the iterative graph trio
-(q_llm_dedup_cc / q_graph_pagerank_conv / q_llm_keeper).
+(q_llm_dedup_cc / q_graph_pagerank_conv / q_llm_keeper) and, since r13,
+q_graph_triangles (per-node triangle counts, expanded formulation).
 
 The sf3 gate substitutes class-contracted DuckDB oracles that restate
 the contraction identities the engine itself implements — tractable,
@@ -42,7 +43,8 @@ guards, and the per-query outcome.
 """
 import json, math, os, subprocess, sys
 
-TRIO = ["q_llm_dedup_cc", "q_graph_pagerank_conv", "q_llm_keeper"]
+TRIO = ["q_llm_dedup_cc", "q_graph_pagerank_conv", "q_llm_keeper",
+        "q_graph_triangles"]
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft-sf3"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/slice_out"
