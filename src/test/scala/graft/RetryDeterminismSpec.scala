@@ -100,4 +100,11 @@ class RetryDeterminismSpec extends AnyFunSuite {
     assertRetryDeterministic("q_graph_pagerank_conv",
       Seq("spark.graft.graph.localMaxEdges" -> "0"))
   }
+
+  test("s_tumble (stateful streaming) survives task retries") {
+    // a retried micro-batch task must reload its state-store version
+    // and reproduce the same window aggregates — the streaming face of
+    // the same hazard class
+    assertRetryDeterministic("s_tumble")
+  }
 }
