@@ -101,6 +101,14 @@ class RetryDeterminismSpec extends AnyFunSuite {
       Seq("spark.graft.graph.localMaxEdges" -> "0"))
   }
 
+  test("q_join_skew_salted (forced salted branch) survives task retries") {
+    // the salt must be a pure function of row identity (xxhash64) —
+    // a rand()-based salt would route a RETRIED task's rows to
+    // different reducers than its first attempt and double/lose rows
+    assertRetryDeterministic("q_join_skew_salted",
+      Seq("spark.graft.salt.force" -> "salted"))
+  }
+
   test("s_tumble (stateful streaming) survives task retries") {
     // a retried micro-batch task must reload its state-store version
     // and reproduce the same window aggregates — the streaming face of
