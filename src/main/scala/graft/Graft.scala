@@ -421,18 +421,31 @@ object Graft {
     // phone-shaped digit run would count as both; review r13). The
     // replacement token is literal: regexp_replace treats '$'/'\' as
     // group references, so a user-supplied name like "COST$1" must not
-    // corrupt the output.
+    // corrupt the output. Each step's text is materialized as its own
+    // ALIASED column (not nested expressions): count_k and step_k+1
+    // both reference step_k, and Catalyst's CollapseProject keeps
+    // multi-referenced non-cheap aliases as separate projections, so
+    // every row pays each regex pass ONCE — a nested fold would grow
+    // the expression tree quadratically in pattern count (review r13).
     def literal(name: String): String =
       s"[$name]".replace("\\", "\\\\").replace("$", "\\$")
-    val (redacted, counts) =
-      patterns.foldLeft((col(text), Seq.empty[Column])) {
-        case ((cur, acc), (name, p)) =>
-          val n = size(regexp_extract_all(cur, lit(p), lit(0))).cast("long")
-          (regexp_replace(cur, lit(p), lit(literal(name))),
-            acc ++ Seq(lit(name), n))
-      }
-    docs.withColumn("pii_counts", map(counts: _*))
-      .withColumn(text, redacted)
+    val helper = "__pii_cur" +: patterns.indices.map(i => s"__pii_n_$i")
+    requireFresh(docs, "scrubPii", helper: _*)
+    val stepped = patterns.zipWithIndex.foldLeft(
+      docs.withColumn("__pii_cur", col(text))) {
+      case (df, ((name, p), i)) =>
+        df.withColumn(s"__pii_n_$i",
+            size(regexp_extract_all(col("__pii_cur"), lit(p), lit(0)))
+              .cast("long"))
+          .withColumn("__pii_cur",
+            regexp_replace(col("__pii_cur"), lit(p), lit(literal(name))))
+    }
+    val counts = patterns.zipWithIndex.flatMap { case ((name, _), i) =>
+      Seq(lit(name), col(s"__pii_n_$i"))
+    }
+    stepped.withColumn("pii_counts", map(counts: _*))
+      .withColumn(text, col("__pii_cur"))
+      .drop(helper: _*)
   }
 
   /** Per-domain document capping (q_llm_domain_cap's shape on

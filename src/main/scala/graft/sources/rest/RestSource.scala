@@ -120,7 +120,11 @@ class HttpTransport(baseUrl: String,
     val req = java.net.http.HttpRequest.newBuilder()
       .uri(java.net.URI.create(
         s"${baseUrl.stripSuffix("/")}/${seg(adapter)}/${seg(chapter)}/events"))
-      .timeout(java.time.Duration.ofSeconds(60))
+      // per-ATTEMPT timeout: with retries the wedged-endpoint worst
+      // case is (maxRetries+1) × this + the backoff sum, so it is
+      // sized to keep the total bounded in tens of seconds (see
+      // DefaultMaxRetries); the reference's event payloads are KB-NDJSON
+      .timeout(java.time.Duration.ofSeconds(15))
       .GET().build()
     // transient failures → bounded exponential backoff + retry
     // (verdict r12 #8): production REST ingest sees rolling restarts
@@ -173,10 +177,14 @@ class HttpTransport(baseUrl: String,
 }
 
 object HttpTransport {
-  /** 3 retries × doubling backoff from 500 ms ≈ 3.5 s worst-case wait
-    * per chapter — enough to ride out a rolling restart, bounded so a
-    * hard-down endpoint fails the partition in seconds, not minutes
-    * (tests pass a ms-scale backoff). */
+  /** 3 retries × doubling backoff from 500 ms ≈ 3.5 s of waiting per
+    * chapter — enough to ride out a rolling restart. Worst-case
+    * latency before the error-row lift fires: connect-REFUSED fails
+    * each attempt instantly (≈ 3.5 s total); a WEDGED endpoint
+    * (accepts, never responds) burns the 15 s per-attempt request
+    * timeout, 4 × 15 + 3.5 ≈ 64 s — bounded around the single-attempt
+    * minute the pre-retry transport already risked, never multiplied
+    * into minutes (tests pass a ms-scale backoff). */
   val DefaultMaxRetries = 3
   val DefaultBackoffMs = 500L
 

@@ -33,6 +33,10 @@ object RetryInjector {
   /** Kill requests that never landed within the wait window — the
     * task proceeded normally (should stay 0; harmless if not). */
   val missed = new AtomicInteger(0)
+  /** Consecutive misses (reset by every landed kill) — 5 in a row
+    * disarms the injector so a systemically broken kill path fails
+    * the spec fast instead of stalling every task 10 s. */
+  private val missStreak = new AtomicInteger(0)
 
   /** Called from shuffle getWriter/getReader INSIDE the task thread. */
   def maybeKill(context: TaskContext): Unit = {
@@ -52,10 +56,14 @@ object RetryInjector {
     try {
       Thread.sleep(10000)
       // the kill never landed: proceed normally, and after a few
-      // systemic misses DISARM — a broken injector must fail the
+      // CONSECUTIVE misses DISARM — a broken injector must fail the
       // spec's kills>0 assertion in seconds, not stall every first
-      // attempt of hundreds of tasks for 10 s each (review r13)
-      if (missed.incrementAndGet() >= 5) {
+      // attempt of hundreds of tasks for 10 s each (review r13).
+      // Consecutive, not cumulative: sporadic misses on a loaded box
+      // must not silently disarm a long run mid-way (review r13 #2) —
+      // a landed kill resets the streak.
+      missed.incrementAndGet()
+      if (missStreak.incrementAndGet() >= 5) {
         System.err.println("[retry-injector] 5 consecutive kill " +
           "requests missed — disarming; the spec's kill assertion " +
           "will fail fast")
@@ -65,6 +73,7 @@ object RetryInjector {
     } catch {
       case e: InterruptedException =>
         killed.incrementAndGet()
+        missStreak.set(0)
         throw e
     }
   }
@@ -73,6 +82,7 @@ object RetryInjector {
   def run[A](spark: SparkSession)(body: => A): (A, Int) = {
     killed.set(0)
     missed.set(0)
+    missStreak.set(0)
     sc = spark.sparkContext
     enabled.set(true)
     try { val a = body; (a, killed.get()) }

@@ -12,8 +12,10 @@ total_ex_swing excludes the iterative-graph family (recursive-CTE
 oracles — DuckDB's window-to-window swing is dominated by them: r12
 saw +11.9 s of a +13.6 s total swing) and the streaming queries
 (micro-batch harness vs millisecond batch SQL — apples-to-oranges,
-documented in SCALE.md). The headline paired ratio should be read off
-total_ex_swing; the full total is kept for history/continuity.
+documented in SCALE.md). The HEADLINE vs BASELINE stays ratio_total;
+read ratio_ex_swing for window-to-window stability only (at small SF
+it is dominated by Spark's fixed per-query job setup, not
+throughput), and the per-family paired map for where time goes.
 
 If a Spark bench record is given (or the default
 /root/repo/bench_out.json exists), a "paired" block reports
