@@ -201,6 +201,20 @@ class GraftPipelineSpec extends AnyFunSuite {
     assert(r.getString(r.fieldIndex("body")) == "cost [COST$1] units")
   }
 
+  test("new facade methods are identity-shaped on EMPTY inputs") {
+    val empty = Seq.empty[(Long, String, String)]
+      .toDF("docId", "body", "site")
+    assert(Graft.scrubPii(empty, "body").count() == 0)
+    assert(Graft.capPerDomain(empty, "docId", "site", cap = 3).count() == 0)
+    assert(Graft.packSequences(empty, "docId", lit(1L), 16).count() == 0)
+    // schema contracts hold even with no rows
+    assert(Graft.scrubPii(empty, "body").columns.contains("pii_counts"))
+    assert(Graft.packSequences(empty, "docId", lit(1L), 16)
+      .columns.contains("chunk"))
+    assert(Graft.capPerDomain(empty, "docId", "site", cap = 3)
+      .columns.toSeq == empty.columns.toSeq)
+  }
+
   test("packSequences fails loud on a NULL token count") {
     val df = Seq((1L, "three word doc"), (2L, null.asInstanceOf[String]))
       .toDF("docId", "body")
