@@ -115,4 +115,40 @@ class RetryDeterminismSpec extends AnyFunSuite {
     // the same hazard class
     assertRetryDeterministic("s_tumble")
   }
+
+  // ------------------------------------------ stage-resubmission (FetchFailed)
+
+  /** One level above a task retry: a FetchFailed unregisters a map
+    * output and the DAGScheduler RE-EXECUTES the map stage before
+    * re-running the failed reduce partitions — the lost-executor
+    * recovery path, routine at 1000 executors. Any map stage whose
+    * re-execution yields different rows (re-sampled bounds, an
+    * order-dependent fold off its rounding grid) silently corrupts
+    * every downstream consumer right here. */
+  private def assertStageResubmitDeterministic(q: String,
+      conf: Seq[(String, String)] = Nil): Unit =
+    withConf(conf: _*) {
+      val base = rows(q)
+      assert(base.nonEmpty, s"$q produced no rows — carrier is inert")
+      val (got, fails) = RetryInjector.runFetchFail(spark)(rows(q))
+      info(s"$q: ${base.size} rows, $fails fetch failures injected")
+      assert(fails > 0, s"$q: no FetchFailed was ever raised — injection inert")
+      assert(got == base,
+        s"$q: output differs under stage resubmission")
+    }
+
+  test("q_ts_anomaly survives map-stage resubmission (FetchFailed)") {
+    assertStageResubmitDeterministic("q_ts_anomaly",
+      Seq("spark.graft.anomaly.splitMinBytes" -> "1"))
+  }
+
+  test("q_agg_trimmed survives map-stage resubmission (FetchFailed)") {
+    assertStageResubmitDeterministic("q_agg_trimmed",
+      Seq("spark.graft.rank.splitMinBytes" -> "1"))
+  }
+
+  test("q_llm_keeper (distributed) survives map-stage resubmission") {
+    assertStageResubmitDeterministic("q_llm_keeper",
+      Seq("spark.graft.graph.localMaxEdges" -> "0"))
+  }
 }

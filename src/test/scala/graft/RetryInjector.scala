@@ -88,4 +88,46 @@ object RetryInjector {
     try { val a = body; (a, killed.get()) }
     finally enabled.set(false)
   }
+
+  // ------------------------------------------------- stage-resubmission mode
+
+  private val fetchFailEnabled = new AtomicBoolean(false)
+  private val fetchFailedOnce =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+  /** FetchFailedExceptions raised while armed (assertion signal). */
+  val fetchFails = new AtomicInteger(0)
+
+  /** Decision seam for the shuffle reader hook: true exactly once per
+    * (shuffleId, startPartition) while fetch-fail mode is armed. The
+    * actual FetchFailedException (private[spark]) is raised by the
+    * org.apache.spark-package shim — the DAGScheduler unregisters the
+    * blamed map output and RESUBMITS the map stage, then re-runs the
+    * failed reduce partitions: the lost-executor / lost-shuffle
+    * recovery path, one level above a plain task retry. Any stage
+    * whose re-execution produces different data (re-sampled bounds,
+    * order-dependent folds) corrupts results exactly here. Raised at
+    * most ONCE PER SHUFFLE: per-partition injection would fail the
+    * same consuming stage once per partition across its retry
+    * attempts and abort at maxConsecutiveStageAttempts (4) on any
+    * shuffle wider than 4 partitions; one failure per shuffle still
+    * resubmits every map stage in the plan exactly once. (Resubmitted
+    * task sets also restart at attemptNumber 0, so an attempt-based
+    * guard would loop.) */
+  def shouldFetchFail(shuffleId: Int, startPartition: Int): Boolean = {
+    if (!fetchFailEnabled.get() || sc == null) return false
+    if (!fetchFailedOnce.add(shuffleId)) return false
+    fetchFails.incrementAndGet()
+    true
+  }
+
+  /** Arm fetch-fail mode around `body`; returns (result, fetch fails
+    * raised). */
+  def runFetchFail[A](spark: SparkSession)(body: => A): (A, Int) = {
+    fetchFails.set(0)
+    fetchFailedOnce.clear()
+    sc = spark.sparkContext
+    fetchFailEnabled.set(true)
+    try { val a = body; (a, fetchFails.get()) }
+    finally fetchFailEnabled.set(false)
+  }
 }

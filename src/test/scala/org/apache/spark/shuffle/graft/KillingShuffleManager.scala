@@ -1,8 +1,8 @@
 package org.apache.spark.shuffle.graft
 
 import org.apache.spark.{ShuffleDependency, SparkConf, TaskContext}
-import org.apache.spark.shuffle.{ShuffleBlockResolver, ShuffleHandle,
-  ShuffleManager, ShuffleReader, ShuffleReadMetricsReporter,
+import org.apache.spark.shuffle.{FetchFailedException, ShuffleBlockResolver,
+  ShuffleHandle, ShuffleManager, ShuffleReader, ShuffleReadMetricsReporter,
   ShuffleWriteMetricsReporter, ShuffleWriter}
 import org.apache.spark.shuffle.sort.SortShuffleManager
 
@@ -33,6 +33,11 @@ final class KillingShuffleManager(conf: SparkConf) extends ShuffleManager {
       startPartition: Int, endPartition: Int, context: TaskContext,
       metrics: ShuffleReadMetricsReporter): ShuffleReader[K, C] = {
     graft.RetryInjector.maybeKill(context)
+    if (graft.RetryInjector.shouldFetchFail(handle.shuffleId, startPartition))
+      throw new FetchFailedException(
+        org.apache.spark.SparkEnv.get.blockManager.blockManagerId,
+        handle.shuffleId, 0L, 0, startPartition,
+        "graft stage-resubmission injection", null)
     delegate.getReader(handle, startMapIndex, endMapIndex,
       startPartition, endPartition, context, metrics)
   }
