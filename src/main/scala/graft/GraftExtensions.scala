@@ -22,36 +22,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => graft.plans.TopK.TopKRewrite)
     e.injectPlannerStrategy(_ => graft.plans.TopK.TopKStrategy)
-    e.injectFunction((
-      FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[graft.functions.DotProduct].getName,
-        "graft_dot"),
-      (exprs: Seq[Expression]) =>
-        graft.functions.DotProduct(exprs(0), exprs(1))))
+    // arity checked in every builder: a wrong argument count must read
+    // as a clean error naming the function, not an
+    // IndexOutOfBoundsException out of the builder (review r13)
+    def fn(name: String, className: String, arity: Int)(
+        b: Seq[Expression] => Expression): Unit =
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(className, name),
+        { exprs: Seq[Expression] =>
+          require(exprs.length == arity,
+            s"$name expects $arity argument(s), got ${exprs.length}")
+          b(exprs)
+        }))
+    fn("graft_dot", classOf[graft.functions.DotProduct].getName, 2)(
+      exprs => graft.functions.DotProduct(exprs(0), exprs(1)))
+    // graft_ngrams checks its own arity + literal args in fromExprs
     e.injectFunction((
       FunctionIdentifier("graft_ngrams"),
       new ExpressionInfo(classOf[graft.functions.NgramHash].getName,
         "graft_ngrams"),
       (exprs: Seq[Expression]) => graft.functions.NgramHash.fromExprs(exprs)))
+    fn("graft_hash60", classOf[graft.functions.Hash60].getName, 1)(
+      exprs => graft.functions.Hash60(exprs(0)))
     // Spark ships bloom-filter build/probe as INTERNAL expressions
     // (used by its own runtime join filters, not in the public
     // registry); expose them as first-class pipeline functions — the
     // Dolma-style decontamination pre-filter needs exactly this pair.
-    e.injectFunction((
-      FunctionIdentifier("graft_bloom_agg"),
-      new ExpressionInfo(
-        "org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate",
-        "graft_bloom_agg"),
-      (exprs: Seq[Expression]) =>
-        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-          exprs(0), exprs(1), exprs(2))))
-    e.injectFunction((
-      FunctionIdentifier("graft_bloom_contains"),
-      new ExpressionInfo(
-        "org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain",
-        "graft_bloom_contains"),
-      (exprs: Seq[Expression]) =>
-        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          exprs(0), exprs(1))))
+    fn("graft_bloom_agg",
+      "org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate",
+      3)(exprs =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        exprs(0), exprs(1), exprs(2)))
+    fn("graft_bloom_contains",
+      "org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain",
+      2)(exprs =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        exprs(0), exprs(1)))
   }
 }

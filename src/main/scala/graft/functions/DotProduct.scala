@@ -16,9 +16,13 @@ import org.apache.spark.sql.SparkSession
   * is the difference between an interpreted per-element closure and
   * one fused multiply loop inside the generated code.
   *
-  * Semantics: Σ a[i]·b[i] over the common prefix length; null arrays
-  * propagate null (BinaryExpression's default null-intolerance); null
-  * ELEMENTS are not expected (embeddings are dense) and read as 0.0.
+  * Semantics: Σ a[i]·b[i]; LENGTH-MISMATCHED arrays yield NULL — the
+  * same answer the composable `aggregate(zip_with(a, b, _*_), 0d, _+_)`
+  * gives, and the honest one: a truncated/corrupt embedding must
+  * surface as NULL, not as a plausible-but-skewed prefix dot product
+  * that survives ranking (review r13). Null arrays propagate null
+  * (BinaryExpression's default null-intolerance); null ELEMENTS are
+  * not expected (embeddings are dense) and read as 0.0.
   *
   * Registered per-session under the SQL name `graft_dot` via
   * [[GraftFunctions.register]].
@@ -35,11 +39,13 @@ case class DotProduct(left: Expression, right: Expression)
     }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -52,12 +58,16 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -70,20 +80,29 @@ case class DotProduct(left: Expression, right: Expression)
   * called by query builders that use them. (A library deployment would
   * do this once via SparkSessionExtensions.injectFunction.) */
 object GraftFunctions {
+  /** Wrong argument counts must read as "graft_dot expects 2
+    * arguments, got 1", not an IndexOutOfBoundsException out of the
+    * builder (review r13). */
+  private[functions] def requireArity(name: String,
+      exprs: Seq[Expression], n: Int): Unit =
+    require(exprs.length == n,
+      s"$name expects $n argument(s), got ${exprs.length}")
+
   def register(s: SparkSession): Unit = {
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    def fn(name: String, arity: Int)(b: Seq[Expression] => Expression): Unit =
+      s.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, { exprs => requireArity(name, exprs, arity); b(exprs) },
+        "built-in")
+    fn("graft_dot", 2)(exprs => DotProduct(exprs(0), exprs(1)))
+    // graft_ngrams checks its own arity inside fromExprs
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_ngrams", NgramHash.fromExprs, "built-in")
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_hash60", exprs => Hash60(exprs(0)), "built-in")
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bloom_agg", exprs =>
-        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-          exprs(0), exprs(1), exprs(2)), "built-in")
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bloom_contains", exprs =>
-        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          exprs(0), exprs(1)), "built-in")
+    fn("graft_hash60", 1)(exprs => Hash60(exprs(0)))
+    fn("graft_bloom_agg", 3)(exprs =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        exprs(0), exprs(1), exprs(2)))
+    fn("graft_bloom_contains", 2)(exprs =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        exprs(0), exprs(1)))
   }
 }

@@ -12,16 +12,22 @@ import org.apache.spark.sql.expressions.Aggregator
   * groupBy path: the surrounding plan keeps whole-stage codegen (the
   * typed groupByKey alternative forces object serialization around
   * the aggregate).
+  *
+  * A group with ZERO valid values yields NULL, matching the
+  * documented-equivalent `exp(avg(ln(x)))` — NaN would be WORSE than
+  * wrong here because Spark orders NaN above every numeric, so an
+  * all-invalid group would pass any `> threshold` filter and sort
+  * first (review r13). Boxed OUT type is what makes NULL expressible.
   */
-object GeoMean extends Aggregator[Double, (Double, Long), Double] {
+object GeoMean extends Aggregator[Double, (Double, Long), java.lang.Double] {
   def zero: (Double, Long) = (0.0, 0L)
   def reduce(b: (Double, Long), a: Double): (Double, Long) =
     if (a > 0.0) (b._1 + math.log(a), b._2 + 1L) else b
   def merge(x: (Double, Long), y: (Double, Long)): (Double, Long) =
     (x._1 + y._1, x._2 + y._2)
-  def finish(b: (Double, Long)): Double =
-    if (b._2 == 0L) Double.NaN else math.exp(b._1 / b._2)
+  def finish(b: (Double, Long)): java.lang.Double =
+    if (b._2 == 0L) null else java.lang.Double.valueOf(math.exp(b._1 / b._2))
   def bufferEncoder: Encoder[(Double, Long)] =
     Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
-  def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
 }

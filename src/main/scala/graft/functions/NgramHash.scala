@@ -126,11 +126,28 @@ object NgramHash {
       if (u + 1 == m) out else java.util.Arrays.copyOf(out, u + 1))
   }
 
+  // width/distinct must be non-NULL literals: eval(null) on a column
+  // reference crashes with an internal UnsupportedOperationException
+  // and a NULL literal NPEs — both must surface as a clean analysis
+  // error naming the function instead (review r13)
+  private def litArg(e: Expression, pos: String): Any = {
+    require(e.foldable,
+      s"graft_ngrams: $pos argument must be a literal, got $e")
+    val v = e.eval(null)
+    require(v != null, s"graft_ngrams: $pos argument must not be NULL")
+    v
+  }
   private[functions] def litInt(e: Expression): Int =
-    e.eval(null).asInstanceOf[Number].intValue
+    litArg(e, "width").asInstanceOf[Number].intValue
   private[functions] def litBool(e: Expression): Boolean =
-    e.eval(null).asInstanceOf[Boolean]
+    litArg(e, "distinct") match {
+      case b: Boolean => b
+      case other => throw new IllegalArgumentException(
+        s"graft_ngrams: distinct argument must be BOOLEAN, got $other")
+    }
 
-  def fromExprs(exprs: Seq[Expression]): NgramHash =
+  def fromExprs(exprs: Seq[Expression]): NgramHash = {
+    GraftFunctions.requireArity("graft_ngrams", exprs, 3)
     NgramHash(exprs(0), litInt(exprs(1)), litBool(exprs(2)))
+  }
 }

@@ -106,17 +106,60 @@ case class FinalTopKExec(
   override protected def doExecute(): RDD[InternalRow] =
     child.execute().mapPartitions { iter =>
       val ordering = RowOrdering.create(orderExprs, child.output)
+        .asInstanceOf[Ordering[InternalRow]]
+      // The reduce side cannot flush early (it must see a group WHOLE
+      // to rank), so unlike the partial's maxGroups bound its group
+      // state must SPILL: a high-cardinality partitionBy (a billion
+      // users into a few hundred reducers) holds millions of live
+      // k-row buffers, and an in-heap map would OOM exactly where the
+      // builtin sort-based window path survives by spilling (review
+      // r13). ExternalAppendOnlyMap gives the same graceful
+      // degradation: sized in-memory combining, sorted runs to disk,
+      // merged destructively on read. Combiners are plain
+      // ArrayBuffer[UnsafeRow] (spill-serializable; a PriorityQueue
+      // would capture the codegen'd ordering closure) — admission is
+      // an O(k) worst-row scan, the right trade for top-k's small k.
+      val keyProj = UnsafeProjection.create(partitionExprs, child.output)
+      val childUnsafe = UnsafeProjection.create(child.output, child.output)
+      type Buf = scala.collection.mutable.ArrayBuffer[UnsafeRow]
+      def admit(c: Buf, v: UnsafeRow): Buf = {
+        if (c.length < k) { c += v; c }
+        else {
+          var worst = 0
+          var i = 1
+          while (i < c.length) {
+            if (ordering.compare(c(i), c(worst)) > 0) worst = i
+            i += 1
+          }
+          if (ordering.compare(v, c(worst)) < 0) c(worst) = v
+          c
+        }
+      }
+      val map = org.apache.spark.graft.SpillableMapAccess
+        .create[UnsafeRow, UnsafeRow, Buf](
+          v => scala.collection.mutable.ArrayBuffer(v),
+          admit,
+          (c1, c2) => c2.foldLeft(c1)(admit))
+      // copies: the child iterator reuses row buffers, and spilled
+      // entries outlive the iteration
+      map.insertAll(iter.map { row =>
+        (keyProj(row).copy(), childUnsafe(row).copy())
+      })
+      map.updateTaskMetrics() // spill/peak counters → stage metrics
       // parents (collect, exchanges, sorts) require UnsafeRow — the
-      // JoinedRow must be projected, not handed up raw
+      // JoinedRow must be projected, not handed up raw. The rank rides
+      // one REUSED mutable row (per-row InternalRow allocation on the
+      // emit path was the review-r13 GC nit); toUnsafe(...).copy()
+      // materializes each output row before the buffers are reused.
       val toUnsafe = UnsafeProjection.create(output, output)
       val joined = new JoinedRow
-      TopK.prune(iter, k, partitionExprs, orderExprs, child.output)
-        .flatMap { case (_, rows) =>
-          rows.sorted(ordering.asInstanceOf[Ordering[InternalRow]])
-            .iterator.zipWithIndex.map { case (r, i) =>
-              toUnsafe(joined(r, InternalRow(i + 1))).copy()
-            }
+      val rankRow = new SpecificInternalRow(Seq(IntegerType))
+      map.iterator.flatMap { case (_, rows) =>
+        rows.sorted(ordering).iterator.zipWithIndex.map { case (r, i) =>
+          rankRow.setInt(0, i + 1)
+          toUnsafe(joined(r, rankRow)).copy()
         }
+      }
     }
 
   override protected def withNewChildInternal(c: SparkPlan): FinalTopKExec =
@@ -142,9 +185,10 @@ object TopK {
     *
     * `maxGroups` bounds the live-heap count (see [[partialMaxGroups]]);
     * when exceeded, current heaps are emitted and cleared, so the SAME
-    * group key may appear in the output more than once. Only the
-    * partial exec may pass a finite bound — the final exec requires
-    * full grouping (one output tuple per key) to rank correctly. */
+    * group key may appear in the output more than once. Used by the
+    * PARTIAL exec only: the final exec needs each group whole to rank,
+    * so its group state spills through ExternalAppendOnlyMap instead
+    * of flushing (see FinalTopKExec.doExecute). */
   private[plans] def prune(
       iter: Iterator[InternalRow], k: Int,
       partitionExprs: Seq[Expression], orderExprs: Seq[SortOrder],
@@ -267,9 +311,15 @@ object TopK {
           case Alias(c, _) => c.references.subsetOf(AttributeSet(child.output :+ rn))
           case _ => false
         } =>
-        // the filter may reference a projected alias of rn — resolve it
+        // the filter may reference a projected alias of rn — resolve
+        // it. Three shapes: a cast-alias (withColumn against a typed
+        // comparison), a PLAIN RENAME alias (select($"rn".as("rank")) —
+        // review r13: missing this silently kept the full window plan
+        // on a mainstream shape), and the bare attribute.
         val rnAliases = projList.collect {
           case a @ Alias(Cast(r: AttributeReference, _, _, _), _)
+            if r.exprId == rn.exprId => a.toAttribute
+          case a @ Alias(r: AttributeReference, _)
             if r.exprId == rn.exprId => a.toAttribute
           case a: AttributeReference if a.exprId == rn.exprId => a
         }

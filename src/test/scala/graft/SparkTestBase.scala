@@ -25,6 +25,13 @@ object SparkTestBase {
       // Verify/Bench run the stock manager)
       .config("spark.shuffle.manager",
         "org.apache.spark.shuffle.graft.KillingShuffleManager")
+      // context-level (SparkConf) spill trigger: Spillable consumers
+      // (ExternalAppendOnlyMap/ExternalSorter) force a spill past this
+      // many in-memory elements regardless of heap headroom. 100k is
+      // far above any sf0.001 per-task row count, so ordinary suites
+      // never trip it; TopKSpec's spill test drives a synthetic frame
+      // past it to exercise FinalTopK's spill path deterministically.
+      .config("spark.shuffle.spill.numElementsForceSpillThreshold", "100000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
