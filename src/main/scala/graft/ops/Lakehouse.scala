@@ -35,9 +35,24 @@ object Lakehouse extends QueryModule {
       .select(col("o_orderkey").as("k"),
         lit(null).cast("string").as("u_status"),
         Det.r2(col("o_totalprice") * 1.05).as("u_price"))
-    // insert batch: every 100th key re-keyed past the base key space
+    // insert batch: every 100th key re-keyed past the base key space.
+    // The offset is DERIVED from max(o_orderkey) (next 10M multiple
+    // above it), not a fixed constant: a fixed +10M collides with the
+    // base keys once the table outgrows 10M keys (dbgen SF≥2), and a
+    // collided key is simultaneously "update" and "insert" — duplicate
+    // output keys and a tie-unstable ordered dump (review r13). At
+    // today's SFs max < 1e7 so the derived offset IS 10M — values
+    // unchanged. Bounded 1-row driver probe (the hotKeyShare /
+    // classGraphLocal pattern) rather than a 1-row cross join, which
+    // plans as the BroadcastNestedLoopJoin the plan audit forbids;
+    // a real MERGE writer knows the target's key bound from table
+    // stats the same way.
+    val offRow = base.agg(expr(
+      "(max(o_orderkey) DIV 10000000 + 1) * 10000000").as("off")).head
+    // empty base: max is NULL; any offset works (no keys to collide)
+    val off = if (offRow.isNullAt(0)) 10000000L else offRow.getLong(0)
     val ins = base.filter(col("o_orderkey") % 100 === 0)
-      .select((col("o_orderkey") + 10000000L).as("k"),
+      .select((col("o_orderkey") + lit(off)).as("k"),
         lit("N").as("u_status"), lit(42.42).as("u_price"))
     val batch = upd.unionByName(ins)
     base.join(batch, col("o_orderkey") === col("k"), "full_outer")
@@ -52,12 +67,15 @@ object Lakehouse extends QueryModule {
   }
 
   private val mergeUpsertSql =
-    s"""WITH batch AS (
+    s"""WITH off AS (
+       |  SELECT (max(o_orderkey) // 10000000 + 1) * 10000000 AS o
+       |  FROM orders),
+       |batch AS (
        |  SELECT o_orderkey AS k, NULL::VARCHAR AS u_status,
        |         ${Det.sql2("o_totalprice * 1.05")} AS u_price
        |  FROM orders WHERE o_orderkey % 10 = 0
        |  UNION ALL
-       |  SELECT o_orderkey + 10000000, 'N', 42.42
+       |  SELECT o_orderkey + (SELECT o FROM off), 'N', 42.42
        |  FROM orders WHERE o_orderkey % 100 = 0)
        |SELECT coalesce(b.o_orderkey, u.k) AS key,
        |       coalesce(u.u_status, b.o_orderstatus) AS status,
@@ -82,36 +100,20 @@ object Lakehouse extends QueryModule {
     * runs on the tiny grid, and the fill window partitions by series
     * so a 1000-series × 10-year grid is still ~88k rows per task at
     * worst. */
-  private def tsGapfill(s: SparkSession, d: String): DataFrame = {
-    // avg via an exact long sum on a 1e-6 grid, NOT avg(double):
-    // double summation is order-dependent to the last ulp, and at a
-    // 30-way-duplicated SF a cell average landed exactly on an r4
-    // boundary (46.09875), flipping the two engines to opposite sides.
-    // floor(x·1e6+0.5) is the same IEEE op on both engines, the long
-    // sum is exact and order-INDEPENDENT, and the final divides are
-    // one double op each — deterministic at any scale and partitioning.
-    val hourly = T.events(s, d)
-      .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"),
-        floor(col("value") * 1e6 + 0.5).cast("long").as("v6"))
-      .groupBy(col("event_type"), col("hr"))
-      .agg(count(lit(1)).as("n_events"),
-        Det.r4(sum(col("v6")).cast("double") / 1e6 / count(lit(1)))
-          .as("avg_val"))
-    val spine = hourly
-      .groupBy(col("event_type"))
-      .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
-      .select(col("event_type"),
-        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR")))
-          .as("hr"))
-    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spine.join(hourly, Seq("event_type", "hr"), "left")
-      .select(col("event_type"), unix_micros(col("hr")).as("hour_us"),
+  private def tsGapfill(s: SparkSession, d: String): DataFrame =
+    // shared engine core (review r13 — this body was a verbatim copy
+    // of tsInterp's front half plus a hand-rolled spine that lacked
+    // gridSpineOver's sequence-length cap and NULL-bounds handling):
+    // hourly exact-grid aggregation + dense spine + forward fill,
+    // selecting ff_val where tsInterp selects interp_val. Exact-grid
+    // rationale and the raise-don't-wrap guard live on
+    // TimeSeries.hourlyAvg.
+    TimeSeries.gridSpineOver(TimeSeries.hourlyAvg(s, d, "gapfill"),
+        "event_type", "hour_us", "avg_val", 3600L * 1000000L)
+      .select(col("event_type"), col("hour_us"),
         coalesce(col("n_events"), lit(0L)).as("n_events"),
-        col("avg_val"),
-        last(col("avg_val"), ignoreNulls = true).over(w).as("ff_val"))
+        col("avg_val"), col("ff_val"))
       .orderBy(col("event_type"), col("hour_us"))
-  }
 
   private val tsGapfillSql =
     s"""WITH h AS (
@@ -184,7 +186,7 @@ object Lakehouse extends QueryModule {
       case _ =>
         val share = dir match {
           case Some(d) =>
-            val key = d + "#" + srcSig(d, Seq("lineitem.parquet"))
+            val key = d + "#" + srcSig(s, d, Seq("lineitem.parquet"))
             probeCache.computeIfAbsent(key,
               _ => hotKeyShare(li, "l_suppkey")).doubleValue()
           case None => hotKeyShare(li, "l_suppkey")
@@ -257,20 +259,34 @@ object Lakehouse extends QueryModule {
     * plain XOR: two identical sibling part-files would cancel to 0
     * and distinct directory contents could alias), so any change to
     * a child's name, size, mtime, or the child set itself changes
-    * the signature. Pure fs metadata: no job, no read. */
-  private def srcSig(d: String, files: Seq[String]): String = {
+    * the signature. Pure fs metadata: no job, no read. Resolved
+    * through Hadoop's FileSystem, NOT java.io.File (review r13 — the
+    * same remote-dir bug class as eventsStream's r12 isDir probe): a
+    * local-only probe reads length 0 / mtime 0 for every hdfs://-s3a://
+    * path, degenerating the signature to a constant of the file NAME,
+    * so a regenerated remote table would silently reuse the stale
+    * bucketed layout and the stale skew probe. For local paths the
+    * metadata values are identical, so existing signatures (and cached
+    * table names) are unchanged. */
+  private def srcSig(s: SparkSession, d: String, files: Seq[String]): String = {
+    val conf = s.sparkContext.hadoopConfiguration
     def mix(h: Long, v: Long): Long = (h ^ v) * 0x100000001b3L
-    def sig(f: java.io.File): Long = {
-      val self = mix(mix(f.getName.hashCode.toLong, f.length()),
-        f.lastModified())
-      if (f.isDirectory)
-        Option(f.listFiles()).map(_.sortBy(_.getName))
-          .getOrElse(Array.empty[java.io.File])
-          .foldLeft(self)((h, c) => mix(h, sig(c)))
+    def sig(fs: org.apache.hadoop.fs.FileSystem,
+            st: org.apache.hadoop.fs.FileStatus): Long = {
+      val self = mix(mix(st.getPath.getName.hashCode.toLong, st.getLen),
+        st.getModificationTime)
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).sortBy(_.getPath.getName)
+          .foldLeft(self)((h, c) => mix(h, sig(fs, c)))
       else self
     }
     val h = files.foldLeft(0xcbf29ce484222325L) { (acc, f) =>
-      mix(acc, sig(new java.io.File(s"$d/$f")))
+      val p = new org.apache.hadoop.fs.Path(s"$d/$f")
+      val fs = p.getFileSystem(conf)
+      val v =
+        try sig(fs, fs.getFileStatus(p))
+        catch { case _: java.io.FileNotFoundException => 0L }
+      mix(acc, v)
     }
     java.lang.Long.toHexString(h)
   }
@@ -297,7 +313,7 @@ object Lakehouse extends QueryModule {
     val dir = graft.Scratch.dir("bucketed")
     val n = nBuckets(s)
     val tag = d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
-      srcSig(d, Seq("lineitem.parquet", "orders.parquet")) + s"_b$n"
+      srcSig(s, d, Seq("lineitem.parquet", "orders.parquet")) + s"_b$n"
     val (liT, ordT) = (s"graft_bkt_li_$tag", s"graft_bkt_ord_$tag")
     // write-once semantics, for real: the layout is the ingest job's
     // one-time work, so repeat invocations in the same process (bench

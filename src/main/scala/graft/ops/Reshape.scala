@@ -275,8 +275,8 @@ object Reshape extends QueryModule {
         // over binary-inexact 2-decimal prices is summation-order-
         // dependent and the mean lands off-grid, so an r4-boundary
         // value would flip between runs with the partial-merge order
-        Det.r4(sum(floor(col("l_extendedprice") * 100 + lit(0.5))
-            .cast("long")).cast("double") / 100 / count(lit(1)))
+        Det.r4(sum(TimeSeries.gridN(col("l_extendedprice"), 1e9, 1e2,
+            "trimmed")).cast("double") / 100 / count(lit(1)))
           .as("trimmed_mean"),
         min(col("l_extendedprice")).as("lo_bound"),
         max(col("l_extendedprice")).as("hi_bound"))
@@ -421,7 +421,7 @@ object Reshape extends QueryModule {
       .agg(count(lit(1)).as("n_sampled"),
         Det.r2(sum(col("o_totalprice"))).as("sampled_total"),
         // exact cents-grid mean (tsGapfill convention; see aggHash)
-        Det.r2(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+        Det.r2(sum(TimeSeries.gridN(col("o_totalprice"), 1e9, 1e2, "sample_hash"))
           .cast("double") / 100 / count(lit(1))).as("sampled_avg"))
       .orderBy(col("o_orderpriority"))
   }
@@ -651,8 +651,8 @@ object Reshape extends QueryModule {
         Det.r2(min(col("l_extendedprice"))).as("lo"),
         Det.r2(max(col("l_extendedprice"))).as("hi"),
         // exact cents-grid mean (tsGapfill convention; see aggHash)
-        Det.r2(sum(floor(col("l_extendedprice") * 100 + lit(0.5))
-            .cast("long")).cast("double") / 100 / count(lit(1)))
+        Det.r2(sum(TimeSeries.gridN(col("l_extendedprice"), 1e9, 1e2,
+            "histogram")).cast("double") / 100 / count(lit(1)))
           .as("mean"))
       .withColumn("cum_items", sum(col("n_items")).over(w))
       .withColumn("cum_frac",

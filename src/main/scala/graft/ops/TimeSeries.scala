@@ -60,7 +60,11 @@ object TimeSeries extends QueryModule {
         // scale the accumulated noise crosses the r4 half-boundary
         // margin of an exact-cents value. The long sum is exact and
         // order-independent (domain: ±9.2e12 value-sum per cell).
-        floor(col("value") * 1e6 + lit(0.5)).cast("long").as("v6"))
+        // gridN: out-of-domain values RAISE instead of silently
+        // wrapping the long sum (review r13 — DuckDB widens to
+        // HUGEINT, Spark would wrap; the guard keeps each term
+        // <= 1e12 so a cell needs >9.2e6 max-domain rows to wrap)
+        gridN(col("value"), 1e6, 1e6, "downsample").as("v6"))
       .groupBy(col("event_type"), col("hr"))
       .agg(
         min_by(col("value"), col("ts")).as("open"),
@@ -286,15 +290,19 @@ object TimeSeries extends QueryModule {
   private val tsAnomalySql =
     s"""WITH v AS (
        |  SELECT event_id, event_type, epoch_us(make_timestamp(epoch_us(ts))) AS tus,
-       |         value, floor(value * 10000 + 0.5)::BIGINT AS v4, ts
+       |         value, floor(value * 10000 + 0.5)::BIGINT AS v4
        |  FROM events),
        |w AS (
+       |  -- ordered by the µs-truncated tus, NOT raw ts: under the
+       |  -- INT64-nanos encoding Spark's sort key is the µs timestamp,
+       |  -- and two same-µs rows with distinct sub-µs nanos would get
+       |  -- engine-dependent frames under an ORDER BY ts (review r13)
        |  SELECT event_id, event_type, tus, value, v4,
        |         sum(v4) OVER win AS s1,
        |         sum(v4 * v4) OVER win AS s2,
        |         count(*) OVER win AS nw
        |  FROM v
-       |  WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+       |  WINDOW win AS (PARTITION BY event_type ORDER BY tus, event_id
        |                 ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING)),
        |st AS (
        |  SELECT event_id, event_type, tus, value, v4,
@@ -390,13 +398,20 @@ object TimeSeries extends QueryModule {
       .orderBy(col("event_type"), col("tus"), col("value"), col("wma"))
 
   private val tsWmaSql =
-    s"""WITH r AS (
+    s"""WITH v AS (
        |  SELECT event_type, epoch_us(make_timestamp(epoch_us(ts))) AS tus,
        |         value, event_id,
-       |         floor(value * 10000 + 0.5)::BIGINT AS v4w,
-       |         row_number() OVER (PARTITION BY event_type
-       |                            ORDER BY ts, event_id) AS rn
+       |         floor(value * 10000 + 0.5)::BIGINT AS v4w
        |  FROM events),
+       |r AS (
+       |  -- rn ordered by the SAME (µs tus, event_id) key as the frame
+       |  -- window below: an ORDER BY raw ts would diverge from both
+       |  -- the frame and Spark's µs sort under the INT64-nanos
+       |  -- encoding (review r13)
+       |  SELECT event_type, tus, value, event_id, v4w,
+       |         row_number() OVER (PARTITION BY event_type
+       |                            ORDER BY tus, event_id) AS rn
+       |  FROM v),
        |f AS (
        |  SELECT event_type, tus, value, rn,
        |         sum(v4w * rn) OVER win AS s1,
@@ -423,30 +438,36 @@ object TimeSeries extends QueryModule {
     * exchange feeding two window operators (one per sort direction).
     * The grid is |series × hours| rows — vanishing vs the raw log
     * that built it. */
-  private def tsInterp(s: SparkSession, d: String): DataFrame = {
-    // exact-grid average, the tsGapfill convention: avg(double) is
-    // summation-order-dependent to the last ulp, and the order varies
-    // not just across engines but across RUNS (partial-agg merge
-    // order is scheduling-dependent) — at sf3 this cell average
-    // landed on the same 46.09875 r4 boundary gapfill documents and
-    // flipped between two otherwise-identical gate runs (r12). The
-    // 1e-6-grid long sum is exact and order-independent.
-    val hourly = T.events(s, d)
+  /** Shared hourly exact-grid aggregation of the events log —
+    * (event_type, hour_us, n_events, avg_val) — the common front half
+    * of q_ts_gapfill and q_ts_interp (review r13: previously two
+    * verbatim copies across files that had to stay semantically
+    * identical by hand). avg via the exact-grid convention: avg(double)
+    * is summation-order-dependent to the last ulp, and the order
+    * varies not just across engines but across RUNS (partial-agg
+    * merge order is scheduling-dependent) — at sf3 a cell average
+    * landed on the 46.09875 r4 boundary and flipped between two
+    * otherwise-identical gate runs (r12). The 1e-6-grid long sum is
+    * exact and order-independent; gridN raises, never wraps. */
+  private[graft] def hourlyAvg(s: SparkSession, d: String,
+      ctx: String): DataFrame =
+    T.events(s, d)
       .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"),
-        floor(col("value") * 1e6 + 0.5).cast("long").as("v6"))
+        gridN(col("value"), 1e6, 1e6, ctx).as("v6"))
       .groupBy(col("event_type"), col("hr"))
       .agg(count(lit(1)).as("n_events"),
         Det.r4(sum(col("v6")).cast("double") / 1e6 / count(lit(1)))
           .as("avg_val"))
       .select(col("event_type"), unix_micros(col("hr")).as("hour_us"),
         col("n_events"), col("avg_val"))
-    gridSpineOver(hourly, "event_type", "hour_us", "avg_val",
-        3600L * 1000000L)
+
+  private def tsInterp(s: SparkSession, d: String): DataFrame =
+    gridSpineOver(hourlyAvg(s, d, "interp"), "event_type", "hour_us",
+        "avg_val", 3600L * 1000000L)
       .select(col("event_type"), col("hour_us"),
         coalesce(col("n_events"), lit(0L)).as("n_events"), col("avg_val"),
         col("interp_val"))
       .orderBy(col("event_type"), col("hour_us"))
-  }
 
   /** Dense-grid spine + gap fills over a pre-bucketed
     * (series, bucket-epoch-µs, value, …) frame: one row per series
