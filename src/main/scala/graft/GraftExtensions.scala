@@ -45,6 +45,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => graft.functions.NgramHash.fromExprs(exprs)))
     fn("graft_hash60", classOf[graft.functions.Hash60].getName, 1)(
       exprs => graft.functions.Hash60(exprs(0)))
+    // graft_ngram_h60 checks its own arity + literal width in fromExprs
+    e.injectFunction((
+      FunctionIdentifier("graft_ngram_h60"),
+      new ExpressionInfo(classOf[graft.functions.NgramHash60].getName,
+        "graft_ngram_h60"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.NgramHash60.fromExprs(exprs)))
     // Spark ships bloom-filter build/probe as INTERNAL expressions
     // (used by its own runtime join filters, not in the public
     // registry); expose them as first-class pipeline functions — the

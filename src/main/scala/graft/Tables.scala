@@ -83,6 +83,21 @@ object Tables {
     * by a column (e.g. documents by doc_id). */
   def par(s: SparkSession, df: DataFrame, key: Column): DataFrame =
     df.repartition(s.sparkContext.defaultParallelism, key)
+
+  /** Range-keyed variant of [[par]] for queries that end in a global
+    * ORDER BY led by `keys`: establishes the sort's range partitioning
+    * up front, over the RAW input columns, so (1) the range sampling
+    * pass scans cheap source rows instead of re-executing the query's
+    * expensive projection (a trailing orderBy samples its CHILD — the
+    * projection would run twice), (2) the one shuffle carries narrow
+    * source columns, not the widened computed row, and (3) a final
+    * sortWithinPartitions replaces the orderBy with zero further
+    * exchange (equal keys never straddle a range boundary, so
+    * partition order + local sort = the identical global order).
+    * Callers must lead their sortWithinPartitions with `keys`.
+    * Partition count: same contract as [[par]]. */
+  def parRange(s: SparkSession, df: DataFrame, keys: Column*): DataFrame =
+    df.repartitionByRange(s.sparkContext.defaultParallelism, keys: _*)
 }
 
 /** A named query + its DuckDB oracle SQL. Modules contribute these and

@@ -98,6 +98,9 @@ object GraftFunctions {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_ngrams", NgramHash.fromExprs, "built-in")
     fn("graft_hash60", 1)(exprs => Hash60(exprs(0)))
+    // arity + literal width checked inside fromExprs
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ngram_h60", NgramHash60.fromExprs, "built-in")
     fn("graft_bloom_agg", 3)(exprs =>
       new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
         exprs(0), exprs(1), exprs(2)))

@@ -66,7 +66,13 @@ object Functions extends QueryModule {
     * named-timezone conversion (reference A21/A22 semantics —
     * facebook.rkt:22-28 ISO parse, eventbrite.rkt:54-66 tz resolve). */
   private def fnDate(s: SparkSession, d: String): DataFrame =
-    T.par(s, T.orders(s, d))
+    // parRange + trailing sortWithinPartitions (not orderBy): the one
+    // exchange carries 2 raw columns, the range sampler scans raw rows
+    // (a trailing orderBy re-executes this whole date projection in
+    // its sampling pass), and the temporal family evaluates ONCE,
+    // after the shuffle.
+    T.parRange(s, T.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate")), col("o_orderkey"))
       .select(
         col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"),
@@ -86,7 +92,7 @@ object Functions extends QueryModule {
         // (eventbrite.rkt:54-66 named-tz semantics), compared as epoch
         unix_timestamp(to_utc_timestamp(col("o_orderdate"), "America/New_York"))
           .cast("long").as("epoch_as_ny"))
-      .orderBy(col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
 
   private val fnDateSql =
     """SELECT o_orderkey,
@@ -108,7 +114,14 @@ object Functions extends QueryModule {
   /** Math family. libm-backed functions (pow/ln/exp) discretized at 1e-4
     * so sub-ulp disagreement between JVM and C libm can't flip the hash. */
   private def fnMath(s: SparkSession, d: String): DataFrame =
-    T.par(s, T.lineitem(s, d))
+    // parRange on the raw (key, line) prefix of the output order: equal
+    // prefixes co-locate, so the local sort below (full key list, with
+    // the computed tie-breakers) reproduces the exact global orderBy
+    // order while libm runs once, post-shuffle, on 5 narrow columns.
+    T.parRange(s, T.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount")),
+        col("l_orderkey"), col("l_linenumber"))
       .select(
         col("l_orderkey"), col("l_linenumber"),
         Det.r2(col("l_extendedprice") * col("l_discount")).as("disc_amt"),
@@ -121,8 +134,8 @@ object Functions extends QueryModule {
         Det.r4(sqrt(col("l_quantity"))).as("sqrt_q"),
         pmod(col("l_orderkey"), lit(7)).cast("long").as("mod7"),
         signum(col("l_quantity") - 25).cast("long").as("sgn"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"), col("disc_amt"),
-        col("flr"), col("dist25"), col("q15"))
+      .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"),
+        col("disc_amt"), col("flr"), col("dist25"), col("q15"))
 
   private val fnMathSql = {
     s"""SELECT l_orderkey, l_linenumber,
@@ -149,10 +162,15 @@ object Functions extends QueryModule {
     * l_quantity is integral (verified) so sums are exact and the
     * int-cast join string is stable across engines. */
   private def fnArray(s: SparkSession, d: String): DataFrame =
-    // keyed par: the single-file scan would otherwise build every
-    // partial collect_list on one task; keying by the groupBy column
-    // lets the aggregation reuse this exchange (no second shuffle)
-    T.par(s, T.lineitem(s, d), col("l_orderkey"))
+    // RANGE-keyed par: like the old hash-keyed par, the groupBy reuses
+    // this exchange (range partitioning on the key satisfies the
+    // aggregation's clustering), but range also carries the FINAL
+    // output order, so the trailing orderBy(o_orderkey, pos) becomes a
+    // zero-exchange sortWithinPartitions — one shuffle end to end, and
+    // the interpreted array lambdas below evaluate once instead of
+    // also feeding the orderBy's range-sampling pass.
+    T.parRange(s, T.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity")), col("l_orderkey"))
       .groupBy(col("l_orderkey").as("o_orderkey"))
       .agg(array_sort(collect_list(col("l_quantity"))).as("qtys"))
       .select(
@@ -167,7 +185,7 @@ object Functions extends QueryModule {
         array_contains(col("qtys"), 30.0).as("has_30"))
       .withColumn("pos", (col("pos0") + 1).cast("long"))
       .drop("pos0")
-      .orderBy(col("o_orderkey"), col("pos"))
+      .sortWithinPartitions(col("o_orderkey"), col("pos"))
 
   private val fnArraySql =
     """WITH ranked AS (
@@ -200,9 +218,13 @@ object Functions extends QueryModule {
     * recomputes the same scalars relationally — the contract is equal
     * values, not equal intermediate representations. */
   private def fnMap(s: SparkSession, d: String): DataFrame =
-    // keyed par (see fnArray): both groupBys re-use the l_orderkey
-    // exchange — map_from_entries partials run 32-way, not on one task
-    T.par(s, T.lineitem(s, d), col("l_orderkey"))
+    // RANGE-keyed par (see fnArray): both groupBys re-use the
+    // l_orderkey exchange (range partitioning clusters the key), and
+    // the trailing orderBy collapses to a zero-exchange local sort —
+    // one shuffle end to end, map lambdas evaluated once.
+    T.parRange(s, T.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+        col("l_orderkey"))
       .groupBy(col("l_orderkey"), col("l_linenumber"))
       .agg(sum(col("l_quantity")).as("qty"))
       .groupBy(col("l_orderkey").as("o_orderkey"))
@@ -216,7 +238,7 @@ object Functions extends QueryModule {
         Det.r2(element_at(col("m"), 1)).as("qty_line1"),
         Det.r2(aggregate(map_values(col("m")), lit(0.0), (a, x) => a + x))
           .as("total_qty"))
-      .orderBy(col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
 
   private val fnMapSql =
     """SELECT l_orderkey AS o_orderkey,
@@ -233,7 +255,12 @@ object Functions extends QueryModule {
     * hash.rkt:30-35 get-in with defaults): path extraction, schema'd
     * parse, tuple extraction, JSON synthesis. All builtins → codegen. */
   private def fnJson(s: SparkSession, d: String): DataFrame =
-    T.par(s, T.events(s, d))
+    // parRange + local sort (see fnDate): JSON parsing runs once,
+    // post-shuffle, instead of also inside the orderBy sampling pass;
+    // the exchange carries the raw props string, not 5 parsed columns.
+    T.parRange(s, T.events(s, d)
+        .select(col("event_id"), col("props"), col("event_type"),
+          col("user_id")), col("event_id"))
       .select(
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k_path"),
@@ -243,7 +270,7 @@ object Functions extends QueryModule {
         json_tuple(col("props"), "k").as("k_tuple"),
         to_json(struct(col("event_type").as("t"), col("user_id").as("u")))
           .as("built"))
-      .orderBy(col("event_id"))
+      .sortWithinPartitions(col("event_id"))
 
   private val fnJsonSql =
     """SELECT event_id,
@@ -338,9 +365,15 @@ object Functions extends QueryModule {
     * in-range amounts used here (Java masks the amount mod 64, DuckDB
     * doesn't — keep shifts < 64). */
   private def fnBitwise(s: SparkSession, d: String): DataFrame =
-    T.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
-        col("l_linenumber"))
+    // parRange on the raw (key, line) prefix (see fnMath): the single
+    // exchange moves the 4 source integers (not the 10 computed
+    // columns), the sampler never re-runs the projection, and the
+    // local sort below reproduces the exact global order (k_xor /
+    // supp_sl4 tie-breakers are per-row functions, computed in-place).
+    T.parRange(s, T.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_linenumber")),
+        col("l_orderkey"), col("l_linenumber"))
       .select(
         col("l_orderkey"),
         col("l_linenumber"),
@@ -365,7 +398,7 @@ object Functions extends QueryModule {
       // invertible given l_orderkey) and supp_sl4 pins l_suppkey, so
       // every output column is determined at equal sort keys and the
       // comparison is order-stable at any SF.
-      .orderBy(col("l_orderkey"), col("l_linenumber"),
+      .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"),
         col("k_xor"), col("supp_sl4"))
 
   private val fnBitwiseSql =
@@ -474,9 +507,14 @@ object Functions extends QueryModule {
     * repartition (a many-file production table scans parallel and
     * drops it), no other shuffle before the output sort. */
   private def fnUrl(s: SparkSession, d: String): DataFrame =
-    // par: five parse_url calls per row are the compute; the
-    // single-file scan would run them all on one task
-    T.par(s, T.orders(s, d))
+    // parRange: five parse_url calls per row are the compute; the
+    // single-file scan would run them all on one task, and a trailing
+    // orderBy would run them TWICE (its range sampler executes the
+    // projection). Range-partition the 3 raw columns once, parse after
+    // the exchange, local-sort — one shuffle, one evaluation.
+    T.parRange(s, T.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderpriority")), col("o_orderkey"))
       .select(col("o_orderkey"),
         concat(lit("https://shop.example.com/o/"),
           col("o_orderkey").cast("string"),
@@ -490,7 +528,7 @@ object Functions extends QueryModule {
         parse_url(col("url"), lit("PATH")).as("path"),
         parse_url(col("url"), lit("QUERY"), lit("cust")).as("q_cust"),
         parse_url(col("url"), lit("QUERY"), lit("prio")).as("q_prio"))
-      .orderBy(col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
 
   private val fnUrlSql =
     """WITH u AS (

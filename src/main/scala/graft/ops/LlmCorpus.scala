@@ -288,15 +288,19 @@ object LlmCorpus extends QueryModule {
     * from the boundary. */
   private def dsirWeight(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    // graft_ngram_h60: the old split → interpreted transform/concat
+    // lambda → per-gram graft_hash60 chain evaluated on the
+    // CodegenFallback path at ~14 µs/gram (11 of this query's 16
+    // executor-CPU-s at sf0.1 sat in this checkpoint stage). The
+    // native expression digests each bigram's byte range of the
+    // original text in one codegen'd pass — same md5-based h60 the
+    // DuckDB oracle recomputes, NgramH60Spec pins the equivalence.
     val docBuckets = Llm.docs(s, d)
-      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 2)
-      .select(col("doc_id"), col("lang"), explode(expr(
-        "transform(sequence(1, size(w) - 1), " +
-          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
-        .as("g"))
       .select(col("doc_id"), col("lang"),
-        (expr("graft_hash60(g)") % DsirBuckets).as("b"))
+        explode(call_function("graft_ngram_h60", col("text"), lit(2)))
+          .as("h"))
+      .select(col("doc_id"), col("lang"),
+        (col("h") % DsirBuckets).as("b"))
       .groupBy(col("doc_id"), col("lang"), col("b"))
       .agg(count(lit(1)).as("n"))
       .transform(Staged.checkpoint)

@@ -44,7 +44,14 @@ object LlmExt extends QueryModule {
     * from. Lazy-checkpointed: every consumer reuses the one
     * materialization of the 64-sum fingerprint aggregation. */
   private def simhashFps(s: SparkSession, d: String): DataFrame = {
-    val wh = h60(col("word"))
+    // hash each word ONCE in a projection below the aggregation: the
+    // 64 per-bit sums all reference the same md5-derived hash, and
+    // inlining it into 64 aggregate-update expressions leaves the
+    // dedup to codegen subexpression elimination inside HashAggregate
+    // — a named column makes the single evaluation structural (this
+    // prelude feeds six scored queries; its cost is ~10 executor-CPU-s
+    // per query at sf0.1).
+    val wh = col("wh")
     val sums = (0 until SimBits).map(k =>
       sum(when(shiftright(wh, k).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"s$k"))
@@ -53,6 +60,7 @@ object LlmExt extends QueryModule {
       .reduce(_ + _)
     Llm.docs(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .select(col("doc_id"), h60(col("word")).as("wh"))
       .groupBy(col("doc_id"))
       .agg(sums.head, sums.tail: _*)
       .select(col("doc_id"), fp.as("fp"))

@@ -533,11 +533,17 @@ object LlmQuality extends QueryModule {
       .crossJoin(broadcast(n))
       .withColumn("score",
         col("tf") * log(col("n_docs").cast("double") / col("df")))
+      // RANGE exchange where the top-3 window needed a hash exchange
+      // anyway: range(doc_id) satisfies the window's clustering AND
+      // leads the output order, so the trailing orderBy — whose
+      // sampler re-executed the join + window subtree — becomes a
+      // zero-exchange local sort (one exchange fewer end to end).
+      .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("rank", row_number().over(wDoc).cast("long"))
       .filter(col("rank") <= 3)
       .select(col("doc_id"), col("rank"), col("term"), col("tf"),
         col("df"), Det.r6(col("score")).as("tfidf"))
-      .orderBy(col("doc_id"), col("rank"))
+      .sortWithinPartitions(col("doc_id"), col("rank"))
   }
 
   private val tfidfSql =

@@ -469,10 +469,15 @@ object Reshape extends QueryModule {
 
   private def sessionize(s: SparkSession, d: String): DataFrame = {
     val gapUs = 30L * 60 * 1000 * 1000
+    // parRange(user_id): ONE exchange serves the session windows'
+    // clustering, the (user_id, session_id) aggregation (range on the
+    // leading key clusters it), and the final order — the trailing
+    // orderBy becomes a local sort instead of a second exchange whose
+    // sampler re-ran the window + aggregation subtree.
     sessionIdsOver(
-      T.events(s, d)
+      T.parRange(s, T.events(s, d)
         .select(col("user_id"), col("event_id"), col("value"),
-          unix_micros(col("ts")).as("tus")),
+          unix_micros(col("ts")).as("tus")), col("user_id")),
       "user_id", "tus", Seq("event_id"), gapUs)
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
@@ -480,7 +485,7 @@ object Reshape extends QueryModule {
         max(col("tus")).as("end_us"),
         (max(col("tus")) - min(col("tus"))).as("duration_us"),
         Det.r2(sum(col("value"))).as("total"))
-      .orderBy(col("user_id"), col("session_id"))
+      .sortWithinPartitions(col("user_id"), col("session_id"))
   }
 
   private val sessionizeSql =

@@ -395,7 +395,17 @@ object NormalizeQueries extends QueryModule {
       d.replaceAll("[^A-Za-z0-9.]", "_")
     val dated = graft.Tables.events(s, d)
       .withColumn("event_date", to_date(col("ts")))
-    dated.write.mode("overwrite").partitionBy("event_date").parquet(dir)
+    // Cluster by the partition column before the partitioned write —
+    // the write.distribution-mode=hash idiom: each task owns whole
+    // event_date values and writes exactly ONE file into its
+    // directories, instead of every scan task opening a writer per
+    // date it happens to contain (tasks × dates files; here the
+    // single-file scan wrote all 30 dirs sequentially on one task —
+    // measured 1.3 s of this query's 2.5 s isolated wall). Parallel
+    // writers + one well-sized file per partition dir is the 100 TB
+    // layout the readers want.
+    dated.repartition(s.sparkContext.defaultParallelism, col("event_date"))
+      .write.mode("overwrite").partitionBy("event_date").parquet(dir)
     // explicit schema (the production scan rule): also keeps a
     // zero-row write — which leaves no partition dirs to infer
     // from — readable as an empty frame
