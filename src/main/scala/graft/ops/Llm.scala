@@ -42,6 +42,19 @@ object Llm extends QueryModule {
   private[ops] def docs(s: SparkSession, d: String): DataFrame =
     T.par(s, T.documents(s, d), col("doc_id"))
 
+  /** RANGE-partitioned variant of [[docs]] for the per-doc map-side
+    * family whose output order leads with doc_id: range(doc_id)
+    * satisfies every downstream groupBy/window clustered on doc_id
+    * exactly like the hash par, AND carries the final output order, so
+    * those queries end in a zero-exchange sortWithinPartitions instead
+    * of a global orderBy whose range sampler re-executes the whole
+    * per-doc pipeline. ONLY safe when every downstream join is
+    * explicitly broadcast (an un-hinted join that plans sort-merge
+    * would re-shuffle and silently break the local sort's global-order
+    * premise) — callers are audited for that. */
+  private[ops] def docsRange(s: SparkSession, d: String): DataFrame =
+    T.parRange(s, T.documents(s, d), col("doc_id"))
+
   /** Bucketed candidate-pair generation shared by the LSH-family
     * dedups: group by bucket key, collect sorted members, expand all
     * unordered member pairs in-array. One pipeline computation — a

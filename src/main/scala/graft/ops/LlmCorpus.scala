@@ -57,6 +57,14 @@ object LlmCorpus extends QueryModule {
     * short strings; production would md5/xxhash lines to 8 bytes
     * first (the dedupNgram trade) — same shape. */
   private def boilerplate(s: SparkSession, d: String): DataFrame = {
+    // NOT converted to the docsRange + local-sort shape (r14): `lines`
+    // is deliberately checkpointed (it feeds the df aggregate AND the
+    // per-doc reduce — without it the corpus-linear explode runs
+    // twice), and a localCheckpoint surfaces as LogicalRDD with
+    // UnknownPartitioning, so the final reduce re-exchanges anyway and
+    // a trailing local sort would order hash partitions, not the
+    // output. The checkpoint-for-partitioning trade goes the
+    // checkpoint's way at corpus scale.
     val docs = Llm.docs(s, d)
     // body chunks: tokens [i·L+1, i·L+L], i = 0 .. (n_tok-1)/L
     val bodyLines = expr(
@@ -295,7 +303,14 @@ object LlmCorpus extends QueryModule {
     // native expression digests each bigram's byte range of the
     // original text in one codegen'd pass — same md5-based h60 the
     // DuckDB oracle recomputes, NgramH60Spec pins the equivalence.
-    val docBuckets = Llm.docs(s, d)
+    // docsRange (see Llm.docsRange): range(doc_id) clusters the
+    // (doc_id, lang, b) counts, so the count aggregation runs with no
+    // exchange of the exploded gram rows. The FINAL reduce still
+    // re-exchanges and keeps its global orderBy: docBuckets is
+    // checkpointed (all four consumers must share one materialization)
+    // and a localCheckpoint surfaces as UnknownPartitioning, so a
+    // trailing local sort would order hash partitions, not the output.
+    val docBuckets = Llm.docsRange(s, d)
       .select(col("doc_id"), col("lang"),
         explode(call_function("graft_ngram_h60", col("text"), lit(2)))
           .as("h"))

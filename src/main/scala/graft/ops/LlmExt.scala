@@ -579,17 +579,21 @@ object LlmExt extends QueryModule {
     * O(tokens), ~5× fewer md5 evaluations on this corpus. All
     * arithmetic is the portable md5-based 60-bit hash, so the oracle
     * reproduces the exact fingerprint set. Pure map-side at scale. */
-  private def fingerprint(s: SparkSession, d: String): DataFrame =
-    Llm.docs(s, d)
+  private def fingerprint(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    // docsRange + local sort (see Llm.docsRange), and the positional
+    // 3-gram hashes come from the native graft_ngram_h60 (one codegen
+    // pass digesting each gram's byte range) instead of the
+    // interpreted transform/concat/md5 lambda — identical md5-based
+    // values (NgramH60Spec), position order preserved, so the
+    // winnowing windows see the same sequence.
+    Llm.docsRange(s, d)
       .filter(col("n_chars") >= 20)
-      .withColumn("w", split(col("text"), " "))
       // need >= 4 grams (>= 6 tokens) for one full winnowing window —
       // below that, sequence(1, n) with n < 1 would count DOWN and
       // slice(g, 0, 4) throws; the oracle carries the same bound
-      .filter(size(col("w")) >= 6)
-      .withColumn("g", expr(
-        "transform(sequence(1, size(w) - 2), " +
-          "i -> cast(conv(substring(md5(cast(concat_ws(' ', w[i-1], w[i], w[i+1]) AS BINARY)), 1, 15), 16, 10) AS BIGINT))"))
+      .filter(size(split(col("text"), " ")) >= 6)
+      .withColumn("g", call_function("graft_ngram_h60", col("text"), lit(3)))
       .withColumn("fps", array_sort(array_distinct(expr(
         "transform(sequence(1, size(g) - 3), j -> array_min(slice(g, j, 4)))"))))
       .select(col("doc_id"),
@@ -597,7 +601,8 @@ object LlmExt extends QueryModule {
         element_at(col("fps"), 1).as("fp_min"),
         element_at(col("fps"), -1).as("fp_max"),
         array_join(slice(col("fps"), 1, 3), ",").as("fp_head"))
-      .orderBy(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+  }
 
   private val fingerprintSql =
     s"""WITH g AS (
@@ -639,7 +644,9 @@ object LlmExt extends QueryModule {
 
   private def tokenize(s: SparkSession, d: String): DataFrame = {
     val pre = preTokens(col("text"))
-    Llm.docs(s, d)
+    // docsRange + local sort (see Llm.docsRange): the regex
+    // pre-tokenization + interpreted BPE-estimate lambda run once.
+    Llm.docsRange(s, d)
       .select(col("doc_id"), col("lang"), col("n_chars"),
         size(split(col("text"), " ")).cast("long").as("n_ws"),
         size(pre).cast("long").as("n_pre"),
@@ -647,7 +654,7 @@ object LlmExt extends QueryModule {
       .withColumn("chars_per_tok",
         Det.r4(col("n_chars") / col("n_bpe_est").cast("double")))
       .drop("n_chars")
-      .orderBy(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
   }
 
   // documents text is lowercase [a-z ]+, so n_chars is present in the

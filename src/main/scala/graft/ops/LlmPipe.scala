@@ -39,7 +39,10 @@ object LlmPipe extends QueryModule {
       when(col("doc_id") % 3 === 0,
         concat(lit(" cc admin"), col("doc_id"), lit("@example.org")))
         .otherwise(lit("")))
-    Llm.docs(s, d)
+    // docsRange + local sort (see Llm.docsRange): the regex scan runs
+    // once, after the one exchange, instead of also inside a trailing
+    // orderBy's range sampler.
+    Llm.docsRange(s, d)
       .select(col("doc_id"),
         size(regexp_extract_all(contact, lit(email), lit(0)))
           .cast("long").as("n_emails"),
@@ -52,7 +55,7 @@ object LlmPipe extends QueryModule {
         // right() has no Scala-functions binding — SQL fragment over
         // the named column
         expr("right(red, 48)").as("tail"))
-      .orderBy(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
   }
 
   private val piiSql =

@@ -243,7 +243,10 @@ object LlmQuality extends QueryModule {
       size(filter(w, x => x.isin(stopwords: _*))).cast("double") / nTok
     val meanWl = (col("n_chars") - (nTok - 1)) / nTok
     val score = qualityScore
-    Llm.docs(s, d)
+    // docsRange + local sort: the scoring projection (regex + array
+    // lambdas) runs once, after the one exchange — a trailing orderBy
+    // re-executed it in the range sampler (see Llm.docsRange).
+    Llm.docsRange(s, d)
       .select(col("doc_id"), col("lang"),
         size(w).cast("long").as("n_tokens"),
         Det.r4(meanWl).as("mean_word_len"),
@@ -252,7 +255,7 @@ object LlmQuality extends QueryModule {
         score.as("score"),
         when(score >= 0.5, "high").when(score >= 0.25, "medium")
           .otherwise("low").as("bucket"))
-      .orderBy(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
   }
 
   private val qualitySql = {
@@ -294,7 +297,10 @@ object LlmQuality extends QueryModule {
     * is identical. ln (not log2) keeps both engines on the same libm
     * call, r6-discretized like the rest of the libm family. */
   private def entropy(s: SparkSession, d: String): DataFrame =
-    Llm.docs(s, d)
+    // docsRange + local sort (see Llm.docsRange): range(doc_id)
+    // clusters BOTH groupBys, so the whole query is one exchange and
+    // the per-char explode runs once, not again in a sort sampler.
+    Llm.docsRange(s, d)
       .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
       .filter(col("ch") =!= "")
       .groupBy(col("doc_id"), col("ch"))
@@ -305,7 +311,7 @@ object LlmQuality extends QueryModule {
         Det.r6(log(sum(col("c"))) -
           sum(col("c") * log(col("c"))) / sum(col("c"))).as("entropy_nats"),
         Det.r6(max(col("c")) / sum(col("c"))).as("top_char_frac"))
-      .orderBy(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
 
   private val entropySql =
     s"""WITH ch AS (
@@ -727,7 +733,7 @@ object LlmQuality extends QueryModule {
     * it to memory (e.g. 10⁵–10⁶). */
   private def llmPerplexity(s: SparkSession, d: String): DataFrame = {
     val VocabCap = 24
-    val words = Llm.docs(s, d)
+    val words = Llm.docsRange(s, d)
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
       .filter(length(col("w")) > 0)
     val vocab = words.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
@@ -751,7 +757,11 @@ object LlmQuality extends QueryModule {
         // a per-row cross-engine rounding hazard
         Det.r4(avg(nll)).as("xent"),
         Det.r4(exp(avg(nll))).as("ppl"))
-      .orderBy(col("doc_id"))
+      // local sort: words derives from docsRange and both joins are
+      // explicit broadcasts, so range(doc_id) survives to here (see
+      // Llm.docsRange) — no final exchange, no sampler re-run of the
+      // explode + score pipeline
+      .sortWithinPartitions(col("doc_id"))
   }
 
   private val llmPerplexitySql =

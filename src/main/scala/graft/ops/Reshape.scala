@@ -89,29 +89,56 @@ object Reshape extends QueryModule {
     val li = T.lineitem(s, d)
       .select(rf, col("l_extendedprice"), col("l_quantity"))
     val cnt = groupCounts(li, rf)
-    // Two independent parallel rank passes (one per ordered column) —
-    // the old single frame also paid two sorts, just on |groups| tasks.
-    val re = ranked(s, d, li, "lineitem", "l_returnflag", "l_extendedprice")
-      .join(broadcast(cnt), "l_returnflag")
-    val rq = ranked(s, d, li, "lineitem", "l_returnflag", "l_quantity")
-      .join(broadcast(cnt), "l_returnflag")
     // bracketing order statistics of cut point p: zero-based ranks
-    // floor((n-1)p) and ceil((n-1)p)
-    def lo(p: Double, v: Column) =
-      max(when(col("r") === floor((col("n") - 1) * lit(p)), v))
-    def hi(p: Double, v: Column) =
-      max(when(col("r") === ceil((col("n") - 1) * lit(p)), v))
-    val agg = re.groupBy(rf).agg(
-        max(col("n")).as("nn"),
-        lo(0.25, col("l_extendedprice")).as("e25l"),
-        hi(0.25, col("l_extendedprice")).as("e25h"),
-        lo(0.50, col("l_extendedprice")).as("e50l"),
-        hi(0.50, col("l_extendedprice")).as("e50h"),
-        lo(0.75, col("l_extendedprice")).as("e75l"),
-        hi(0.75, col("l_extendedprice")).as("e75h"))
-      .join(rq.groupBy(rf).agg(
-        lo(0.50, col("l_quantity")).as("q50l"),
-        hi(0.50, col("l_quantity")).as("q50h")), "l_returnflag")
+    // floor((n-1)p) and ceil((n-1)p), read from rank column `r`
+    def loR(p: Double, r: Column, v: Column) =
+      max(when(r === floor((col("n") - 1) * lit(p)), v))
+    def hiR(p: Double, r: Column, v: Column) =
+      max(when(r === ceil((col("n") - 1) * lit(p)), v))
+    val agg = if (T.sourceBytes(s, d, "lineitem") < rankSplitMinBytes(s)) {
+      // Small-input path: BOTH rank columns over ONE hash exchange —
+      // two in-partition sorts under two Window operators — and one
+      // combined aggregation, instead of two independent scan + shuffle
+      // + window + aggregate + join pipelines (the r14 sampler lesson:
+      // every removed subtree is also removed from any downstream
+      // re-execution). Rank semantics unchanged: zero-based, ties
+      // arbitrary, value-selecting consumers tie-permutation-invariant.
+      val we = Window.partitionBy(rf).orderBy(col("l_extendedprice"))
+      val wq = Window.partitionBy(rf).orderBy(col("l_quantity"))
+      li.withColumn("re", row_number().over(we).cast("long") - 1L)
+        .withColumn("rq", row_number().over(wq).cast("long") - 1L)
+        .join(broadcast(cnt), "l_returnflag")
+        .groupBy(rf).agg(
+          max(col("n")).as("nn"),
+          loR(0.25, col("re"), col("l_extendedprice")).as("e25l"),
+          hiR(0.25, col("re"), col("l_extendedprice")).as("e25h"),
+          loR(0.50, col("re"), col("l_extendedprice")).as("e50l"),
+          hiR(0.50, col("re"), col("l_extendedprice")).as("e50h"),
+          loR(0.75, col("re"), col("l_extendedprice")).as("e75l"),
+          hiR(0.75, col("re"), col("l_extendedprice")).as("e75h"),
+          loR(0.50, col("rq"), col("l_quantity")).as("q50l"),
+          hiR(0.50, col("rq"), col("l_quantity")).as("q50h"))
+    } else {
+      // Split path (large inputs): two independent range-split rank
+      // passes, parallelism decoupled from |groups| — unchanged.
+      def lo(p: Double, v: Column) = loR(p, col("r"), v)
+      def hi(p: Double, v: Column) = hiR(p, col("r"), v)
+      val re = ranked(s, d, li, "lineitem", "l_returnflag", "l_extendedprice")
+        .join(broadcast(cnt), "l_returnflag")
+      val rq = ranked(s, d, li, "lineitem", "l_returnflag", "l_quantity")
+        .join(broadcast(cnt), "l_returnflag")
+      re.groupBy(rf).agg(
+          max(col("n")).as("nn"),
+          lo(0.25, col("l_extendedprice")).as("e25l"),
+          hi(0.25, col("l_extendedprice")).as("e25h"),
+          lo(0.50, col("l_extendedprice")).as("e50l"),
+          hi(0.50, col("l_extendedprice")).as("e50h"),
+          lo(0.75, col("l_extendedprice")).as("e75l"),
+          hi(0.75, col("l_extendedprice")).as("e75h"))
+        .join(rq.groupBy(rf).agg(
+          lo(0.50, col("l_quantity")).as("q50l"),
+          hi(0.50, col("l_quantity")).as("q50h")), "l_returnflag")
+    }
     // v_lo + (k − ⌊k⌋)·(v_hi − v_lo), the quantile_cont interpolation
     def interp(p: Double, l: Column, h: Column) = {
       val k = (col("nn") - 1) * lit(p)
