@@ -371,7 +371,9 @@ object Llm extends QueryModule {
     val w = words(col("text"))
     val nTok = size(w).cast("double")
     val nDis = size(array_distinct(w)).cast("double")
-    docs(s, d)
+    // docsRange + local sort (see docsRange): the digest/struct
+    // projection runs once, not again in a trailing orderBy's sampler
+    docsRange(s, d)
       .select(col("doc_id"),
         encode(col("text"), "UTF-8").as("payload"),
         struct(
@@ -388,7 +390,7 @@ object Llm extends QueryModule {
         col("meta.n_chars").as("n_chars"),
         col("meta.n_tokens").as("n_tokens"),
         col("meta.quality").as("quality"))
-      .orderBy(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
   }
 
   private val multimodalSql =

@@ -719,7 +719,13 @@ object LlmExt extends QueryModule {
     * batching, and metadata schema are exactly this. */
   private def decode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Llm.docs(s, d)
+    // docsRange + local sort (see Llm.docsRange): the REAL ImageIO
+    // decode runs once — a trailing orderBy re-ran the whole decode
+    // pass in its range sampler. mapPartitions is 1:1 per partition,
+    // so the physical range layout survives the typed boundary, and
+    // sortWithinPartitions requires no distribution so no exchange can
+    // be re-inserted (LocalSortOrderSpec pins the order).
+    Llm.docsRange(s, d)
       .select(col("doc_id"))
       .as[Long]
       .mapPartitions { it =>
@@ -745,7 +751,7 @@ object LlmExt extends QueryModule {
         }
       }
       .toDF("doc_id", "fmt", "width", "height", "n_pixels", "pixel_sum")
-      .orderBy(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
   }
 
   // the oracle predicts what a LOSSLESS decode must read back —
@@ -782,7 +788,8 @@ object LlmExt extends QueryModule {
     * (a few longs/doc) shuffles to the output sort. */
   private def thumb(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Llm.docs(s, d)
+    // docsRange + local sort — same rationale as q_llm_decode
+    Llm.docsRange(s, d)
       .select(col("doc_id"))
       .as[Long]
       .mapPartitions { it =>
@@ -804,7 +811,7 @@ object LlmExt extends QueryModule {
         }
       }
       .toDF("doc_id", "p00", "p10", "p01", "p11", "brightness_shift")
-      .orderBy(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
   }
 
   // every thumb pixel is predictable: the decode is lossless and the
@@ -848,7 +855,8 @@ object LlmExt extends QueryModule {
     * leave their partition, only per-doc counters shuffle. */
   private def frames(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Llm.docs(s, d)
+    // docsRange + local sort — same rationale as q_llm_decode
+    Llm.docsRange(s, d)
       .select(col("doc_id"))
       .as[Long]
       .mapPartitions { it =>
@@ -867,7 +875,7 @@ object LlmExt extends QueryModule {
         }
       }
       .toDF("doc_id", "n_frames", "n_sampled", "frame_sum")
-      .orderBy(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
   }
 
   private lazy val framesSql =

@@ -42,6 +42,10 @@ class LocalSortOrderSpec extends AnyFunSuite {
     "q_llm_tokenize" -> Seq("doc_id"),
     "q_llm_fingerprint" -> Seq("doc_id"),
     "q_llm_perplexity" -> Seq("doc_id"),
+    "q_llm_decode" -> Seq("doc_id"),
+    "q_llm_thumb" -> Seq("doc_id"),
+    "q_llm_frames" -> Seq("doc_id"),
+    "q_llm_multimodal" -> Seq("doc_id"),
   )
 
   private def leq(a: Seq[Any], b: Seq[Any]): Boolean = {
