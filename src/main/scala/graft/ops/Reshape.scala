@@ -361,6 +361,11 @@ object Reshape extends QueryModule {
         .select(rf,
           (col("lo") + (k - floor(k)) * (col("hi") - col("lo"))).as(out))
     }
+    // NOT pre-partitioned by group key to share one exchange across
+    // the two median passes (tried r14): the first median materializes
+    // via a driver collect, so the deviation pass re-executes the
+    // shared lineage in a separate job — without cross-run caching
+    // (banned) there is no exchange to share, only one to relocate.
     val li = T.lineitem(s, d).select(rf, col("l_extendedprice"))
     val cnt = groupCounts(li, rf)
     // med is a |groups|-row frame referenced TWICE (the deviation
