@@ -369,9 +369,14 @@ object Lakehouse extends QueryModule {
   private def lakeScd2(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("tus"), col("event_id"))
-    val changes = T.events(s, d)
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        unix_micros(col("ts")).as("tus"))
+    // parRange(user_id): the one exchange serves all three window
+    // passes AND the output order, so the trailing orderBy — whose
+    // range sampler re-executed the whole change-detection + versioning
+    // subtree — becomes a zero-exchange local sort (r14 pattern;
+    // LocalSortOrderSpec pins the order premise).
+    val changes = T.parRange(s, T.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus")), col("user_id"))
       .withColumn("prev", lag(col("event_type"), 1).over(w))
       .filter(col("prev").isNull || col("prev") =!= col("event_type"))
     changes
@@ -381,7 +386,7 @@ object Lakehouse extends QueryModule {
         col("tus").as("valid_from_us"),
         lead(col("tus"), 1).over(w).as("valid_to_us"),
         lead(col("tus"), 1).over(w).isNull.as("is_current"))
-      .orderBy(col("user_id"), col("version"))
+      .sortWithinPartitions(col("user_id"), col("version"))
   }
 
   private val lakeScd2Sql =

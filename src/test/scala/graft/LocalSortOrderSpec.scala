@@ -46,6 +46,7 @@ class LocalSortOrderSpec extends AnyFunSuite {
     "q_llm_thumb" -> Seq("doc_id"),
     "q_llm_frames" -> Seq("doc_id"),
     "q_llm_multimodal" -> Seq("doc_id"),
+    "q_lake_scd2" -> Seq("user_id", "version"),
   )
 
   private def leq(a: Seq[Any], b: Seq[Any]): Boolean = {
