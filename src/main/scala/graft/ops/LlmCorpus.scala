@@ -153,19 +153,25 @@ object LlmCorpus extends QueryModule {
     val toks = Llm.docs(s, d)
       .select(split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 2)
+    // bigram pairs via arrays_zip of two shifted slices — codegen'd
+    // array ops end to end, replacing the interpreted per-element
+    // transform/element_at lambda (CodegenFallback; this build was the
+    // query's hottest stage at ~2.5 executor-CPU-s). Same pairs in the
+    // same order: zip(w[1..n-1], w[2..n]).
     val bigrams = toks
-      .select(explode(expr(
-        "transform(sequence(1, size(w) - 1), " +
-          "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"))
-        .as("bg"))
-      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .select(explode(arrays_zip(
+          slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1))).as("bg"))
+      .select(col("bg").getField("0").as("w1"),
+        col("bg").getField("1").as("w2"))
       .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("n_xy"))
       .filter(col("n_xy") >= MinPairCount)
     val uni = toks.select(explode(col("w")).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
-    val n = toks.select(explode(col("w")).as("t"))
-      .agg(count(lit(1)).as("n_tok"))
+    // corpus token total = Σ unigram counts — a vocabulary-sized
+    // reduce of the table we already built, not a third corpus scan
+    val n = uni.agg(sum(col("cnt")).as("n_tok"))
     val pmi = Det.r6(log(
       (col("n_xy").cast("double") * col("n_tok")) /
         (col("n_x").cast("double") * col("n_y"))))

@@ -383,7 +383,12 @@ object Relational extends QueryModule {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
-  /** COUNT/SUM DISTINCT (expand-based distinct aggregation). */
+  /** COUNT/SUM DISTINCT (expand-based distinct aggregation). NOT
+    * par-spread (tried r14): the slow stage is the MIDDLE distinct
+    * aggregation after the first exchange — its width is AQE's
+    * size-based coalescing (3 partitions over a few MB locally, wide
+    * at real bytes) — not the scan-side expand; a round-robin par
+    * only added its sort+shuffle cost (1.1 → 9.7 executor-CPU-s). */
   private def aggDistinct(s: SparkSession, d: String): DataFrame =
     T.lineitem(s, d)
       .groupBy(col("l_returnflag"))
