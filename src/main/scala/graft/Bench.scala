@@ -44,6 +44,13 @@ object Bench {
       // planner extensions via the deployment config path — both
       // passes of every query run under identical planning rules
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // local-mode liveness hardening (same as Verify): the in-JVM
+      // executor heartbeater System.exit(56)s the whole bench after 60
+      // consecutive missed heartbeats when box contention starves the
+      // RPC for ~600 s (ExecutorExitCode.HEARTBEAT_FAILURE — this is
+      // what killed the r14 driver's sbt test fork). Liveness tracking
+      // is meaningless in-process; timing methodology is unchanged.
+      .config("spark.executor.heartbeat.maxFailures", "1000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -156,6 +163,10 @@ object Bench {
     val hist = Paths.get("/root/repo/tools/bench_history")
     Files.createDirectories(hist)
     Files.writeString(hist.resolve(s"bench_out.$stamp.json"), line)
+    // fixed-name copy in the history dir: survives even when a log-tail
+    // capture truncates the stdout line (BENCH_r13's tail was cut
+    // mid-JSON, which nulled the driver's entire r13→r14 comparison)
+    Files.writeString(hist.resolve("latest.json"), line)
     Files.writeString(Paths.get("/root/repo/bench_out.json"), line)
     println(line)
     spark.stop()

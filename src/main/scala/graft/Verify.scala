@@ -27,6 +27,14 @@ object Verify {
       // configuration, wired the way a deployment would wire them —
       // every query (and the oracle gate) runs under the same rules
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // local-mode liveness hardening: the in-JVM executor heartbeater
+      // System.exit(56)s the whole run after 60 consecutive missed
+      // heartbeats (ExecutorExitCode.HEARTBEAT_FAILURE) — a contended
+      // box starved the RPC for ~600 s in the r14 driver run and killed
+      // a long-running JVM mid-flight. Heartbeats track executor
+      // liveness, which is meaningless in-process; make the suicide
+      // threshold unreachable. No effect on what any query computes.
+      .config("spark.executor.heartbeat.maxFailures", "1000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

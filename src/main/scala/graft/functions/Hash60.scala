@@ -154,6 +154,18 @@ object NgramHash60 {
       s"graft_ngram_h60: width argument must be a literal, got ${exprs(1)}")
     val v = exprs(1).eval(null)
     require(v != null, "graft_ngram_h60: width argument must not be NULL")
-    NgramHash60(exprs(0), v.asInstanceOf[Number].intValue)
+    // integral literals only — a fractional literal would silently
+    // truncate (2.7 → 2) and a non-numeric one would throw a raw
+    // ClassCastException instead of the clean-error contract above
+    val width = v match {
+      case i: java.lang.Integer => i.intValue
+      case l: java.lang.Long => l.intValue
+      case s: java.lang.Short => s.intValue
+      case b: java.lang.Byte => b.intValue
+      case other => throw new IllegalArgumentException(
+        s"graft_ngram_h60: width argument must be an integral literal, " +
+          s"got $other (${other.getClass.getSimpleName})")
+    }
+    NgramHash60(exprs(0), width)
   }
 }

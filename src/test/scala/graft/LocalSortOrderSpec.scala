@@ -17,7 +17,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * sort keys. Runs on the shared multi-core session so the final
   * stage really has >1 partition — the hazard is invisible at one. */
 class LocalSortOrderSpec extends AnyFunSuite {
-  private lazy val s = SparkTestBase.spark
+  // def, not lazy val: if an earlier test (or an external shutdown)
+  // stopped the shared context, each test picks up the rebuilt session
+  // instead of dying on the stale one
+  private def s = SparkTestBase.spark
   private val sf = SparkTestBase.sfDir
 
   // query -> leading ORDER BY columns (the prefix is enough: cross-
@@ -49,17 +52,28 @@ class LocalSortOrderSpec extends AnyFunSuite {
     "q_lake_scd2" -> Seq("user_id", "version"),
   )
 
+  // null = nulls-first (Spark's ascending default); mixed-width
+  // numerics compare by value so a future Int-vs-Long key pair can't
+  // crash the harness instead of reporting an ordering failure
+  private def cmp(x: Any, y: Any): Int = (x, y) match {
+    case (null, null) => 0
+    case (null, _) => -1
+    case (_, null) => 1
+    case (i: Double, j: Double) => java.lang.Double.compare(i, j)
+    case (i: String, j: String) => i.compareTo(j)
+    case (i: java.lang.Number, j: java.lang.Number) =>
+      new java.math.BigDecimal(i.toString)
+        .compareTo(new java.math.BigDecimal(j.toString))
+    case (i: Comparable[_], j) if i.getClass == j.getClass =>
+      i.asInstanceOf[Comparable[Any]].compareTo(j)
+    case other => sys.error(s"unsupported sort-key type: $other")
+  }
+
   private def leq(a: Seq[Any], b: Seq[Any]): Boolean = {
     val it = a.zip(b).iterator
     while (it.hasNext) {
       val (x, y) = it.next()
-      val c = (x, y) match {
-        case (i: Long, j: Long) => java.lang.Long.compare(i, j)
-        case (i: Int, j: Int) => Integer.compare(i, j)
-        case (i: String, j: String) => i.compareTo(j)
-        case (i: Double, j: Double) => java.lang.Double.compare(i, j)
-        case other => sys.error(s"unhandled sort-key type: $other")
-      }
+      val c = cmp(x, y)
       if (c < 0) return true
       if (c > 0) return false
     }
@@ -68,19 +82,47 @@ class LocalSortOrderSpec extends AnyFunSuite {
 
   converted.foreach { case (name, keys) =>
     test(s"$name output is globally ordered on ${keys.mkString(", ")}") {
-      val df = SparkEntry.queries(name)(s, sf)
+      val sp = s
+      // force the converted (parRange + local sort) path for queries
+      // that size-gate it (q_win_rank falls back to a global orderBy
+      // below ParRangeMinBytes) — this spec exists to pin exactly the
+      // converted path's ordering premise
+      sp.conf.set("spark.graft.sort.parRangeMinBytes", "0")
+      try {
+      val df = SparkEntry.queries(name)(sp, sf)
       // collect() concatenates partitions in partition order — exactly
       // what Verify's coalesce(1) parquet dump serializes
       val rows = df.select(keys.head, keys.tail: _*).collect()
       assert(df.rdd.getNumPartitions > 1,
         s"$name collapsed to one partition — the ordering premise " +
           "isn't being exercised")
-      val bad = rows.sliding(2).zipWithIndex.find { case (w, _) =>
-        w.length == 2 && !leq(w(0).toSeq, w(1).toSeq)
+      val bad = rows.sliding(2).zipWithIndex.find { case (w, i) =>
+        w.length == 2 && {
+          try !leq(w(0).toSeq, w(1).toSeq)
+          catch { case e: RuntimeException =>
+            fail(s"$name row $i: ${e.getMessage}") }
+        }
       }
       bad.foreach { case (w, i) =>
         fail(s"$name rows out of global order at $i: ${w(0)} then ${w(1)}")
       }
+      } finally sp.conf.unset("spark.graft.sort.parRangeMinBytes")
     }
+  }
+
+  test("q_win_rank size-gated paths produce identical rows") {
+    // below the gate the query keeps the classic global orderBy; above
+    // it (or forced) it uses parRange + local sort. Same rows, same
+    // order, regardless of which path the source size selects.
+    val sp = s
+    def run(): Seq[String] =
+      SparkEntry.queries("q_win_rank")(sp, sf).collect().map(_.toString).toSeq
+    sp.conf.set("spark.graft.sort.parRangeMinBytes", "0")
+    val converted = try run()
+      finally sp.conf.unset("spark.graft.sort.parRangeMinBytes")
+    sp.conf.set("spark.graft.sort.parRangeMinBytes", Long.MaxValue.toString)
+    val classic = try run()
+      finally sp.conf.unset("spark.graft.sort.parRangeMinBytes")
+    assert(converted.nonEmpty && converted == classic)
   }
 }

@@ -30,7 +30,12 @@ class NgramH60Spec extends AnyFunSuite {
     graft.functions.GraftFunctions.register(s)
     import s.implicits._
     val word = Gen.oneOf(Gen.alphaNumStr.map(_.take(6)),
-      Gen.listOf(Gen.chooseNum(33, 0x2fff)).map(_.map(_.toChar).take(4).mkString))
+      Gen.listOf(Gen.chooseNum(33, 0x2fff)).map(_.map(_.toChar).take(4).mkString),
+      // supplementary-plane code points (4-byte UTF-8, surrogate
+      // pairs) — the byte-range digest must agree with the string
+      // form on them too (advice r14)
+      Gen.listOf(Gen.chooseNum(0x10000, 0x10ffff))
+        .map(_.take(3).flatMap(cp => Character.toChars(cp).toSeq).mkString))
     val textGen = Gen.oneOf(
       Gen.listOf(word).map(_.mkString(" ")),
       // pathological spacing: empty tokens everywhere

@@ -9,7 +9,9 @@ import java.nio.file.Files
   * bucketed co-located joins (no exchange) and two-phase salted
   * aggregation for skewed keys. */
 class ScaleTechniquesSpec extends AnyFunSuite {
-  private lazy val s = SparkTestBase.spark
+  // def, not lazy val: each test re-resolves the shared session so a
+  // context death in an earlier test fails one test, not the suite
+  private def s = SparkTestBase.spark
   private val d = SparkTestBase.sfDir
 
   test("bucketed tables join without a shuffle exchange") {
@@ -50,7 +52,7 @@ class ScaleTechniquesSpec extends AnyFunSuite {
   }
 
   test("salted two-phase aggregation equals direct aggregation on skewed keys") {
-    import s.implicits._
+    val sp = s; import sp.implicits._
     // one hot key carrying 90% of rows — the shape where a plain
     // groupBy sends 90% of the data to one reducer
     val skewed = (1 to 9000).map(i => ("hot", i.toDouble)) ++
@@ -73,7 +75,7 @@ class ScaleTechniquesSpec extends AnyFunSuite {
   }
 
   test("small-file compaction conserves rows and hits the file target") {
-    import s.implicits._
+    val sp = s; import sp.implicits._
     // the lakehouse maintenance pass: a streaming sink or over-parallel
     // writer leaves N tiny files; compaction rewrites to few large ones.
     // Row-group-sized files are what keep 100 TB scans at
@@ -136,7 +138,7 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       probes.map(LlmPipe.loopPartitions(_, c)).sorted)
     // and loopFrame actually pins the child session to the derived
     // count (small input => the 8 floor), without touching the caller
-    import s.implicits._
+    val sp = s; import sp.implicits._
     val callerParts = s.conf.get("spark.sql.shuffle.partitions")
     val lf = LlmPipe.loopFrame(
       (1L to 100L).toDF("da").select($"da", ($"da" + 1).as("db")))
