@@ -341,9 +341,17 @@ object LlmExt extends QueryModule {
                                    nprobe: Int,
                                    lloydIters: Int = AnnLloydIters)
       : DataFrame =
-    ivfTopKOver(simAnnFrame(s, d), k = 5, nprobe = nprobe,
-        lloydIters = lloydIters)
-      .orderBy(col("query_id"), col("rank"))
+    // parRange(query_id) below the top-k window serves the window's
+    // clustering AND the output order, so the trailing global orderBy
+    // (whose range sampler re-executed the rerank join) becomes a
+    // zero-exchange local sort — the r14 conversion pattern, pinned by
+    // LocalSortOrderSpec.
+    ivfTopKFrom(
+        T.parRange(s,
+          ivfCandidatesOver(simAnnFrame(s, d), nprobe, lloydIters),
+          col("query_id")),
+        k = 5)
+      .sortWithinPartitions(col("query_id"), col("rank"))
 
   /** The trained-IVF pipeline over an arbitrary (vec_id, e, qf)
     * frame — `qf` = true marks the query rows, everything else is
@@ -375,40 +383,56 @@ object LlmExt extends QueryModule {
         .groupBy(col("ccell"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           _.getField("m")).as("cv"))
-    val d2 = expr("graft_dot(e, e) - 2 * graft_dot(e, cv) + graft_dot(cv, cv)")
-    // Lloyd: assign every vector to its nearest current centroid,
-    // recompute means; `lloydIters` rounds (each one corpus scan
-    // against the ≤32-row broadcast codebook + two grouped aggs —
-    // AnnSpec's ladder measures what each extra round buys in recall)
+    // The ≤32-row codebook packed into ONE array<struct<ccell,cv>> row
+    // (cell-sorted for a stable plan): every assignment below becomes a
+    // per-row fold over the broadcast array instead of a 32× crossJoin
+    // expansion + a re-grouping exchange. The r14 profile showed the
+    // probe ladder spending 4.97 s wall at 0.9 executor-CPU-s across
+    // ~27 exchanges — pure per-job scheduling latency; this removes
+    // every assignment exchange (Lloyd rounds, corpus argmin, query
+    // probe ranking) while keeping the d2 arithmetic bit-identical.
+    def packed(cb: DataFrame): DataFrame =
+      // coalesce(1) first: a global agg over a single-partition child
+      // satisfies AllTuples as-is, so the pack adds NO exchange (and
+      // no AQE stage) at any nesting level of the Lloyd ladder
+      cb.coalesce(1)
+        .agg(array_sort(collect_list(struct(col("ccell"), col("cv"))))
+          .as("cbook"))
+    // (d2, ccell) per codebook entry — the same squared-distance
+    // expression as the old crossJoin form, evaluated per input row
+    def d2cells: Column =
+      transform(col("cbook"), x => struct(
+        (call_function("graft_dot", col("e"), col("e"))
+          - lit(2) * call_function("graft_dot", col("e"), x.getField("cv"))
+          + call_function("graft_dot", x.getField("cv"), x.getField("cv")))
+          .as("d2"),
+        x.getField("ccell").as("ccell")))
+    // argmin = array_min over (d2, ccell) structs — identical compare
+    // and tie-break semantics to the old min(struct(d2, ccell)) agg
+    def nearestCell: Column = array_min(d2cells).getField("ccell")
+    // Lloyd: assign every vector to its nearest current centroid (a
+    // zero-exchange projection), recompute means; `lloydIters` rounds
     val code = (1 to lloydIters).foldLeft(centroids(e, "gcell")) {
       (cb, _) =>
-        val assigned = e.crossJoin(broadcast(cb))
-          .select(col("vec_id"), col("e"), col("ccell"), d2.as("d2"))
-          .groupBy(col("vec_id"))
-          .agg(min(struct(col("d2"), col("ccell"))).as("best"),
-            first(col("e")).as("e")) // e functionally determined by vec_id
-          .select(col("vec_id"), col("e"), col("best.ccell").as("acell"))
+        val assigned = e.crossJoin(broadcast(packed(cb)))
+          .select(col("vec_id"), col("e"), nearestCell.as("acell"))
         centroids(assigned, "acell")
     }
-    // corpus: final assignment to the TRAINED codebook (argmin agg)
-    val scored = e.crossJoin(broadcast(code))
-      .select(col("vec_id"), col("e"), col("ccell"), d2.as("d2"), col("qf"))
+    val scored = e.crossJoin(broadcast(packed(code)))
+    // corpus: final assignment to the TRAINED codebook (argmin fold)
     val corpus = scored.filter(!col("qf"))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("d2"), col("ccell"))).as("best"),
-        first(col("e")).as("ce"))
-      .select(col("vec_id").as("match_id"), col("ce"),
-        col("best.ccell").as("cell"),
-        sqrt(expr("graft_dot(ce, ce)")).as("cn"))
-    // queries: nprobe nearest trained cells each (bounded query side)
-    val wProbe = Window.partitionBy(col("vec_id"))
-      .orderBy(col("d2"), col("ccell"))
+      .select(col("vec_id").as("match_id"), col("e").as("ce"),
+        nearestCell.as("cell"),
+        sqrt(expr("graft_dot(e, e)")).as("cn"))
+    // queries: nprobe nearest trained cells = the first nprobe entries
+    // of the distance-sorted array (same (d2, ccell) ordering the old
+    // row_number window used, without its per-query exchange)
     val probes = scored.filter(col("qf"))
-      .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= nprobe)
       .select(col("vec_id").as("query_id"), col("e").as("qe"),
-        col("ccell").as("cell"),
+        explode(slice(array_sort(d2cells), 1, nprobe)).as("pc"),
         sqrt(expr("graft_dot(e, e)")).as("qn"))
+      .select(col("query_id"), col("qe"),
+        col("pc").getField("ccell").as("cell"), col("qn"))
     val cos = expr("graft_dot(qe, ce)") / (col("qn") * col("cn"))
     broadcast(probes).join(corpus, "cell")
       .select(col("query_id"), col("match_id"), col("cell"),

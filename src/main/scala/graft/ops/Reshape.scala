@@ -343,48 +343,95 @@ object Reshape extends QueryModule {
     * agrees exactly. */
   private def aggMad(s: SparkSession, d: String): DataFrame = {
     val rf = col("l_returnflag")
-    // One counts frame serves both passes: the deviation frame joins
-    // lineitem 1:1 against a per-group singleton, so its group sizes
-    // are lineitem's — recomputing them would re-execute the whole
-    // first median subplan just to re-count rows.
-    def medianOf(df: DataFrame, v: String, out: String,
-                 counts: DataFrame): DataFrame = {
-      val k = (col("nn") - 1) * lit(0.5)
-      ranked(s, d, df, "lineitem", "l_returnflag", v)
-        .join(broadcast(counts), "l_returnflag")
+    val li = T.lineitem(s, d).select(rf, col("l_extendedprice"))
+    if (T.sourceBytes(s, d, "lineitem") < rankSplitMinBytes(s)) {
+      // Small-input path, ONE fact exchange end to end (r14 verdict
+      // item: the r14 attempt pre-partitioned ABOVE a driver collect,
+      // which left nothing to share; removing the collect is what
+      // makes the share real). Hash-partition the fact once on the
+      // group key: the first median is a rank window over that layout,
+      // the deviation frame is a broadcast join away (1:1, partition-
+      // preserving), so the second median's window ALSO rides the same
+      // exchange — Catalyst plans the med/cnt broadcast builds over
+      // ReusedExchange. The median value is carried THROUGH the
+      // deviation rows (constant per group, reduced with max) so the
+      // result needs no third reference to the median subtree, and the
+      // 3-row result is sorted after an explicit single-partition
+      // exchange instead of a trailing orderBy whose range sampler
+      // would re-execute the whole window segment.
+      val liP = T.par(s, li, rf)
+      val cnt = groupCounts(liP, rf)
+      def rankedOver(df: DataFrame, v: String): DataFrame =
+        df.withColumn("r", row_number()
+            .over(Window.partitionBy(rf).orderBy(col(v)))
+            .cast("long") - 1L)
+          .join(broadcast(cnt), "l_returnflag")
+      def interp(lo: Column, hi: Column) = {
+        val k = (col("nn") - 1) * lit(0.5)
+        lo + (k - floor(k)) * (hi - lo)
+      }
+      val med = rankedOver(liP, "l_extendedprice")
         .groupBy(rf).agg(
           max(col("n")).as("nn"),
-          max(when(col("r") === floor((col("n") - 1) * 0.5), col(v)))
+          max(when(col("r") === floor((col("n") - 1) * 0.5),
+            col("l_extendedprice"))).as("lo"),
+          max(when(col("r") === ceil((col("n") - 1) * 0.5),
+            col("l_extendedprice"))).as("hi"))
+        .select(rf, interp(col("lo"), col("hi")).as("med"))
+      val dev = liP.join(broadcast(med), "l_returnflag")
+        .select(rf, col("med"),
+          abs(col("l_extendedprice") - col("med")).as("adev"))
+      rankedOver(dev, "adev")
+        .groupBy(rf).agg(
+          max(col("med")).as("med"),
+          max(col("n")).as("nn"),
+          max(when(col("r") === floor((col("n") - 1) * 0.5), col("adev")))
             .as("lo"),
-          max(when(col("r") === ceil((col("n") - 1) * 0.5), col(v)))
+          max(when(col("r") === ceil((col("n") - 1) * 0.5), col("adev")))
             .as("hi"))
-        .select(rf,
-          (col("lo") + (k - floor(k)) * (col("hi") - col("lo"))).as(out))
+        .select(rf, Det.r4(col("med")).as("median_price"),
+          Det.r4(interp(col("lo"), col("hi"))).as("mad"))
+        .repartition(1)
+        .sortWithinPartitions(rf)
+    } else {
+      // Split path (large inputs): two range-split rank passes with a
+      // driver-materialized median between them — unchanged. One
+      // counts frame serves both passes: the deviation frame joins
+      // lineitem 1:1 against a per-group singleton, so its group
+      // sizes are lineitem's.
+      def medianOf(df: DataFrame, v: String, out: String,
+                   counts: DataFrame): DataFrame = {
+        val k = (col("nn") - 1) * lit(0.5)
+        rankedBy(s, df, "l_returnflag", v)
+          .join(broadcast(counts), "l_returnflag")
+          .groupBy(rf).agg(
+            max(col("n")).as("nn"),
+            max(when(col("r") === floor((col("n") - 1) * 0.5), col(v)))
+              .as("lo"),
+            max(when(col("r") === ceil((col("n") - 1) * 0.5), col(v)))
+              .as("hi"))
+          .select(rf,
+            (col("lo") + (k - floor(k)) * (col("hi") - col("lo"))).as(out))
+      }
+      val cnt = groupCounts(li, rf)
+      // med is a |groups|-row frame referenced TWICE (the deviation
+      // join's broadcast build and the final result join). Left lazy,
+      // Catalyst inlines the whole first ranking pass at both
+      // reference sites and the fact table is ranked three times, not
+      // two (measured: the duplicate 32-task rank stages in the
+      // profile). Materializing it to a LocalRelation is exactly what
+      // the broadcast build would do anyway — |groups| rows on the
+      // driver — and makes the reuse explicit rather than hoping for
+      // ReuseExchange across differently-wrapped subtrees.
+      val med = { val m = medianOf(li, "l_extendedprice", "med", cnt)
+        s.createDataFrame(java.util.Arrays.asList(m.collect(): _*), m.schema) }
+      val dev = li.join(broadcast(med), "l_returnflag")
+        .select(rf, abs(col("l_extendedprice") - col("med")).as("adev"))
+      med.join(medianOf(dev, "adev", "mad", cnt), "l_returnflag")
+        .select(rf, Det.r4(col("med")).as("median_price"),
+          Det.r4(col("mad")).as("mad"))
+        .orderBy(rf)
     }
-    // NOT pre-partitioned by group key to share one exchange across
-    // the two median passes (tried r14): the first median materializes
-    // via a driver collect, so the deviation pass re-executes the
-    // shared lineage in a separate job — without cross-run caching
-    // (banned) there is no exchange to share, only one to relocate.
-    val li = T.lineitem(s, d).select(rf, col("l_extendedprice"))
-    val cnt = groupCounts(li, rf)
-    // med is a |groups|-row frame referenced TWICE (the deviation
-    // join's broadcast build and the final result join). Left lazy,
-    // Catalyst inlines the whole first ranking pass at both reference
-    // sites and the fact table is ranked three times, not two
-    // (measured: the duplicate 32-task rank stages in the profile).
-    // Materializing it to a LocalRelation is exactly what the
-    // broadcast build would do anyway — |groups| rows on the driver —
-    // and makes the reuse explicit rather than hoping for
-    // ReuseExchange across differently-wrapped subtrees.
-    val med = { val m = medianOf(li, "l_extendedprice", "med", cnt)
-      s.createDataFrame(java.util.Arrays.asList(m.collect(): _*), m.schema) }
-    val dev = li.join(broadcast(med), "l_returnflag")
-      .select(rf, abs(col("l_extendedprice") - col("med")).as("adev"))
-    med.join(medianOf(dev, "adev", "mad", cnt), "l_returnflag")
-      .select(rf, Det.r4(col("med")).as("median_price"),
-        Det.r4(col("mad")).as("mad"))
-      .orderBy(rf)
   }
 
   private val aggMadSql =

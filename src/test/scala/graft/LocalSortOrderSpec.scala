@@ -50,6 +50,7 @@ class LocalSortOrderSpec extends AnyFunSuite {
     "q_llm_frames" -> Seq("doc_id"),
     "q_llm_multimodal" -> Seq("doc_id"),
     "q_lake_scd2" -> Seq("user_id", "version"),
+    "q_llm_sim_ann" -> Seq("query_id", "rank"),
   )
 
   // null = nulls-first (Spark's ascending default); mixed-width
