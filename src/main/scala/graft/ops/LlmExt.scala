@@ -354,7 +354,7 @@ object LlmExt extends QueryModule {
     ivfTopKFrom(
         T.parRange(s,
           ivfCandidatesOver(simAnnFrame(s, d), nprobe, lloydIters,
-            dim = Some(AnnDim)),
+            dim = None),
           col("query_id")),
         k = 5)
       .sortWithinPartitions(col("query_id"), col("rank"))
@@ -383,14 +383,15 @@ object LlmExt extends QueryModule {
       .withColumn("gcell", ivfCell(col("e")))
       .transform(Staged.checkpointLazy) // feeds seed agg, Lloyd steps, final probe
     // per-dim mean per cell, r6-rounded, reassembled into a vector.
-    // With a known vector width (the scored query's embeddings carry
-    // AnnDim components — a table contract, like ivfCell's 16-dim
-    // assumption) this is ONE codegen hash aggregation of `dim`
-    // declarative avgs: no 64× posexplode row blowup feeding the
-    // partial agg and one exchange instead of two per training round.
-    // The dim-agnostic facade keeps the generic posexplode shape —
-    // identical values either way (same per-(cell,pos) avg over the
-    // same rows; AnnSpec pins the equality).
+    // A fused fixed-width variant (ONE hash agg of `dim` declarative
+    // avg(element_at(e, i))s per cell, saving one exchange per
+    // training round and the 64× posexplode) was built and REVERTED
+    // this round: the 128-buffer whole-stage-codegen aggregate costs
+    // more to generate/compile than the exchange it saves — measured
+    // same-window isolated 3.75/4.48 s wall (fused) vs 2.84/2.33 s
+    // (this shape), and bench min 3.44 vs 1.94 s. The `dim` parameter
+    // is kept so the A/B stays reproducible; the scored query passes
+    // None.
     def centroids(frame: DataFrame, cellCol: String): DataFrame = dim match {
       case Some(n) =>
         frame.groupBy(col(cellCol).as("ccell"))
