@@ -22,7 +22,16 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      df.explain("formatted")
+      // GRAFT_EXPLAIN_EXEC=1: additionally run the query and print the
+      // FINAL adaptive plan — AQE-only rewrites (ReusedExchange, join
+      // demotions, AQEShuffleRead) are invisible in the initial plan
+      if (sys.env.get("GRAFT_EXPLAIN_EXEC").contains("1")) {
+        df.queryExecution.toRdd.foreach(_ => ())
+        println(s"---------- $n executed (final adaptive) ----------")
+        println(df.queryExecution.executedPlan.toString)
+      }
     }
     spark.stop()
   }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.QueryModule
+import graft.{QueryModule, Tables => T}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -79,7 +79,12 @@ object LlmCorpus extends QueryModule {
         explode(concat(bodyLines, array(footer))).as("line"))
       .distinct() // line frequency = DOC frequency, not occurrence count
       .transform(Staged.checkpointLazy)
-    val n = docs.agg(count(lit(1)).as("n_docs"))
+    // count over the RAW scan, not the T.par-spread frame: the spread
+    // exchange exists to parallelize per-row text compute, and a global
+    // count has none — counting `docs` was shuffling |corpus| doc_ids
+    // just to count them (plan: Exchange REPARTITION_BY_NUM under the
+    // count's partial agg; removed = one exchange + one stage fewer)
+    val n = T.documents(s, d).agg(count(lit(1)).as("n_docs"))
     val cut = greatest(ceil(col("n_docs") * lit(0.05)), lit(5L))
     // ≤ 20·L̄ rows at ANY corpus size (see Scaladoc) → always
     // broadcastable; the big side never shuffles for the mark
@@ -326,12 +331,23 @@ object LlmCorpus extends QueryModule {
       .agg(count(lit(1)).as("n"))
       .transform(Staged.checkpoint)
     val isTgt = col("lang") === "en"
-    val lms = docBuckets.groupBy(col("b"))
+    // explicit isnotnull(b): semantically a no-op (b = h % buckets of a
+    // non-null hash), but the ratio join below pushes this exact filter
+    // into ITS copy of the lm subtree — writing it here makes the two
+    // lm branches canonically identical, so the totals branch rides a
+    // ReusedExchange instead of re-scanning the checkpoint.
+    val lms = docBuckets.filter(col("b").isNotNull).groupBy(col("b"))
       .agg(sum(col("n")).as("cr"),
         sum(when(isTgt, col("n")).otherwise(0L)).as("ct"))
-    val totals = docBuckets
-      .agg(sum(col("n")).as("tr"),
-        sum(when(isTgt, col("n")).otherwise(0L)).as("tt"))
+    // corpus totals = Σ over the ≤DsirBuckets lm rows — the same
+    // integer sums reassociated (exact), computed off the lm aggregate
+    // instead of a THIRD full pass over the checkpointed (doc, bucket)
+    // frame (that pass was 4.3 executor-CPU-s at sf0.1). The lms
+    // subtree here canonicalizes identically to the ratio branch's, so
+    // its shuffle is a ReusedExchange: the totals side replays ≤
+    // |map tasks|·DsirBuckets combined rows, never the corpus.
+    val totals = lms
+      .agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
     val ratio = lms.crossJoin(broadcast(totals))
       .select(col("b"), Det.r6(
         log((col("ct") + 1).cast("double") / (col("tt") + DsirBuckets)) -

@@ -52,17 +52,33 @@ object LlmExt extends QueryModule {
     // prelude feeds six scored queries; its cost is ~10 executor-CPU-s
     // per query at sf0.1).
     val wh = col("wh")
-    val sums = (0 until SimBits).map(k =>
-      sum(when(shiftright(wh, k).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"s$k"))
-    val fp = (0 until SimBits).map(k =>
-      when(col(s"s$k") >= 0, lit(1L << k)).otherwise(lit(0L)))
-      .reduce(_ + _)
+    // Lane-packed bit counting (r15): `(wh >> k) & 0x1_0000_0001` pulls
+    // bit k into lane 0 and bit k+32 into lane 32 with ONE shift + ONE
+    // mask, so 32 packed sums + one count replace the previous 64
+    // branchy ±1 CASE sums — half the aggregation buffers, and each
+    // update is straight-line long arithmetic (this aggregation was
+    // the top executor-CPU stage of all six simhash-graph consumers:
+    // 5–9 CPU-s per query at sf0.1). Lanes cannot carry into each
+    // other: each lane accumulates c_k ≤ n, and n (words per doc) is
+    // < 2^31 (a 2 GB string bound), so lane 0 stays < 2^32 and the
+    // packed long sum < 2^63. SimhashFpFormSpec pins bit-identity
+    // against the ±1 formulation.
+    val lanes = (0 until SimBits / 2).map(k =>
+      sum(shiftright(wh, k).bitwiseAND(lit(0x0000000100000001L)))
+        .as(s"s$k"))
+    val fp = (0 until SimBits).map { k =>
+      val c = if (k < 32) col(s"s$k").bitwiseAND(lit(0xFFFFFFFFL))
+        else shiftrightunsigned(col(s"s${k - 32}"), 32)
+      // bit k = sign of the old ±1 sum: c_k voted +1, (n − c_k) voted
+      // −1, so s_k_old = 2·c_k − n and s_k_old ≥ 0 ⟺ 2·c_k ≥ n —
+      // identical integer arithmetic, no FP involved
+      when(c * 2 >= col("nw"), lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _)
     Llm.docs(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .select(col("doc_id"), h60(col("word")).as("wh"))
       .groupBy(col("doc_id"))
-      .agg(sums.head, sums.tail: _*)
+      .agg(lanes.head, (lanes.tail :+ count(lit(1)).as("nw")): _*)
       .select(col("doc_id"), fp.as("fp"))
       .transform(Staged.checkpointLazy)
   }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.QueryModule
+import graft.{QueryModule, Tables => T}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -416,7 +416,11 @@ object LlmQuality extends QueryModule {
       .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
     val kept = docs.join(keepers, Seq("doc_id"), "left_semi")
-    val raw = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_raw"))
+    // per-lang count over the RAW scan: a groupBy-count partial-
+    // aggregates at the scan, so the T.par spread exchange on this
+    // branch moved |corpus| rows for nothing (r15; the n_docs fix)
+    val raw = T.documents(s, d).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_raw"))
     kept.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_kept"),
         sum(col("n_chars")).cast("long").as("chars_kept"))
@@ -529,7 +533,11 @@ object LlmQuality extends QueryModule {
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .transform(Staged.checkpointLazy)
-    val n = docs.agg(count(lit(1)).as("n_docs"))
+    // count over the RAW scan, not the T.par-spread `docs`: a global
+    // count has no per-row compute to parallelize, and counting the
+    // spread frame shuffles |corpus| doc_ids first (r15: one exchange
+    // + one stage removed, same fix as q_llm_boilerplate's n_docs)
+    val n = T.documents(s, d).agg(count(lit(1)).as("n_docs"))
     // tf rows are distinct (doc, term), so count-per-term IS the
     // document frequency
     val dfByTerm = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -736,11 +744,17 @@ object LlmQuality extends QueryModule {
     val words = Llm.docsRange(s, d)
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
       .filter(length(col("w")) > 0)
-    val vocab = words.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("w")).limit(VocabCap)
+    val wc = words.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val vocab = wc.orderBy(col("cnt").desc, col("w")).limit(VocabCap)
     // one broadcast 1-row frame carries both scalars: corpus total and
-    // the UNK tail mass (total − in-vocab sum)
-    val stats = words.agg(count(lit(1)).as("n_total"))
+    // the UNK tail mass (total − in-vocab sum). The total is Σ over
+    // the per-word count table — the same integers reassociated
+    // (exact) — NOT a `words.agg(count)`: that was a second full
+    // corpus explode pass, where this is a vocabulary-sized reduce
+    // riding the word-count aggregation's ReusedExchange (r15; the
+    // colloc/dsir totals trick). coalesce pins the empty-corpus row
+    // to 0 like count(1) returned.
+    val stats = wc.agg(coalesce(sum(col("cnt")), lit(0L)).as("n_total"))
       .crossJoin(broadcast(vocab.agg(sum(col("cnt")).as("in_vocab"))))
       .select(col("n_total"),
         (col("n_total") - col("in_vocab")).as("unk_cnt"))
