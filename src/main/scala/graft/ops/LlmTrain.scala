@@ -216,6 +216,7 @@ object LlmTrain extends QueryModule {
     * list_dot_product, both sequential 64-element loops); argmin
     * tie-breaks on (d2, clabel). */
   private def kmeansStep(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val emb = T.par(s, T.embeddings(s, d))
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("e"))
@@ -226,14 +227,28 @@ object LlmTrain extends QueryModule {
       .groupBy(col("clabel"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         _.getField("m")).as("cv"))
-    val d2 = expr("graft_dot(e, e) - 2 * graft_dot(e, cv) + graft_dot(cv, cv)")
-    // argmin as min(struct(d2, clabel)): field-wise struct ordering =
-    // nearest centroid with deterministic clabel tie-break, in a
-    // map-side-combined hash agg — no per-vector sort window
-    emb.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("label"), col("clabel"), d2.as("d2"))
-      .groupBy(col("vec_id"), col("label"))
-      .agg(min(struct(col("d2"), col("clabel"))).as("best"))
+    // argmin as a PER-ROW fold over the packed broadcast codebook —
+    // the q_llm_sim_ann idiom (LlmExt.ivfCandidatesOver): the old
+    // crossJoin expanded every vector |k|× and re-grouped by vec_id
+    // through a |vecs|-row exchange just to take a min. Packing the
+    // ≤|k|-row centroid table into ONE array<struct> row (coalesce(1)
+    // so the pack adds no exchange) turns assignment into
+    // array_min(transform(...)) — same d2 arithmetic, same field-wise
+    // (d2, clabel) struct ordering and tie-break, zero per-vector
+    // exchange: the reassignment matrix aggregates straight to
+    // |labels|·|k| partials. KmeansArgminSpec pins fold-vs-agg
+    // equality; plan 3→2 exchanges.
+    val packed = cent.coalesce(1)
+      .agg(array_sort(collect_list(struct(col("clabel"), col("cv"))))
+        .as("cbook"))
+    val d2cells = transform(col("cbook"), x => struct(
+      (call_function("graft_dot", col("e"), col("e"))
+        - lit(2) * call_function("graft_dot", col("e"), x.getField("cv"))
+        + call_function("graft_dot", x.getField("cv"), x.getField("cv")))
+        .as("d2"),
+      x.getField("clabel").as("clabel")))
+    emb.crossJoin(broadcast(packed))
+      .select(col("label"), array_min(d2cells).as("best"))
       .groupBy(col("label"), col("best.clabel").as("assigned"))
       .agg(count(lit(1)).as("n_vecs"),
         Det.r6(avg(col("best.d2"))).as("avg_d2"))
