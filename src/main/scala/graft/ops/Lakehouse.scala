@@ -434,10 +434,6 @@ object Lakehouse extends QueryModule {
     }
     // one fused scan per table: conditional aggregates, not one
     // scan per check
-    val li = metrics("lineitem", T.lineitem(s, d).agg(
-      count(lit(1)).as("row_count"),
-      coalesce(sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)), lit(0L))
-        .as("nonpositive_qty")))
     val ev = metrics("events", T.events(s, d).agg(
       coalesce(sum(when(col("props").isNull, 1L).otherwise(0L)), lit(0L))
         .as("null_props"),
@@ -446,13 +442,21 @@ object Lakehouse extends QueryModule {
     val doc = metrics("documents", T.documents(s, d).agg(
       coalesce(sum(when(length(trim(col("text"))) === 0, 1L).otherwise(0L)),
         lit(0L)).as("empty_text")))
-    // both fact↔dim checks ride ONE left join: unmatched rows are the
-    // orphans, matched rows carry the date-sanity predicate
+    // ALL FOUR lineitem checks ride ONE left join pass (r15): the join
+    // is 1:1 (o_orderkey is the orders primary key), so row_count and
+    // the quantity domain check aggregate over liOrd exactly as they
+    // did over the bare scan — the standalone lineitem scan + its own
+    // global-agg stage wave are gone, at the cost of one 8-byte column
+    // (l_quantity) through the existing join. Unmatched rows are the
+    // orphans, matched rows carry the date-sanity predicate.
     val liOrd = T.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_shipdate"))
+      .select(col("l_orderkey"), col("l_shipdate"), col("l_quantity"))
       .join(T.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"), "left")
     val liJoin = metrics("lineitem", liOrd.agg(
+      count(lit(1)).as("row_count"),
+      coalesce(sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)), lit(0L))
+        .as("nonpositive_qty"),
       coalesce(sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)),
         lit(0L)).as("orphan_orderkey"),
       coalesce(sum(when(col("o_orderkey").isNotNull &&
@@ -466,8 +470,12 @@ object Lakehouse extends QueryModule {
       .groupBy(col("c_custkey")).agg(count(lit(1)).as("c"))
       .filter(col("c") > 1)
       .agg(count(lit(1)).as("dup_custkey")))
-    li.union(ev).union(doc).union(liJoin).union(ordCust).union(dupCust)
-      .orderBy(col("table_name"), col("check_name"))
+    ev.union(doc).union(liJoin).union(ordCust).union(dupCust)
+      // |checks|-row result (9 at any SF): single-partition exchange +
+      // local sort, not a range-sampled orderBy — the order-statistics
+      // family's bounded-output criterion applies verbatim
+      .repartition(1)
+      .sortWithinPartitions(col("table_name"), col("check_name"))
   }
 
   private val dqAuditSql =
