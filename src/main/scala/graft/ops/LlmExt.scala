@@ -19,9 +19,16 @@ import org.apache.spark.sql.expressions.Window
   */
 object LlmExt extends QueryModule {
 
-  /** Portable 60-bit hash: md5 hex prefix → BIGINT. Spark side. */
+  /** Portable 60-bit hash: md5 hex prefix → BIGINT. Spark side —
+    * the NATIVE [[graft.functions.Hash60]] expression (digest bytes →
+    * long directly; Hash60Spec pins equality with the
+    * conv(substring(md5(x),1,15),16,10) chain every oracle runs).
+    * The chain form this replaced materialized a 32-char hex string
+    * and base-16-parsed 15 digits PER WORD — the dominant term of the
+    * simhash fingerprint stage that feeds six scored queries. Callers
+    * must have GraftFunctions registered (simhashFps does it). */
   private def h60(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    call_function("graft_hash60", c.cast("string"))
   /** The identical DuckDB rendering. */
   private def h60Sql(e: String): String =
     s"('0x' || substring(md5($e), 1, 15))::BIGINT"
@@ -44,6 +51,7 @@ object LlmExt extends QueryModule {
     * from. Lazy-checkpointed: every consumer reuses the one
     * materialization of the 64-sum fingerprint aggregation. */
   private def simhashFps(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     // hash each word ONCE in a projection below the aggregation: the
     // 64 per-bit sums all reference the same md5-derived hash, and
     // inlining it into 64 aggregate-update expressions leaves the
